@@ -1,13 +1,629 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.dedup.{MinHashLSH, NgramJaccard, SimHash}
+import graft.ann.Knn
+import graft.sources.Readers
+import graft.streaming.Events
+
+/** Driver contract — one `queries` entry per operator in SURVEY.md §2,
+  * with a DuckDB-runnable oracle for every SQL-expressible one.
+  *
+  * Conventions for cross-engine determinism:
+  *  - every computed numeric column is explicitly typed (long/double);
+  *  - money/score aggregates are round()ed (2 or 4 dp) on both sides;
+  *  - top-k queries carry a total tie-break ordering;
+  *  - "current date/year" is pinned to constants (2026 / 1998-12-01):
+  *    a wall-clock dependency is a replay bug, so the engine takes
+  *    these as parameters where the reference used datetime.now().
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Engine-portable half-up rounding on non-negative doubles:
+    * `floor(x*10^dp + 0.5)/10^dp`. Unlike `round()`, both engines
+    * apply identical IEEE ops to the identical binary double, so a
+    * value like 4.475 (stored 4.47499…) rounds the same way in Spark
+    * and DuckDB. Used wherever the operand is an exact ratio of
+    * integers (means/rates), where x.xx5 boundaries actually occur.
+    */
+  private def pround(c: Column, dp: Int): Column = {
+    val f = math.pow(10, dp)
+    floor(c * lit(f) + lit(0.5)) / lit(f)
+  }
+  private val langMarkers = Seq(
+    "en" -> Seq("the", "a"),
+    "es" -> Seq("el", "la", "los"),
+    "de" -> Seq("der", "die", "und"),
+    "fr" -> Seq("le", "les", "et"))
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q5_local_supplier")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------
+  // Query catalog
+  // ---------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ===== F. TPC-H-style headliners =====================================
+    "q1_pricing_summary" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 2).as("avg_qty"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    "q3_shipping_priority" -> ((s, d) => {
+      val c = Tables.customer(s, d).filter(upper(trim(col("c_mktsegment"))) === "BUILDING")
+      val o = Tables.orders(s, d).filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp_ntz"))
+      val l = Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp_ntz"))
+      broadcast(c).join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }),
+
+    "q5_local_supplier" -> ((s, d) => {
+      val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val n = Tables.nation(s, d)
+      val c = Tables.customer(s, d)
+      val sup = Tables.supplier(s, d)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+                col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+      val l = Tables.lineitem(s, d)
+      // dims broadcast; the single big fact-fact join (orders x lineitem)
+      // shuffles on orderkey only.
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(c, col("o_custkey") === col("c_custkey") &&
+                 col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    }),
+
+    // ===== A. Sources ====================================================
+    "q_csv_roundtrip" -> ((s, d) => {
+      // Real CSV path exercise: project events -> write CSV -> read back
+      // with the robust reader + explicit schema -> aggregate. The
+      // oracle aggregates the same columns straight from parquet.
+      import org.apache.spark.sql.types._
+      val tmp = s"/tmp/graft_csv_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      Tables.events(s, d).select("event_id", "user_id", "event_type", "value")
+        .write.mode("overwrite").option("header", "true").csv(tmp)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType)))
+      Readers.csv(s, tmp, multiLine = false, schema = Some(schema))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    }),
+
+    "q_partitioned_write" -> ((s, d) => {
+      // Partition-aware write + read-back with partition pruning.
+      val tmp = s"/tmp/graft_part_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.sources.Writers.parquetByYear(
+        Tables.orders(s, d), tmp, "o_orderdate")
+      s.read.parquet(tmp)
+        .filter(col("year_partition") === 1996)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("sum_total"))
+    }),
+
+    // ===== B. Profiling ==================================================
+    "q_null_profile" -> ((s, d) => Profiler.nullProfile(Tables.events(s, d))),
+
+    "q_dup_profile" -> ((s, d) =>
+      Profiler.dupProfile(Tables.events(s, d), Seq("user_id", "event_type"))),
+
+    // ===== C. Silver business rules ======================================
+    "q_snake_case" -> ((s, d) => {
+      // camelCase the input first so the standardizer has real work.
+      val camel = Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("LReturnflag"), col("l_quantity").as("LQuantity"))
+      ColumnStandardizer.standardize(camel)
+        .groupBy("l_returnflag")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"))
+    }),
+
+    "q_date_standardize" -> ((s, d) => {
+      // Rebuild the reference's two raw formats from o_orderdate, then
+      // parse them back (RN-001). Round-trip == identity on the date.
+      val raw = Tables.orders(s, d).select(
+        col("o_orderkey"),
+        when(pmod(col("o_orderkey"), lit(2)) === 0,
+          date_format(col("o_orderdate"), "yyyyMMdd"))
+          .otherwise(date_format(col("o_orderdate"), "yyyy/MM/dd HH:mm:ss.SSSSSSSSS"))
+          .as("raw_date"))
+      DateStandardizer.standardize(raw, Seq("raw_date"))
+        // dates travel as ISO strings for the cross-engine compare
+        // (pandas renders DATE as object vs DuckDB's datetime64)
+        .withColumn("raw_date", date_format(col("raw_date"), "yyyy-MM-dd"))
+    }),
+
+    "q_normalize_states" -> ((s, d) =>
+      Normalizer.normalize(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus")),
+        Seq("o_orderstatus"))
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n"))),
+
+    "q_window_dedup" -> ((s, d) =>
+      Deduplicator.latestWins(Tables.events(s, d),
+          Seq("user_id", "event_type"), "ts", tieBreak = Some("event_id"))
+        .select("event_id", "user_id", "event_type", "value")),
+
+    "q_catalog_enrich" -> ((s, d) => {
+      val natPlus = CatalogEnricher.enrich(Tables.nation(s, d), Tables.region(s, d),
+        "n_regionkey", "r_regionkey", "r_name", "region_name", normalizeKeys = false)
+      val withNation = CatalogEnricher.enrich(Tables.customer(s, d), natPlus,
+        "c_nationkey", "n_nationkey", "n_name", "nation_name", normalizeKeys = false)
+      CatalogEnricher.enrich(withNation, natPlus,
+        "c_nationkey", "n_nationkey", "region_name", "region_name", normalizeKeys = false)
+        .select("c_custkey", "c_name", "nation_name", "region_name")
+    }),
+
+    "q_tipo_flag" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_custkey"),
+        DerivedColumns.conditionalCode(col("c_mktsegment"), "BUILDING").as("segment_flag"))),
+
+    "q_age_years" -> ((s, d) =>
+      Tables.orders(s, d).select(col("o_orderkey"),
+        DerivedColumns.ageYears(col("o_orderdate"), 2026).as("age_years"))),
+
+    "q_unique_key" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_custkey"),
+        DerivedColumns.uniqueKey(Seq(col("c_nationkey"), col("c_custkey"), col("c_name")))
+          .as("id_unico"))),
+
+    "q_validations" -> ((s, d) =>
+      Profiler.validate(Tables.orders(s, d), Seq(
+        "null_orderdate" -> col("o_orderdate").isNull,
+        "negative_total" -> (col("o_totalprice") < 0),
+        "status_open" -> (upper(trim(col("o_orderstatus"))) === "O"),
+        "status_filled" -> (upper(trim(col("o_orderstatus"))) === "F"),
+        "high_value" -> (col("o_totalprice") > 200000)))),
+
+    // ===== D. Gold star schema ===========================================
+    "q_dim_build" -> ((s, d) =>
+      StarSchema.dimension(Tables.customer(s, d),
+        Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))),
+
+    "q_fact_build" -> ((s, d) =>
+      StarSchema.fact(Tables.orders(s, d),
+        Seq("o_orderkey", "o_custkey", "o_totalprice"),
+        StarSchema.vigencia(col("o_orderdate"), lit("1998-12-01").cast("date")))),
+
+    "q_integrity_orphans" -> ((s, d) =>
+      StarSchema.orphanCount(
+        Tables.orders(s, d).select(col("o_custkey").as("custkey")),
+        Tables.customer(s, d).select(col("c_custkey").as("custkey")),
+        "custkey")),
+
+    // ===== E. Analytics (reference test/query_gold_validations.sql) =====
+    "q_v1_active_by_type" -> ((s, d) =>
+      Tables.orders(s, d)
+        .filter(upper(trim(col("o_orderstatus"))) === "O")
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count_distinct(col("o_custkey")).as("total_active"))
+        .orderBy(col("total_active").desc, col("c_mktsegment").asc)),
+
+    "q_v2_avg_age" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy("n_name")
+        .agg(pround(avg(lit(2026) - year(col("o_orderdate"))), 2).as("avg_age"),
+          count_distinct(col("c_custkey")).as("total_customers"))
+        .filter(col("total_customers") > 5)
+        .orderBy(col("avg_age").desc, col("n_name").asc)
+        .limit(5)),
+
+    "q_v3_rate" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          count_distinct(when(upper(trim(col("o_orderstatus"))) === "O", col("o_custkey")))
+            .as("active_customers"),
+          count_distinct(col("o_custkey")).as("total_customers"))
+        .withColumn("rate_pct",
+          pround(col("active_customers") * lit(100.0) / col("total_customers"), 2))
+        .orderBy(col("rate_pct").desc, col("c_mktsegment").asc)),
+
+    "q_v4_ml_dataset" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .filter(col("o_orderstatus").isin("O", "F", "P") && col("o_totalprice").isNotNull)
+        .select("c_custkey", "c_mktsegment", "o_orderkey", "o_orderdate", "o_totalprice")
+      Deduplicator.latestWins(base, Seq("c_custkey"), "o_orderdate", Some("o_orderkey"))
+        .select(
+          col("c_custkey"), col("c_mktsegment"),
+          year(col("o_orderdate")).cast("long").as("last_order_year"),
+          when(year(col("o_orderdate")) >= 1998, 1L).otherwise(0L).as("renovo"),
+          when(col("o_totalprice") < 50000, "small")
+            .when(col("o_totalprice") < 150000, "medium")
+            .otherwise("large").as("value_segment"),
+          (lit(2026) - year(col("o_orderdate"))).cast("long").as("years_since_order"))
+    }),
+
+    "q_point_lookup" -> ((s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_custkey") === 7)
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        .limit(1)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))),
+
+    // ===== G. LLM-data pipeline ops =====================================
+    "q_dedup_exact" -> ((s, d) =>
+      Deduplicator.exactGroups(Tables.documents(s, d), "doc_id", "text",
+        c => md5(c.cast("binary")))),
+
+    "q_token_count" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TF.tokenCount(col("text")).as("ws_tokens"),
+        TF.bpeTokenCount(col("text")).as("bpe_tokens"))),
+
+    "q_quality_score" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TF.qualityScore(col("text"), stopwords).as("quality"),
+        pround(TF.meanTokenLen(col("text")), 2).as("mean_token_len"),
+        pround(TF.alphaRatio(col("text")), 4).as("alpha_ratio"))),
+
+    "q_lang_id" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TF.langId(col("text"), langMarkers).as("lang_pred"))),
+
+    "q_ann_bruteforce" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Knn.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
+    }),
+
+    "q_ann_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Knn.lshTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
+    }),
+
+    "q_dedup_minhash" -> ((s, d) =>
+      MinHashLSH.nearDupSummary(Tables.documents(s, d), "doc_id", "text")),
+
+    "q_dedup_simhash" -> ((s, d) =>
+      SimHash.summary(Tables.documents(s, d), "doc_id", "text", maxHamming = 16)),
+
+    "q_ngram_jaccard" -> ((s, d) =>
+      NgramJaccard.summary(Tables.documents(s, d), "doc_id", "text", k = 3, maxDf = 100)),
+
+    "q_dedup_embedding" -> ((s, d) =>
+      Knn.nearDupByEmbedding(Tables.embeddings(s, d), threshold = 0.95)),
+
+    "q_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TF.fingerprint(col("text")).as("rolling_fp"),
+        TF.contentHash(col("text")).as("xxh64"))),
+
+    // ===== H. Streaming (batch-equivalent forms) ========================
+    "q_event_windows" -> ((s, d) => Events.windowedAggBatch(Tables.events(s, d))),
+
+    "q_sessionize" -> ((s, d) => Events.sessionizeBatch(Tables.events(s, d), 30))
+  )
+
+  // ---------------------------------------------------------------
+  // DuckDB oracles (driver runs these on the same parquet tables)
+  // ---------------------------------------------------------------
+  def oracleSql: Map[String, String] = Map(
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 2) AS avg_qty,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus""",
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM customer JOIN orders ON c_custkey = o_custkey
+                       JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE upper(trim(c_mktsegment)) = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+           AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+         GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+         ORDER BY revenue DESC, l_orderkey ASC
+         LIMIT 10""",
+
+    "q5_local_supplier" ->
+      """SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM orders
+           JOIN lineitem ON o_orderkey = l_orderkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY n_name
+         ORDER BY revenue DESC, n_name ASC""",
+
+    "q_csv_roundtrip" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY event_type""",
+
+    "q_partitioned_write" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_total
+         FROM orders WHERE year(o_orderdate) = 1996
+         GROUP BY o_orderstatus""",
+
+    "q_null_profile" ->
+      """SELECT count(CASE WHEN event_id IS NULL THEN 1 END) AS event_id_nulls,
+           count(CASE WHEN ts IS NULL THEN 1 END) AS ts_nulls,
+           count(CASE WHEN user_id IS NULL THEN 1 END) AS user_id_nulls,
+           count(CASE WHEN event_type IS NULL THEN 1 END) AS event_type_nulls,
+           count(CASE WHEN value IS NULL THEN 1 END) AS value_nulls,
+           count(CASE WHEN props IS NULL THEN 1 END) AS props_nulls
+         FROM events""",
+
+    "q_dup_profile" ->
+      """SELECT count(*) AS total_rows,
+           count(DISTINCT (user_id, event_type)) AS distinct_keys,
+           count(*) - count(DISTINCT (user_id, event_type)) AS duplicate_rows
+         FROM events""",
+
+    "q_snake_case" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "q_date_standardize" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS raw_date FROM orders""",
+
+    "q_normalize_states" ->
+      """SELECT upper(trim(o_orderstatus)) AS o_orderstatus, count(*) AS n
+         FROM orders GROUP BY 1""",
+
+    "q_window_dedup" ->
+      """SELECT event_id, user_id, event_type, value FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY user_id, event_type
+             ORDER BY ts DESC NULLS LAST, event_id DESC) AS rn
+           FROM events) t
+         WHERE rn = 1""",
+
+    "q_catalog_enrich" ->
+      """SELECT c_custkey, c_name, n_name AS nation_name, r_name AS region_name
+         FROM customer
+           LEFT JOIN nation ON c_nationkey = n_nationkey
+           LEFT JOIN region ON n_regionkey = r_regionkey""",
+
+    "q_tipo_flag" ->
+      """SELECT c_custkey,
+           CAST(CASE WHEN upper(trim(c_mktsegment)) = 'BUILDING' THEN 2 ELSE 1 END AS BIGINT)
+             AS segment_flag
+         FROM customer""",
+
+    "q_age_years" ->
+      """SELECT o_orderkey, CAST(2026 - year(o_orderdate) AS BIGINT) AS age_years
+         FROM orders""",
+
+    "q_unique_key" ->
+      """SELECT c_custkey,
+           concat_ws('_', c_nationkey, c_custkey, c_name) AS id_unico
+         FROM customer""",
+
+    "q_validations" ->
+      """SELECT
+           count(CASE WHEN o_orderdate IS NULL THEN 1 END) AS null_orderdate,
+           count(CASE WHEN o_totalprice < 0 THEN 1 END) AS negative_total,
+           count(CASE WHEN upper(trim(o_orderstatus)) = 'O' THEN 1 END) AS status_open,
+           count(CASE WHEN upper(trim(o_orderstatus)) = 'F' THEN 1 END) AS status_filled,
+           count(CASE WHEN o_totalprice > 200000 THEN 1 END) AS high_value
+         FROM orders""",
+
+    "q_dim_build" ->
+      """SELECT DISTINCT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer""",
+
+    "q_fact_build" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(date_diff('day', DATE '1998-12-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+             AS dias_vigencia,
+           CAST(CASE WHEN CAST(o_orderdate AS DATE) < DATE '1998-12-01' THEN 1 ELSE 0 END AS BIGINT)
+             AS flag_vencido
+         FROM orders""",
+
+    "q_integrity_orphans" ->
+      """SELECT count(*) AS orphan_count FROM
+           (SELECT DISTINCT o_custkey FROM orders) o
+           LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+             ON o.o_custkey = c.c_custkey
+         WHERE c.c_custkey IS NULL""",
+
+    "q_v1_active_by_type" ->
+      """SELECT c_mktsegment, count(DISTINCT o_custkey) AS total_active
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE upper(trim(o_orderstatus)) = 'O'
+         GROUP BY c_mktsegment
+         ORDER BY total_active DESC, c_mktsegment ASC""",
+
+    "q_v2_avg_age" ->
+      """SELECT n_name,
+           floor(avg(2026 - year(o_orderdate)) * 100.0 + 0.5) / 100.0 AS avg_age,
+           count(DISTINCT c_custkey) AS total_customers
+         FROM customer
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN orders ON o_custkey = c_custkey
+         GROUP BY n_name
+         HAVING count(DISTINCT c_custkey) > 5
+         ORDER BY avg_age DESC, n_name ASC
+         LIMIT 5""",
+
+    "q_v3_rate" ->
+      """SELECT c_mktsegment,
+           count(DISTINCT CASE WHEN upper(trim(o_orderstatus)) = 'O' THEN o_custkey END)
+             AS active_customers,
+           count(DISTINCT o_custkey) AS total_customers,
+           floor(count(DISTINCT CASE WHEN upper(trim(o_orderstatus)) = 'O' THEN o_custkey END)
+             * 100.0 / count(DISTINCT o_custkey) * 100.0 + 0.5) / 100.0 AS rate_pct
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment
+         ORDER BY rate_pct DESC, c_mktsegment ASC""",
+
+    "q_v4_ml_dataset" ->
+      """WITH base AS (
+           SELECT c_custkey, c_mktsegment, o_orderkey, o_orderdate, o_totalprice
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           WHERE o_orderstatus IN ('O','F','P') AND o_totalprice IS NOT NULL
+         ), dedup AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY c_custkey
+             ORDER BY o_orderdate DESC NULLS LAST, o_orderkey DESC) AS rn
+           FROM base
+         )
+         SELECT c_custkey, c_mktsegment,
+           CAST(year(o_orderdate) AS BIGINT) AS last_order_year,
+           CAST(CASE WHEN year(o_orderdate) >= 1998 THEN 1 ELSE 0 END AS BIGINT) AS renovo,
+           CASE WHEN o_totalprice < 50000 THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'medium'
+                ELSE 'large' END AS value_segment,
+           CAST(2026 - year(o_orderdate) AS BIGINT) AS years_since_order
+         FROM dedup WHERE rn = 1""",
+
+    "q_point_lookup" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date
+         FROM orders WHERE o_custkey = 7
+         ORDER BY o_orderdate DESC, o_orderkey DESC
+         LIMIT 1""",
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+           count(*) AS group_size
+         FROM documents GROUP BY md5(text)""",
+
+    "q_token_count" ->
+      """SELECT doc_id,
+           CAST(CASE WHEN length(trim(lower(text))) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS BIGINT)
+             AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+             AS bpe_tokens
+         FROM documents""",
+
+    "q_quality_score" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+             CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+           FROM documents
+         )
+         SELECT doc_id,
+           floor((least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
+             + (CASE WHEN length(text) = 0 THEN 0.0
+                     ELSE CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text) END)
+             + least((CASE WHEN len(toks) = 0 THEN 0.0
+                           ELSE CAST(len(list_filter(toks,
+                                  x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE)
+                                / len(toks) END) * 4.0, 1.0)
+             ) / 3.0 * 10000.0 + 0.5) / 10000.0 AS quality,
+           floor((CASE WHEN len(toks) = 0 THEN 0.0
+                      ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                           / len(toks) END) * 100.0 + 0.5) / 100.0 AS mean_token_len,
+           floor((CASE WHEN length(text) = 0 THEN 0.0
+                      ELSE CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE)
+                           / length(text) END) * 10000.0 + 0.5) / 10000.0 AS alpha_ratio
+         FROM t""",
+
+    "q_lang_id" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+           FROM documents
+         ), s AS (
+           SELECT doc_id,
+             len(list_filter(toks, x -> list_contains(['the','a'], x))) AS s_en,
+             len(list_filter(toks, x -> list_contains(['el','la','los'], x))) AS s_es,
+             len(list_filter(toks, x -> list_contains(['der','die','und'], x))) AS s_de,
+             len(list_filter(toks, x -> list_contains(['le','les','et'], x))) AS s_fr
+           FROM t
+         )
+         SELECT doc_id,
+           CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+                WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+                WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+                ELSE 'fr' END AS lang_pred
+         FROM s""",
+
+    "q_ann_bruteforce" ->
+      """WITH q AS (
+           SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+           FROM embeddings WHERE vec_id < 8
+         ), c AS (
+           SELECT vec_id AS nbr_id, CAST(embedding AS DOUBLE[]) AS c_emb
+           FROM embeddings
+         ), scored AS (
+           SELECT query_id, nbr_id,
+             round(list_dot_product(q_emb, c_emb)
+               / (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(c_emb, c_emb))), 4)
+               AS sim
+           FROM c CROSS JOIN q WHERE query_id <> nbr_id
+         ), ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id ASC) AS rnk
+           FROM scored
+         )
+         SELECT query_id, CAST(rnk AS BIGINT) AS rank, nbr_id, sim
+         FROM ranked WHERE rnk <= 5""",
+
+    "q_event_windows" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value,
+           count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY 1, 2""",
+
+    "q_sessionize" ->
+      """WITH e AS (
+           SELECT event_id, ts, user_id, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events
+         ), f AS (
+           SELECT *, CASE WHEN prev_ts IS NULL
+                            OR date_diff('second', prev_ts, ts) > 1800
+                          THEN 1 ELSE 0 END AS new_session
+           FROM e
+         ), g AS (
+           SELECT *, sum(new_session) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS session_seq
+           FROM f
+         )
+         SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(min(ts) AS TIMESTAMP) AS session_start,
+           CAST(max(ts) AS TIMESTAMP) AS session_end,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM g GROUP BY user_id, session_seq"""
+  )
 }

@@ -1,0 +1,64 @@
+package graft.dedup
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact n-gram Jaccard similarity via an inverted shingle index.
+  *
+  * Instead of any pairwise comparison, explode each document into its
+  * distinct word-k-shingles, drop shingles whose document frequency
+  * exceeds `maxDf` (stopword-like shingles contribute almost nothing
+  * to Jaccard but dominate pair generation — the classic prefix/df
+  * filter), then self-join the inverted index: pairs sharing a rare
+  * shingle, counting shared shingles per pair in one aggregation.
+  * Jaccard = |∩| / (|A| + |B| − |∩|).
+  *
+  * Scale: the only heavy shuffle is keyed by shingle; df-filtering
+  * bounds each shingle's bucket to ≤ maxDf docs, so pair generation
+  * is O(Σ df²) with df ≤ maxDf — tunable, never O(n²).
+  */
+object NgramJaccard {
+
+  /** (doc_id, shingle) inverted index with per-doc set sizes. */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        TextFunctions.shingles(col(textCol), k).as("sh"))
+      .withColumn("set_size", size(col("sh")).cast("long"))
+      .select(col("doc_id"), col("set_size"), explode(col("sh")).as("shingle"))
+
+  /** Pairs (id_a < id_b) with exact Jaccard ≥ threshold. */
+  def pairs(docs: DataFrame, idCol: String, textCol: String,
+            k: Int = 3, threshold: Double = 0.3, maxDf: Int = 50): DataFrame = {
+    val idx = invertedIndex(docs, idCol, textCol, k)
+    val rare = idx.withColumn("df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+      .filter(col("df") <= maxDf)
+      .drop("df")
+    val shared = rare.as("a").join(rare.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.set_size").as("size_a"), col("b.set_size").as("size_b"))
+      .agg(count(lit(1)).as("inter"))
+    shared.withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (col("size_a") + col("size_b") - col("inter")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Per-document best-match summary (one row per doc). */
+  def summary(docs: DataFrame, idCol: String, textCol: String,
+              k: Int = 3, maxDf: Int = 50): DataFrame = {
+    val p = pairs(docs, idCol, textCol, k, threshold = 0.0, maxDf = maxDf)
+    val sym = p.select(col("id_a").as("doc_id"), col("id_b").as("other_id"), col("jaccard"))
+      .union(p.select(col("id_b").as("doc_id"), col("id_a").as("other_id"), col("jaccard")))
+    val best = sym.groupBy("doc_id").agg(
+      count(lit(1)).as("n_overlapping"),
+      max(struct(col("jaccard"), col("other_id"))).as("best"))
+      .select(col("doc_id"), col("n_overlapping"),
+        col("best.other_id").as("best_match_id"), col("best.jaccard").as("best_jaccard"))
+    docs.select(col(idCol).as("doc_id")).join(best, Seq("doc_id"), "left")
+      .na.fill(Map("n_overlapping" -> 0L, "best_jaccard" -> -1.0))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SimHash near-duplicate detection (64-bit).
+  *
+  * Charikar's scheme: every token votes ±1 on each of 64 bit
+  * positions according to its hash; the sign of each position's vote
+  * total becomes that fingerprint bit. Near-dups = small Hamming
+  * distance between fingerprints.
+  *
+  * Candidate generation uses the standard chunk trick: split the
+  * 64-bit fingerprint into 4 × 16-bit chunks; any pair within
+  * Hamming distance 3 must agree on ≥1 chunk (pigeonhole), so an
+  * equality join per chunk finds all such pairs — no cross-join, and
+  * the shuffle key is the compact (chunk_id, chunk_value).
+  *
+  * The fingerprint itself is a narrow codegen'd expression (nested
+  * higher-order functions over xxhash64); computing it over 100 TB is
+  * a pure map stage.
+  */
+object SimHash {
+
+  /** 64-bit simhash of whitespace tokens, as a signed long column.
+    *
+    * Column-DSL higher-order functions throughout; the bit-index
+    * lambda variable feeds the shift amount via `call_function`
+    * ("shiftright"/"shiftleft" accept a column shift amount even
+    * though the typed `functions.shiftright` wrapper only takes an
+    * Int). The fingerprint assembles via shiftleft + bitwise OR — no
+    * `acc*2+bit` multiply, which would ANSI-overflow when bit 63 is
+    * set. (The nested-CASE SQL-text form of this expression trips a
+    * Spark 4.1 parser bug, hence no `expr()`.)
+    */
+  def simhash(textCol: String): Column = {
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    val bits = transform(sequence(lit(0), lit(63)), i => {
+      val vote = aggregate(toks, lit(0L), (acc, t) =>
+        acc + when(call_function("shiftright", xxhash64(t), i)
+          .bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))
+    })
+    aggregate(bits, lit(0L), (acc, b) => acc.bitwiseOR(b))
+  }
+
+  /** (doc_id, simhash, chunk_id, chunk_value) — 4 rows per doc. */
+  def chunked(fps: DataFrame): DataFrame =
+    fps.select(col("doc_id"), col("simhash"),
+      posexplode(expr("transform(sequence(0,3), c -> (simhash >> (c*16)) & 65535)"))
+        .as(Seq("chunk_id", "chunk_value")))
+
+  /** Candidate pairs agreeing on ≥1 chunk, verified by Hamming
+    * distance ≤ maxHamming (`bit_count(a XOR b)` — codegen'd).
+    * Oversized buckets are dropped: a degenerate chunk value shared
+    * by everything would otherwise emit O(n²) pairs on one task.
+    */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, maxBucket: Int = 256): DataFrame = {
+    val fps = docs.select(col(idCol).as("doc_id"), simhash(textCol).as("simhash"))
+    val sized = chunked(fps).withColumn("bucket_size",
+        count(lit(1)).over(Window.partitionBy("chunk_id", "chunk_value")))
+      .filter(col("bucket_size") <= maxBucket)
+    val pairs = sized.as("l").join(sized.as("r"),
+        col("l.chunk_id") === col("r.chunk_id") &&
+        col("l.chunk_value") === col("r.chunk_value") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"),
+        col("l.simhash").as("sh_a"), col("r.simhash").as("sh_b"))
+      .distinct()
+    pairs.withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Per-document summary (one row per doc; non-empty by construction
+    * even on dup-free corpora).
+    */
+  def summary(docs: DataFrame, idCol: String, textCol: String,
+              maxHamming: Int = 3): DataFrame = {
+    val fps = docs.select(col(idCol).as("doc_id"), simhash(textCol).as("simhash"))
+    val pairs = nearDupPairs(docs, idCol, textCol, maxHamming)
+    val sym = pairs.select(col("id_a").as("doc_id"), col("id_b").as("other_id"), col("hamming"))
+      .union(pairs.select(col("id_b").as("doc_id"), col("id_a").as("other_id"), col("hamming")))
+    val best = sym.groupBy("doc_id").agg(
+      count(lit(1)).as("n_near_dups"),
+      min(struct(col("hamming"), col("other_id"))).as("best"))
+      .select(col("doc_id"), col("n_near_dups"),
+        col("best.other_id").as("nearest_id"), col("best.hamming").as("min_hamming"))
+    fps.join(best, Seq("doc_id"), "left")
+      .na.fill(Map("n_near_dups" -> 0L, "min_hamming" -> 65L))
+  }
+}

@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for LLM-data pipelines.
+  *
+  * Everything here is built from codegen'd Spark builtins (split,
+  * regexp, higher-order array functions, xxhash64) — no UDFs, no
+  * shuffle. Each function is a narrow per-row expression that fuses
+  * into the scan under whole-stage codegen, which is precisely what
+  * you want for a 100 TB corpus pass.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of trimmed, lowercased text. Empty text → []. */
+  def tokens(text: Column): Column = {
+    val t = trim(lower(text))
+    when(length(t) === 0, array().cast("array<string>"))
+      .otherwise(split(t, "\\s+"))
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish token estimate: alphabetic runs, digit runs, and single
+    * punctuation marks each count as one token — the classic cheap
+    * proxy for subword-tokenizer counts.
+    */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long")
+
+  /** Mean token length (0.0 for empty docs). */
+  def meanTokenLen(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) === 0, lit(0.0)).otherwise(
+      aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(ts))
+  }
+
+  /** Fraction of characters that are a-z/A-Z (0.0 for empty). */
+  def alphaRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      regexp_count(text, lit("[A-Za-z]")).cast("double") / length(text))
+
+  /** Fraction of tokens found in `stopwords`. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val ts = tokens(text)
+    val stops = array(stopwords.map(lit): _*)
+    when(size(ts) === 0, lit(0.0)).otherwise(
+      size(filter(ts, t => array_contains(stops, t))).cast("double") / size(ts))
+  }
+
+  /** Composite quality score in [0,1]: favors mid-length docs with
+    * alphabetic content and a natural stopword rate. Deterministic,
+    * engine-portable arithmetic (the exact formula matters less than
+    * it being cheap, monotone in the obvious signals, and identical
+    * across engines).
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lengthTerm = least(nTok / lit(50.0), lit(1.0))
+    val alphaTerm = alphaRatio(text)
+    val stopTerm = least(stopwordRatio(text, stopwords) * lit(4.0), lit(1.0))
+    // floor(x*1e4+0.5)/1e4 instead of round(): identical IEEE ops on
+    // the identical binary double in every engine (see SparkEntry).
+    floor((lengthTerm + alphaTerm + stopTerm) / lit(3.0) * lit(10000.0) + lit(0.5)) / lit(10000.0)
+  }
+
+  /** Language scores: for each (lang, markers) pair, the count of
+    * tokens that are marker words for that language.
+    */
+  def langScore(text: Column, markers: Seq[String]): Column = {
+    val ts = tokens(text)
+    val ms = array(markers.map(lit): _*)
+    size(filter(ts, t => array_contains(ms, t))).cast("long")
+  }
+
+  /** Argmax language id over marker lists; ties break by list order
+    * (first wins), unknown when all scores are 0.
+    */
+  def langId(text: Column, markerSets: Seq[(String, Seq[String])],
+             unknown: String = "und"): Column = {
+    val scored = markerSets.map { case (lang, ms) => (lang, langScore(text, ms)) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.foldRight(lit(unknown): Column) { case ((lang, s), els) =>
+      when(s === best && best > 0, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Word k-shingles as distinct strings ("w1 w2 ... wk"). Documents
+    * shorter than k words yield a single shingle of the whole text.
+    */
+  def shingles(text: Column, k: Int): Column = {
+    val ts = tokens(text)
+    val n = size(ts)
+    when(n === 0, array().cast("array<string>"))
+      .otherwise(when(n <= k, array(concat_ws(" ", ts)))
+      .otherwise(array_distinct(
+        transform(sequence(lit(0), n - k),
+          i => concat_ws(" ", slice(ts, i + 1, lit(k)))))))
+  }
+
+  /** Polynomial rolling-hash fingerprint of the full text: the
+    * classic `h = h*31 + c`, reduced mod 1e9+7 each step so the
+    * accumulator stays < 2^30 and the multiply can never overflow a
+    * long (Spark 4 runs ANSI mode, where 64-bit wraparound is an
+    * error, not a feature).
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(split(text, ""), lit(0L),
+      (acc, ch) => pmod(acc * lit(31L) + ascii(ch), lit(1000000007L)))
+
+  /** Deterministic 64-bit content hash (codegen'd, 8-byte key —
+    * the scale-preferred dedup key).
+    */
+  def contentHash(text: Column): Column = xxhash64(text)
+}

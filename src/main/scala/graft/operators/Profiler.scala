@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality profiling — all single-pass.
+  *
+  * Reference bronze validation (src/bronze/job-bronze-rues.py:79-120)
+  * counts NULLs per column and duplicate rows on a 1% sample; the
+  * silver layer runs a consolidated one-pass validation
+  * (src/silver/job-silver-rues.py:530-566).
+  *
+  * Scale rule enforced here: a profile over 100 TB must be ONE job —
+  * every metric is an aggregate expression in a single `select`, so
+  * Spark computes them all in one scan with partial aggregation.
+  * (The naive per-column `df.filter(c.isNull).count()` loop would be
+  * N full scans.)
+  */
+object Profiler {
+
+  /** One row: `<col>_nulls` count for every column. */
+  def nullProfile(df: DataFrame): DataFrame =
+    df.select(df.columns.toIndexedSeq.map(c =>
+      count(when(col(s"`$c`").isNull, lit(1))).as(s"${c}_nulls")): _*)
+
+  /** One row: total rows, distinct rows over `keyCols`, duplicates. */
+  def dupProfile(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val keyStruct = struct(keyCols.map(col): _*)
+    df.select(
+      count(lit(1)).as("total_rows"),
+      count_distinct(keyStruct).as("distinct_keys"))
+      .withColumn("duplicate_rows", col("total_rows") - col("distinct_keys"))
+  }
+
+  /** Seeded sample profile (the reference profiles a 1% sample to
+    * bound cost on large inputs).
+    */
+  def sampledNullProfile(df: DataFrame, fraction: Double, seed: Long = 42L): DataFrame =
+    nullProfile(df.sample(withReplacement = false, fraction, seed))
+
+  /** Consolidated validations: arbitrary named boolean rules counted
+    * in one pass (reference: validaciones_consolidadas).
+    */
+  def validate(df: DataFrame, rules: Seq[(String, Column)]): DataFrame =
+    df.select(rules.toIndexedSeq.map { case (name, cond) =>
+      count(when(cond, lit(1))).as(name)
+    }: _*)
+
+  /** Long-format error log derived from a validation row (reference
+    * RN-007 exports columna/mensaje/valor rows).
+    */
+  def errorLog(validationRow: DataFrame, messages: Map[String, String]): DataFrame = {
+    val cols = validationRow.columns.toIndexedSeq
+    val entries = cols.map { c =>
+      struct(lit(c).as("columna"),
+             lit(messages.getOrElse(c, "validation failed")).as("mensaje_error"),
+             col(s"`$c`").cast("string").as("valor"),
+             col(s"`$c`").cast("long").as("count"))
+    }
+    validationRow
+      .select(explode(array(entries: _*)).as("e"))
+      .select(col("e.columna"), col("e.mensaje_error"), col("e.valor"))
+      .where(col("e.count") > 0)
+  }
+}

@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Robust file readers.
+  *
+  * Mirrors the ingest surface of the reference bronze layer
+  * (reference: src/bronze/job-bronze-rues.py:52-73 reads messy CSV
+  * with quotes/escapes/multiline/permissive mode), re-expressed as
+  * plain Spark DataFrameReader configuration. At 100 TB the same
+  * options apply unchanged — CSV parsing is a narrow, per-file
+  * operation that scales with input splits.
+  */
+object Readers {
+
+  /** CSV with the permissive, quote-safe options a raw landing zone
+    * needs. `schema=None` falls back to all-string columns (schema
+    * inference requires an extra full pass — never do that at scale,
+    * which is also why the reference sets inferSchema=false).
+    */
+  def csv(
+      spark: SparkSession,
+      path: String,
+      header: Boolean = true,
+      sep: String = ",",
+      multiLine: Boolean = true,
+      schema: Option[StructType] = None,
+      inferSchema: Boolean = false): DataFrame = {
+    val base = spark.read
+      .option("header", header.toString)
+      .option("sep", sep)
+      .option("encoding", "UTF-8")
+      .option("quote", "\"")
+      .option("escape", "\"")
+      .option("multiLine", multiLine.toString)
+      .option("ignoreLeadingWhiteSpace", "true")
+      .option("ignoreTrailingWhiteSpace", "true")
+      .option("mode", "PERMISSIVE")
+    val withSchema = schema match {
+      case Some(s) => base.schema(s)
+      case None    => base.option("inferSchema", inferSchema.toString)
+    }
+    withSchema.csv(path)
+  }
+
+  /** Parquet (columnar) — the bronze/silver/gold interchange format.
+    * Filter pushdown + column pruning reach the scan automatically.
+    */
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** JSON lines. Schema should be supplied at scale (inference = full
+    * extra pass over 100 TB).
+    */
+  def json(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame =
+    schema.fold(spark.read.json(path))(s => spark.read.schema(s).json(path))
+}

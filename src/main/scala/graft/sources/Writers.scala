@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Partition-aware writers.
+  *
+  * Mirrors the reference's year-partitioned snappy-parquet sinks
+  * (reference: src/bronze/job-bronze-rues.py:125-160,
+  * src/silver/job-silver-rues.py:643-675,
+  * src/gold/job-gold-rues.py:893-939) without the Glue DynamicFrame
+  * detour — `DataFrameWriter.partitionBy` is the native equivalent.
+  *
+  * Scale note: `repartition(partitionCols)` before a partitioned
+  * write is the one pattern that bounds small-file explosion — each
+  * output partition directory is written by the task(s) owning that
+  * key, instead of every task writing a sliver of every partition.
+  * At 100 TB you additionally cap per-file rows via maxRecordsPerFile.
+  */
+object Writers {
+
+  def parquetPartitioned(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      mode: SaveMode = SaveMode.Overwrite,
+      maxRecordsPerFile: Long = 5000000L): Unit = {
+    val out =
+      if (partitionCols.nonEmpty) df.repartition(partitionCols.map(col): _*)
+      else df
+    val writer = out.write
+      .mode(mode)
+      .option("compression", "snappy")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(path)
+  }
+
+  /** Derive a year partition column from a timestamp/date column and
+    * write partitioned by it (reference bronze/silver layout).
+    */
+  def parquetByYear(df: DataFrame, path: String, tsCol: String,
+                    partitionName: String = "year_partition"): Unit =
+    parquetPartitioned(
+      df.withColumn(partitionName, year(col(tsCol))),
+      path, Seq(partitionName))
+
+  /** Error-log sink (reference RN-007: src/silver/job-silver-rues.py:622-637).
+    * Single CSV for operator consumption — coalesce(1) is acceptable
+    * because error logs are tiny by construction (aggregated counts,
+    * not row-level dumps).
+    */
+  def errorLogCsv(errors: DataFrame, path: String): Unit =
+    errors.coalesce(1).write.mode(SaveMode.Overwrite)
+      .option("header", "true").csv(path)
+}

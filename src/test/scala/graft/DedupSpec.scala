@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.{MinHashLSH, NgramJaccard, SimHash}
+import graft.ann.Knn
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away today " +
+    "while birds sing in the tall green trees near the old stone bridge"
+  private lazy val docs = Seq(
+    (1L, base),
+    (2L, base + " extra"),                      // near-dup of 1
+    (3L, "completely different text about database systems and query engines " +
+      "with columnar storage vectorized execution and cost based optimizers"),
+    (4L, "another unrelated document discussing mountains rivers valleys oceans " +
+      "deserts forests and the weather patterns across continental regions")
+  ).toDF("doc_id", "text")
+
+  test("MinHashLSH finds the planted near-dup pair and nothing else") {
+    val sigs = MinHashLSH.signatures(docs, "doc_id", "text")
+    val pairs = MinHashLSH.candidatePairs(MinHashLSH.bands(sigs, numBands = 16, rowsPerBand = 4))
+    val verified = MinHashLSH.verifiedPairs(sigs, pairs, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(verified == Set((1L, 2L)))
+  }
+
+  test("MinHashLSH summary has one row per doc") {
+    val s = MinHashLSH.nearDupSummary(docs, "doc_id", "text")
+    assert(s.count() == 4)
+    val dup = s.filter(col("doc_id") === 1).select("is_near_dup").as[Boolean].head()
+    assert(dup)
+  }
+
+  test("SimHash: identical docs at hamming 0; summary one row per doc") {
+    val d2 = Seq((1L, base), (2L, base), (3L, "other words entirely")).toDF("doc_id", "text")
+    val pairs = SimHash.nearDupPairs(d2, "doc_id", "text", maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, 0L)))
+    assert(SimHash.summary(docs, "doc_id", "text").count() == 4)
+  }
+
+  test("NgramJaccard pairs: planted pair scores high") {
+    val p = NgramJaccard.pairs(docs, "doc_id", "text", k = 3, threshold = 0.3, maxDf = 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(p.map(t => (t._1, t._2)) == Seq((1L, 2L)))
+    assert(p.head._3 > 0.8)
+  }
+
+  test("bruteForceTopK: exact self-similarity ranks duplicates first") {
+    val emb = Tables.embeddings(spark, sf())
+    val q = emb.filter(col("vec_id") < 3)
+    val top = Knn.bruteForceTopK(emb, q, k = 3)
+    assert(top.groupBy("query_id").count().select("count").as[Long].collect().forall(_ == 3))
+    // rank column is dense 1..k per query
+    val ranks = top.filter(col("query_id") === 0).select("rank").as[Long].collect().sorted.toSeq
+    assert(ranks == Seq(1L, 2L, 3L))
+  }
+
+  test("lshTopK recall against brute force is reasonable") {
+    val emb = Tables.embeddings(spark, sf()).cache()
+    val q = emb.filter(col("vec_id") < 8)
+    val exact = Knn.bruteForceTopK(emb, q, k = 5)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val approx = Knn.lshTopK(emb, q, k = 5)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall > 0.2, s"recall=$recall") // SRP-LSH with 1 table is coarse; >0 proves bucketing works
+  }
+}

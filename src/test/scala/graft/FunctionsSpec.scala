@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens / tokenCount handle empty and multi-space text") {
+    val df = Seq("Hello  World", "", "   ", "one").toDF("text")
+    val n = df.select(TF.tokenCount(col("text"))).as[Long].collect().toSeq
+    assert(n == Seq(2L, 0L, 0L, 1L))
+  }
+
+  test("bpeTokenCount counts alpha runs, digit runs, punct marks") {
+    val df = Seq("ab12 cd!", "").toDF("text")
+    val n = df.select(TF.bpeTokenCount(col("text"))).as[Long].collect().toSeq
+    // ab | 12 | cd | !
+    assert(n == Seq(4L, 0L))
+  }
+
+  test("alphaRatio and meanTokenLen") {
+    val df = Seq("abcd12", "").toDF("text")
+    val r = df.select(TF.alphaRatio(col("text")), TF.meanTokenLen(col("text")))
+      .as[(Double, Double)].collect().toSeq
+    assert(math.abs(r.head._1 - 4.0 / 6.0) < 1e-9)
+    assert(r.head._2 == 6.0)
+    assert(r(1) == ((0.0, 0.0)))
+  }
+
+  test("stopwordRatio") {
+    val df = Seq("the cat and the hat").toDF("text")
+    val r = df.select(TF.stopwordRatio(col("text"), Seq("the", "and")))
+      .as[Double].head()
+    assert(math.abs(r - 3.0 / 5.0) < 1e-9)
+  }
+
+  test("langId picks argmax, und when no markers") {
+    val markers = Seq("en" -> Seq("the"), "es" -> Seq("el", "la"))
+    val df = Seq("the dog", "el perro la casa", "xyzzy").toDF("text")
+    val r = df.select(TF.langId(col("text"), markers)).as[String].collect().toSeq
+    assert(r == Seq("en", "es", "und"))
+  }
+
+  test("shingles: k-grams distinct, short docs give whole-text shingle") {
+    val df = Seq("a b c d", "a b").toDF("text")
+    val r = df.select(TF.shingles(col("text"), 3)).as[Seq[String]].collect().toSeq
+    assert(r.head.toSet == Set("a b c", "b c d"))
+    assert(r(1) == Seq("a b"))
+  }
+
+  test("fingerprint is deterministic and order-sensitive") {
+    val df = Seq("abc", "abc", "acb").toDF("text")
+    val r = df.select(TF.fingerprint(col("text"))).as[Long].collect().toSeq
+    assert(r(0) == r(1))
+    assert(r(0) != r(2))
+  }
+
+  test("vector dot/cosine/l2") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(0.0f, 2.0f))).toDF("a", "b")
+    val r = df.select(
+      VF.dot(col("a"), col("b")), VF.cosine(col("a"), col("a")),
+      VF.l2(col("a"), col("b"))).as[(Double, Double, Double)].head()
+    assert(r._1 == 0.0)
+    assert(math.abs(r._2 - 1.0) < 1e-12)
+    assert(math.abs(r._3 - math.sqrt(5.0)) < 1e-12)
+  }
+
+  test("srpBucket deterministic; identical vectors share a bucket") {
+    val df = Seq(
+      (1L, Seq.tabulate(8)(i => i.toFloat)),
+      (2L, Seq.tabulate(8)(i => i.toFloat)),
+      (3L, Seq.tabulate(8)(i => -i.toFloat))
+    ).toDF("vec_id", "embedding")
+    val b = df.select(VF.srpBucket(col("embedding"), planes = 8, dims = 8))
+      .as[Long].collect().toSeq
+    assert(b(0) == b(1))
+    assert(b(0) != b(2)) // opposite vector flips every nonzero projection
+  }
+}

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("toSnakeCase handles camel, spaces, dashes, dots") {
+    assert(ColumnStandardizer.toSnakeCase("RazonSocial") == "razon_social")
+    assert(ColumnStandardizer.toSnakeCase("FECHA MATRICULA") == "fecha_matricula")
+    assert(ColumnStandardizer.toSnakeCase("cod-ciiu.act") == "cod_ciiu_act")
+    assert(ColumnStandardizer.toSnakeCase("already_snake") == "already_snake")
+    assert(ColumnStandardizer.toSnakeCase("HTTPCode2xx") == "http_code2xx")
+  }
+
+  test("standardize renames all columns in one projection") {
+    val df = Seq((1, "a")).toDF("SomeKey", "Some Value")
+    assert(ColumnStandardizer.standardize(df).columns.toSeq == Seq("some_key", "some_value"))
+  }
+
+  test("DateStandardizer parses both reference formats, NULLs the rest") {
+    val df = Seq("20230115", "2023/01/15 10:30:00.123456789", "garbage", "15-01-2023")
+      .toDF("raw_date")
+    val out = DateStandardizer.standardize(df, Seq("raw_date"))
+      .select(col("raw_date").cast("string")).as[String].collect().toSeq
+    assert(out.count(_ == "2023-01-15") == 2)
+    assert(out.count(_ == null) == 2)
+  }
+
+  test("Normalizer trims and uppercases only requested columns") {
+    val df = Seq(("  bogotá d.c ", "keep me")).toDF("estado", "other")
+    val r = Normalizer.normalize(df, Seq("estado")).as[(String, String)].head()
+    assert(r == ("BOGOTÁ D.C", "keep me"))
+  }
+
+  test("latestWins keeps newest per key; NULL ts loses; tie-break deterministic") {
+    val df = Seq(
+      (1L, "k", Some("2023-01-02 00:00:00"), "new"),
+      (2L, "k", Some("2023-01-01 00:00:00"), "old"),
+      (3L, "k", None, "nullts"),
+      (5L, "k2", Some("2023-01-01 00:00:00"), "tie-hi"),
+      (4L, "k2", Some("2023-01-01 00:00:00"), "tie-lo")
+    ).toDF("id", "key", "ts_s", "tag")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val out = Deduplicator.latestWins(df, Seq("key"), "ts", Some("id"))
+      .select("key", "tag").as[(String, String)].collect().toMap
+    assert(out == Map("k" -> "new", "k2" -> "tie-hi"))
+  }
+
+  test("latestWinsAgg agrees with latestWins") {
+    val df = Tables.events(spark, sf()).limit(500)
+    val a = Deduplicator.latestWins(df, Seq("user_id", "event_type"), "ts", Some("event_id"))
+      .select("event_id").as[Long].collect().sorted.toSeq
+    val b = Deduplicator.latestWinsAgg(df, Seq("user_id", "event_type"), "ts", "event_id")
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+  }
+
+  test("exact dedup keeps one doc per distinct content") {
+    val df = Seq((1L, "same"), (2L, "same"), (3L, "diff")).toDF("doc_id", "text")
+    val kept = Deduplicator.exact(df, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L))
+  }
+
+  test("Profiler.nullProfile counts per column in one row") {
+    val df = Seq((Some(1), Some("a")), (None, Some("b")), (None, None))
+      .toDF("x", "y")
+    val r = Profiler.nullProfile(df).as[(Long, Long)].head()
+    assert(r == ((2L, 1L)))
+  }
+
+  test("Profiler.dupProfile") {
+    val df = Seq((1, "a"), (1, "a"), (2, "b")).toDF("k", "v")
+    val r = Profiler.dupProfile(df, Seq("k", "v")).as[(Long, Long, Long)].head()
+    assert(r == ((3L, 2L, 1L)))
+  }
+
+  test("Profiler.errorLog emits only failing rules") {
+    val df = Seq((Some(1), None: Option[Int]), (Some(2), Some(3))).toDF("a", "b")
+    val v = Profiler.validate(df, Seq(
+      "b_null" -> col("b").isNull, "a_null" -> col("a").isNull))
+    val log = Profiler.errorLog(v, Map("b_null" -> "b was null"))
+      .as[(String, String, String)].collect().toSeq
+    assert(log == Seq(("b_null", "b was null", "1")))
+  }
+
+  test("CatalogEnricher normalizes keys and broadcasts") {
+    val fact = Seq((" ab ", 1), ("cd", 2), ("zz", 3)).toDF("code", "v")
+    val cat = Seq(("AB", "Alpha"), ("CD", "Charlie")).toDF("code", "name")
+    val out = CatalogEnricher.enrich(fact, cat, "code", "code", "name", "label")
+      .select("v", "label").as[(Int, Option[String])].collect().toMap
+    assert(out == Map(1 -> Some("Alpha"), 2 -> Some("Charlie"), 3 -> None))
+  }
+
+  test("StarSchema orphans finds fact keys missing from dim") {
+    val fact = Seq(1, 2, 2, 9).toDF("k")
+    val dim = Seq(1, 2, 3).toDF("k")
+    val orphans = StarSchema.orphans(fact, dim, "k").as[Int].collect().toSeq
+    assert(orphans == Seq(9))
+  }
+
+  test("DerivedColumns semantics match reference rules") {
+    val df = Seq(("nit ", "2020-05-01"), ("CC", "2023-01-01")).toDF("clase", "d")
+      .withColumn("d", col("d").cast("date"))
+    val out = df.select(
+      DerivedColumns.conditionalCode(col("clase"), "NIT"),
+      DerivedColumns.ageYears(col("d"), 2026),
+      DerivedColumns.uniqueKey(Seq(col("clase"), col("d")))
+    ).as[(Long, Long, String)].collect().toSeq
+    assert(out.head == ((2L, 6L, "nit _2020-05-01")))
+    assert(out(1) == ((1L, 3L, "CC_2023-01-01")))
+  }
+}
