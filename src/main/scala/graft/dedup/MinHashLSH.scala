@@ -26,15 +26,36 @@ import org.apache.spark.sql.functions._
   */
 object MinHashLSH {
 
-  /** doc_id, shingles, sig (array<long> of length numHashes). */
+  /** doc_id, sh_hashes (set of 64-bit shingle hashes), sig
+    * (array<long> of length numHashes).
+    *
+    * Shape chosen for scale: each shingle string is hashed ONCE
+    * (xxhash64) right after the explode, then (a) the n-hash minhash
+    * family is n cheap long-rehashes inside a partial-aggregated
+    * groupBy — min(rehash(h,s)) per s — and (b) the exact-Jaccard
+    * verification set rides the SAME groupBy as collect_set(h). The
+    * shingle strings never enter a shuffle; one aggregation produces
+    * both signature and verification payload. (The naive form —
+    * `array_min(transform(shingles, sh => xxhash64(sh, s)))` per s —
+    * re-hashes every shingle STRING n times per row, and a
+    * single-row-group input would compute it all on one core, hence
+    * also the explicit repartition.)
+    */
   def signatures(docs: DataFrame, idCol: String, textCol: String,
-                 shingleK: Int = 3, numHashes: Int = 64): DataFrame =
-    docs.select(
+                 shingleK: Int = 3, numHashes: Int = 64): DataFrame = {
+    val n = docs.sparkSession.sparkContext.defaultParallelism
+    val hashed = docs.select(
       col(idCol).as("doc_id"),
       TextFunctions.shingles(col(textCol), shingleK).as("shingles"))
-      .withColumn("sig",
-        transform(sequence(lit(0), lit(numHashes - 1)),
-          s => array_min(transform(col("shingles"), sh => xxhash64(sh, s)))))
+      .repartition(n)
+      .select(col("doc_id"), explode_outer(col("shingles")).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    val minCols = (0 until numHashes).map(s => min(xxhash64(col("h"), lit(s))).as(s"m$s"))
+    val aggs = minCols :+ collect_set(col("h")).as("sh_hashes")
+    hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), col("sh_hashes"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
 
   /** Explode signatures into (band_id, band_hash, doc_id). */
   def bands(sigs: DataFrame, numBands: Int, rowsPerBand: Int): DataFrame =
@@ -59,10 +80,13 @@ object MinHashLSH {
       .distinct()
   }
 
-  /** Exact Jaccard over shingle sets for verified pairs. */
+  /** Exact Jaccard over shingle-hash sets for verified pairs (64-bit
+    * hash collisions are negligible next to shingling noise, and long
+    * arrays intersect far cheaper than string arrays).
+    */
   def verifiedPairs(sigs: DataFrame, pairs: DataFrame, threshold: Double): DataFrame = {
-    val a = sigs.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
-    val b = sigs.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"))
+    val a = sigs.select(col("doc_id").as("id_a"), col("sh_hashes").as("sh_a"))
+    val b = sigs.select(col("doc_id").as("id_b"), col("sh_hashes").as("sh_b"))
     pairs.join(a, "id_a").join(b, "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
