@@ -22,6 +22,7 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       // NTZ keeps parquet timestamps byte-identical across engines
       // (Spark, DuckDB, Arrow) — no UTC-adjustment flag mismatches.
       .config("spark.sql.timestampType", "TIMESTAMP_NTZ")

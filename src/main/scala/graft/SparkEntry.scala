@@ -128,6 +128,43 @@ object SparkEntry {
           round(sum("o_totalprice"), 2).as("sum_total"))
     }),
 
+    "q_json_roundtrip" -> ((s, d) => {
+      // JSON-lines sink + schema-supplied read-back (no inference pass).
+      import org.apache.spark.sql.types._
+      val tmp = s"/tmp/graft_json_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.sources.Writers.jsonLines(
+        Tables.events(s, d).select("event_id", "event_type", "value"), tmp)
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      Readers.json(s, tmp, Some(schema))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(min("value"), 2).as("min_value"),
+          round(max("value"), 2).as("max_value"))
+    }),
+
+    "q_orc_roundtrip" -> ((s, d) => {
+      val tmp = s"/tmp/graft_orc_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.sources.Writers.orcPartitioned(
+        Tables.orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice"), tmp)
+      Readers.orc(s, tmp)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("sum_total"))
+    }),
+
+    "q_json_extract" -> ((s, d) =>
+      // Typed JSON field extraction from the events.props payload.
+      Tables.events(s, d)
+        .withColumn("k",
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("k",
+                org.apache.spark.sql.types.LongType)))).getField("k"))
+        .groupBy("event_type")
+        .agg(sum("k").as("sum_k"), count(col("k")).as("n_with_k"))),
+
     // ===== B. Profiling ==================================================
     "q_null_profile" -> ((s, d) => Profiler.nullProfile(Tables.events(s, d))),
 
@@ -379,6 +416,23 @@ object SparkEntry {
            round(sum(o_totalprice), 2) AS sum_total
          FROM orders WHERE year(o_orderdate) = 1996
          GROUP BY o_orderstatus""",
+
+    "q_json_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value
+         FROM events GROUP BY event_type""",
+
+    "q_orc_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_total
+         FROM orders GROUP BY o_orderstatus""",
+
+    "q_json_extract" ->
+      """SELECT event_type,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           count(json_extract_string(props, '$.k')) AS n_with_k
+         FROM events GROUP BY event_type""",
 
     "q_null_profile" ->
       """SELECT count(CASE WHEN event_id IS NULL THEN 1 END) AS event_id_nulls,

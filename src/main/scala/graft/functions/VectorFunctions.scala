@@ -21,7 +21,17 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Reference (composable-builtin) cosine — three operand walks plus
+    * an intermediate array; kept as the spec cross-check for the
+    * native expression.
+    */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Native single-pass codegen'd cosine (graft.functions.
+    * CosineSimilarity, registered by GraftExtensions) — the hot-loop
+    * form ANN scoring uses.
+    */
+  def cosine(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
 
   /** Cosine rounded for stable cross-engine comparison/ranking. */
   def cosineRounded(a: Column, b: Column, scale: Int = 4): Column =

@@ -55,4 +55,10 @@ object Readers {
     */
   def json(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame =
     schema.fold(spark.read.json(path))(s => spark.read.schema(s).json(path))
+
+  /** ORC (columnar) — same pushdown/pruning properties as parquet;
+    * kept for interop with ORC-based lakes.
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

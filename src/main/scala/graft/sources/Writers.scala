@@ -45,6 +45,24 @@ object Writers {
       df.withColumn(partitionName, year(col(tsCol))),
       path, Seq(partitionName))
 
+  /** ORC sink with the same partition-aware layout as parquet. */
+  def orcPartitioned(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String] = Nil,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val out =
+      if (partitionCols.nonEmpty) df.repartition(partitionCols.map(col): _*)
+      else df
+    val writer = out.write.mode(mode).option("compression", "snappy")
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .orc(path)
+  }
+
+  /** JSON-lines sink (interchange with text-based pipelines). */
+  def jsonLines(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).json(path)
+
   /** Error-log sink (reference RN-007: src/silver/job-silver-rues.py:622-637).
     * Single CSV for operator consumption — coalesce(1) is acceptable
     * because error logs are tiny by construction (aggregated counts,

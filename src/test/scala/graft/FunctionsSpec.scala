@@ -66,6 +66,24 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(r._3 - math.sqrt(5.0)) < 1e-12)
   }
 
+  test("native cosine_sim matches the HOF form and handles null/mismatch") {
+    val emb = Tables.embeddings(spark, sf()).limit(50)
+    val pairs = emb.as("l").crossJoin(emb.as("r"))
+      .select(
+        VF.cosine(col("l.embedding"), col("r.embedding")).as("native"),
+        VF.cosineHof(col("l.embedding"), col("r.embedding")).as("hof"))
+      .as[(Double, Double)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (n, h) => assert(math.abs(n - h) < 1e-12, s"$n vs $h") }
+
+    val edge = Seq(
+      (Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f)), // length mismatch
+      (null, Seq(1.0f, 2.0f))                   // null array
+    ).toDF("a", "b")
+    val out = edge.select(VF.cosine(col("a"), col("b"))).collect()
+    assert(out.forall(_.isNullAt(0)))
+  }
+
   test("srpBucket deterministic; identical vectors share a bucket") {
     val df = Seq(
       (1L, Seq.tabulate(8)(i => i.toFloat)),
