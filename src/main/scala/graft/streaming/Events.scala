@@ -66,17 +66,23 @@ object Events {
   case class Session(user_id: Long, session_start: java.sql.Timestamp,
                      session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
 
-  /** Streaming sessionization with explicit state: emits a session
-    * when the inactivity gap passes (processing-time timeout). The
-    * custom-state path Structured Streaming requires when windows
-    * can't express the semantics.
+  /** Streaming sessionization with explicit state: a session closes
+    * either in-batch (a row arrives past the gap) or via EVENT-TIME
+    * timeout once the watermark passes `last + gap`. Event-time (not
+    * processing-time) timeout keeps results replay-deterministic and
+    * lets the engine quiesce between triggers — with a
+    * processing-time timeout the query re-triggers forever even with
+    * no data. This is the custom-state path Structured Streaming
+    * requires when windows can't express the semantics.
     */
-  def sessionizeStream(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+  def sessionizeStream(events: Dataset[Event], gapMinutes: Int = 30,
+                       watermark: String = "1 hour"): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60 * 1000L
-    events.groupByKey(_.user_id)
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (userId, rows, state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val s = state.get
@@ -100,7 +106,10 @@ object Events {
                   cur = Some(SessionState(t, t, 1, e.value))
               }
             }
-            cur.foreach { s => state.update(s); state.setTimeoutDuration(gapMs) }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
             closed.reverseIterator
           }
       }

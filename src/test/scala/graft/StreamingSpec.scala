@@ -1,0 +1,112 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.Events
+
+/** True streaming-path specs (readStream semantics via MemoryStream →
+  * memory sink), complementing the batch-equivalent forms the
+  * correctness gate checks.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowedAggStream: tumbling windows with watermark over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+
+    val agg = Events.windowedAggStream(df, windowLen = "1 hour", watermark = "2 hours")
+    val q = agg.writeStream.format("memory").queryName("win_agg")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:05:00"), 1L, "click", 1.0),
+        (2L, ts("2024-01-01 10:45:00"), 2L, "click", 2.0),
+        (3L, ts("2024-01-01 11:10:00"), 1L, "view", 5.0))
+      q.processAllAvailable()
+      // advance far past the watermark so the 10:00 and 11:00 windows close
+      input.addData((4L, ts("2024-01-01 15:00:00"), 3L, "click", 1.0))
+      q.processAllAvailable()
+
+      val out = spark.table("win_agg")
+        .select(col("window_start").cast("string"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(out.contains(("2024-01-01 10:00:00", "click", 2L, 3.0)))
+      assert(out.contains(("2024-01-01 11:00:00", "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("windowedAggStream drops late data behind the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val agg = Events.windowedAggStream(df, windowLen = "1 hour", watermark = "1 hour")
+    val q = agg.writeStream.format("memory").queryName("late_agg")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, ts("2024-01-01 10:10:00"), 1L, "click", 1.0))
+      q.processAllAvailable()
+      input.addData((2L, ts("2024-01-01 14:00:00"), 1L, "click", 1.0))
+      q.processAllAvailable()
+      // 10:00-window event arriving after watermark passed 13:00 — dropped
+      input.addData((3L, ts("2024-01-01 10:20:00"), 9L, "click", 100.0))
+      q.processAllAvailable()
+      input.addData((4L, ts("2024-01-01 18:00:00"), 1L, "click", 1.0))
+      q.processAllAvailable()
+
+      val out = spark.table("late_agg")
+        .select(col("window_start").cast("string"), col("n_events"), col("sum_value"))
+        .as[(String, Long, Double)].collect().toMap2
+      assert(out("2024-01-01 10:00:00") == (1L, 1.0)) // late row absent
+    } finally q.stop()
+  }
+
+  test("sessionizeStream: in-batch gap close and event-time timeout close") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Events.Event]
+    val sessions = Events.sessionizeStream(input.toDS(), gapMinutes = 30,
+      watermark = "10 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // one user, two bursts separated by > 30 min in one batch: the
+      // first session closes in-batch inside the state function
+      input.addData(
+        Events.Event(1L, ts("2024-01-01 10:00:00"), 7L, "click", 1.0),
+        Events.Event(2L, ts("2024-01-01 10:10:00"), 7L, "click", 2.0),
+        Events.Event(3L, ts("2024-01-01 12:00:00"), 7L, "click", 4.0))
+      q.processAllAvailable()
+      val first = spark.table("sessions").as[Events.Session].collect()
+      assert(first.length == 1)
+      assert(first.head.user_id == 7L)
+      assert(first.head.session_start == ts("2024-01-01 10:00:00"))
+      assert(first.head.session_end == ts("2024-01-01 10:10:00"))
+      assert(first.head.n_events == 2L && first.head.sum_value == 3.0)
+
+      // another user's event drags the watermark past 12:30 → user 7's
+      // open 12:00 session closes via EVENT-TIME timeout, no user-7 data
+      input.addData(Events.Event(4L, ts("2024-01-01 14:00:00"), 9L, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(Events.Event(5L, ts("2024-01-01 14:05:00"), 9L, "view", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("sessions").as[Events.Session].collect()
+      val timedOut = out.filter(s => s.user_id == 7L && s.n_events == 1L)
+      assert(timedOut.length == 1, s"expected timeout-closed session, got ${out.toSeq}")
+      assert(timedOut.head.session_start == ts("2024-01-01 12:00:00"))
+      assert(timedOut.head.sum_value == 4.0)
+    } finally q.stop()
+  }
+
+  private implicit class MapOps(rows: Array[(String, Long, Double)]) {
+    def toMap2: Map[String, (Long, Double)] =
+      rows.map { case (k, a, b) => k -> (a, b) }.toMap
+  }
+}
