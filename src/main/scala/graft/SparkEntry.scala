@@ -254,6 +254,18 @@ object SparkEntry {
         Tables.customer(s, d).select(col("c_custkey").as("custkey")),
         "custkey")),
 
+    "q_salted_join" -> ((s, d) =>
+      // skew-safe fact-dim join; result identical to the plain join,
+      // which is exactly what the oracle verifies
+      SkewJoin.saltedJoin(
+          Tables.lineitem(s, d).select("l_suppkey", "l_extendedprice", "l_discount"),
+          Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+            .withColumnRenamed("s_suppkey", "l_suppkey"),
+          "l_suppkey", salt = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))),
+
     // ===== E. Analytics (reference test/query_gold_validations.sql) =====
     "q_v1_active_by_type" -> ((s, d) =>
       Tables.orders(s, d)
@@ -330,6 +342,13 @@ object SparkEntry {
       Tables.documents(s, d).select(col("doc_id"),
         TF.langId(col("text"), langMarkers).as("lang_pred"))),
 
+    "q_lang_eval" -> ((s, d) =>
+      // confusion matrix of the heuristic against ground-truth lang
+      Tables.documents(s, d)
+        .select(col("lang"), TF.langId(col("text"), langMarkers).as("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(count(lit(1)).as("n"))),
+
     "q_ann_bruteforce" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Knn.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
@@ -338,6 +357,12 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Knn.lshTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
+    }),
+
+    "q_ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      graft.ann.Ivf.topK(emb, emb.filter(col("vec_id") < 8), k = 5,
+        c = 16, nprobe = 6)
     }),
 
     "q_dedup_minhash" -> ((s, d) =>
@@ -516,6 +541,12 @@ object SparkEntry {
              ON o.o_custkey = c.c_custkey
          WHERE c.c_custkey IS NULL""",
 
+    "q_salted_join" ->
+      """SELECT s_nationkey, count(*) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY s_nationkey""",
+
     "q_v1_active_by_type" ->
       """SELECT c_mktsegment, count(DISTINCT o_custkey) AS total_active
          FROM orders JOIN customer ON o_custkey = c_custkey
@@ -632,6 +663,30 @@ object SparkEntry {
                 WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
                 ELSE 'fr' END AS lang_pred
          FROM s""",
+
+    "q_lang_eval" ->
+      """WITH t AS (
+           SELECT doc_id, lang,
+             CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+           FROM documents
+         ), s AS (
+           SELECT doc_id, lang,
+             len(list_filter(toks, x -> list_contains(['the','a'], x))) AS s_en,
+             len(list_filter(toks, x -> list_contains(['el','la','los'], x))) AS s_es,
+             len(list_filter(toks, x -> list_contains(['der','die','und'], x))) AS s_de,
+             len(list_filter(toks, x -> list_contains(['le','les','et'], x))) AS s_fr
+           FROM t
+         ), p AS (
+           SELECT doc_id, lang,
+             CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+                  WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+                  WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+                  WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+                  ELSE 'fr' END AS lang_pred
+           FROM s
+         )
+         SELECT lang, lang_pred, count(*) AS n FROM p GROUP BY lang, lang_pred""",
 
     "q_ann_bruteforce" ->
       """WITH q AS (

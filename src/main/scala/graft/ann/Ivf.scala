@@ -1,0 +1,95 @@
+package graft.ann
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor.
+  *
+  * The classic two-level index: a small set of coarse centroids
+  * partitions the corpus into cells; a query scores only the `nprobe`
+  * nearest cells. On a cluster the assignment step happens at WRITE
+  * time — the corpus is partitioned/bucketed by `cluster_id`, so a
+  * probe reads only nprobe/C of the data (partition pruning), which
+  * is the whole point at 100 TB. Here assignment runs inline because
+  * the testdata is unindexed.
+  *
+  * Everything is deterministic: centroid seeds are the top-C vectors
+  * by xxhash64(vec_id) (a seedless pseudo-random draw), refined by a
+  * fixed number of Lloyd iterations (mean per cell via posexplode +
+  * groupBy — partial-aggregated, no driver-side math).
+  */
+object Ivf {
+
+  /** (cluster_id, centroid: array<double>) — deterministic k-means
+    * with `iters` Lloyd refinements.
+    */
+  def centroids(corpus: DataFrame, c: Int, iters: Int = 2): DataFrame = {
+    val emb = corpus.select(col("vec_id"), VectorFunctions.toDouble(col("embedding")).as("emb"))
+    var cents = emb
+      .withColumn("rk", row_number().over(Window.orderBy(xxhash64(col("vec_id")), col("vec_id"))))
+      .filter(col("rk") <= c)
+      .select((col("rk") - 1).cast("int").as("cluster_id"), col("emb").as("centroid"))
+    var i = 0
+    while (i < iters) {
+      val assigned = assignTo(emb, cents)
+      cents = assigned
+        .select(col("cluster_id"), posexplode(col("emb")).as(Seq("pos", "x")))
+        .groupBy("cluster_id", "pos").agg(avg("x").as("m"))
+        .groupBy("cluster_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cluster_id"), expr("transform(pm, e -> e.m)").as("centroid"))
+      i += 1
+    }
+    cents
+  }
+
+  /** Nearest-centroid assignment: broadcast the (tiny) centroid set,
+    * score with the native cosine, argmax via partial-aggregated max
+    * over (sim, -cluster_id) structs — one narrow pass, no shuffle of
+    * embeddings beyond the final groupBy key.
+    */
+  private def assignTo(emb: DataFrame, cents: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(cents))
+      .withColumn("sim", VectorFunctions.cosine(col("emb"), col("centroid")))
+      .groupBy(col("vec_id"))
+      .agg(
+        max(struct(col("sim"), (-col("cluster_id")).as("neg_cid"))).as("best"),
+        first(col("emb")).as("emb"))
+      .select(col("vec_id"), (-col("best.neg_cid")).cast("int").as("cluster_id"), col("emb"))
+
+  /** Corpus index: (vec_id, cluster_id, embedding). At scale, write
+    * this partitioned by cluster_id once and reuse.
+    */
+  def index(corpus: DataFrame, cents: DataFrame): DataFrame =
+    assignTo(
+      corpus.select(col("vec_id"), VectorFunctions.toDouble(col("embedding")).as("emb")),
+      cents)
+
+  /** Approximate top-k: probe the `nprobe` nearest cells per query. */
+  def topK(corpus: DataFrame, queries: DataFrame, k: Int,
+           c: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    val cents = centroids(corpus, c, iters).cache()
+    val indexed = index(corpus, cents)
+    val qEmb = queries.select(col("vec_id").as("query_id"),
+      VectorFunctions.toDouble(col("embedding")).as("q_emb"))
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("c_sim").desc, col("cluster_id").asc)
+    val probed = qEmb.crossJoin(broadcast(cents))
+      .withColumn("c_sim", VectorFunctions.cosine(col("q_emb"), col("centroid")))
+      .withColumn("c_rank", row_number().over(probeW))
+      .filter(col("c_rank") <= nprobe)
+      .select("query_id", "cluster_id", "q_emb")
+    // cluster_id equality join == partition pruning on an indexed corpus
+    val scored = indexed.join(broadcast(probed), Seq("cluster_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("sim", round(VectorFunctions.cosine(col("q_emb"), col("emb")), 4))
+      .select(col("query_id"), col("vec_id").as("nbr_id"), col("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("nbr_id"), col("sim"))
+  }
+}

@@ -58,6 +58,17 @@ class DedupSpec extends SparkSpec {
     assert(ranks == Seq(1L, 2L, 3L))
   }
 
+  test("ivfTopK recall against brute force is reasonable") {
+    val emb = Tables.embeddings(spark, sf()).cache()
+    val q = emb.filter(col("vec_id") < 8)
+    val exact = Knn.bruteForceTopK(emb, q, k = 5)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val approx = graft.ann.Ivf.topK(emb, q, k = 5, c = 16, nprobe = 6)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall > 0.2, s"recall=$recall")
+  }
+
   test("lshTopK recall against brute force is reasonable") {
     val emb = Tables.embeddings(spark, sf()).cache()
     val q = emb.filter(col("vec_id") < 8)

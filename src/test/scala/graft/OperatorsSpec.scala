@@ -19,6 +19,19 @@ class OperatorsSpec extends SparkSpec {
     assert(ColumnStandardizer.standardize(df).columns.toSeq == Seq("some_key", "some_value"))
   }
 
+  test("saltedJoin equals the plain join on skewed data") {
+    // 90% of rows share one hot key
+    val big = spark.range(2000).select(
+      when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id") % 50).as("k"),
+      col("id").as("v"))
+    val small = spark.range(50).select(col("id").as("k"), (col("id") * 100).as("w"))
+    val salted = SkewJoin.saltedJoin(big, small, "k", salt = 8)
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("sv"), sum("w").as("sw"))
+    val plain = big.join(small, "k")
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("sv"), sum("w").as("sw"))
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
   test("DateStandardizer parses both reference formats, NULLs the rest") {
     val df = Seq("20230115", "2023/01/15 10:30:00.123456789", "garbage", "15-01-2023")
       .toDF("raw_date")
