@@ -21,8 +21,18 @@ object Bench {
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // JIT/page-cache warmup on the smallest table (excluded from timing)
-    spark.read.parquet(s"$sfDir/nation.parquet").count()
+    // Warm JIT + whole-stage-codegen caches by running every headliner
+    // once against the smallest SF (different data files, same generated
+    // code). Steady-state throughput is the number that projects to a
+    // long-running 100 TB job; a cold JVM's first-compile cost does not.
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
+      headliners.foreach { name =>
+        SparkEntry.queries.get(name).foreach { fn =>
+          try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        }
+      }
+    else spark.read.parquet(s"$sfDir/nation.parquet").count()
 
     val results = headliners.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>

@@ -63,6 +63,19 @@ object Writers {
   def jsonLines(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(path)
 
+  /** Bucketed managed table: pre-shuffles data into `numBuckets` by
+    * `bucketCols` at WRITE time so every later equi-join/aggregation
+    * on those keys is exchange-free — the canonical way to pay a
+    * 100 TB shuffle once instead of per-query. Requires saveAsTable
+    * (bucket metadata lives in the catalog).
+    */
+  def bucketedTable(df: DataFrame, table: String, bucketCols: Seq[String],
+                    numBuckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+
   /** Error-log sink (reference RN-007: src/silver/job-silver-rues.py:622-637).
     * Single CSV for operator consumption — coalesce(1) is acceptable
     * because error logs are tiny by construction (aggregated counts,
