@@ -238,6 +238,19 @@ object SparkEntry {
         "status_filled" -> (upper(trim(col("o_orderstatus"))) === "F"),
         "high_value" -> (col("o_totalprice") > 200000)))),
 
+    "q_medallion_silver" -> ((s, d) => {
+      // the full reference silver job as one operator chain:
+      // RN-010 rename → RN-001 dates → RN-003 normalize → RN-002 dedup
+      // → RN-008 enrich → RN-009/004/006 derivations
+      val raw = graft.pipeline.Medallion.rawFromOrders(s, d)
+      val catalog = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+      graft.pipeline.Medallion.silver(raw, catalog, "c_custkey", "c_name", 2026)
+        .select(col("matricula"), col("estado"),
+          date_format(col("fecha_matricula"), "yyyy-MM-dd").as("fecha_matricula"),
+          col("clase_identificacion"), col("id_titular"), col("titular_name"),
+          col("tipo_persona"), col("antiguedad"), col("id_unico"))
+    }),
+
     // ===== D. Gold star schema ===========================================
     "q_dim_build" -> ((s, d) =>
       StarSchema.dimension(Tables.customer(s, d),
@@ -522,6 +535,20 @@ object SparkEntry {
            count(CASE WHEN upper(trim(o_orderstatus)) = 'F' THEN 1 END) AS status_filled,
            count(CASE WHEN o_totalprice > 200000 THEN 1 END) AS high_value
          FROM orders""",
+
+    "q_medallion_silver" ->
+      """SELECT o_orderkey AS matricula,
+           upper(trim(o_orderstatus)) AS estado,
+           strftime(o_orderdate, '%Y-%m-%d') AS fecha_matricula,
+           ['CC','NIT','CE'][CAST(o_orderkey % 3 AS INT) + 1] AS clase_identificacion,
+           o_custkey AS id_titular,
+           c_name AS titular_name,
+           CAST(CASE WHEN ['CC','NIT','CE'][CAST(o_orderkey % 3 AS INT) + 1] = 'NIT'
+                     THEN 2 ELSE 1 END AS BIGINT) AS tipo_persona,
+           CAST(2026 - year(o_orderdate) AS BIGINT) AS antiguedad,
+           concat_ws('_', ['CC','NIT','CE'][CAST(o_orderkey % 3 AS INT) + 1],
+                     o_orderkey, o_custkey) AS id_unico
+         FROM orders LEFT JOIN customer ON o_custkey = c_custkey""",
 
     "q_dim_build" ->
       """SELECT DISTINCT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer""",
