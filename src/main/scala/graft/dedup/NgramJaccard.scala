@@ -20,12 +20,18 @@ import org.apache.spark.sql.functions._
   */
 object NgramJaccard {
 
-  /** (doc_id, shingle) inverted index with per-doc set sizes. */
-  def invertedIndex(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    docs.select(col(idCol).as("doc_id"),
-        TextFunctions.shingles(col(textCol), k).as("sh"))
+  /** (doc_id, shingle) inverted index with per-doc set sizes. The raw
+    * text is repartitioned BEFORE shingling so the per-doc expression
+    * parallelizes even off a single-task scan.
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val n = docs.sparkSession.sparkContext.defaultParallelism
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .repartition(n)
+      .select(col("doc_id"), TextFunctions.shingles(col("__text"), k).as("sh"))
       .withColumn("set_size", size(col("sh")).cast("long"))
       .select(col("doc_id"), col("set_size"), explode(col("sh")).as("shingle"))
+  }
 
   /** Pairs (id_a < id_b) with exact Jaccard ≥ threshold. */
   def pairs(docs: DataFrame, idCol: String, textCol: String,

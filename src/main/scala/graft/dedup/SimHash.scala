@@ -56,18 +56,36 @@ object SimHash {
     * Oversized buckets are dropped: a degenerate chunk value shared
     * by everything would otherwise emit O(n²) pairs on one task.
     */
+  /** (doc_id, simhash) with the fingerprint computed AFTER a
+    * repartition of the raw text — the 64-bit-vote expression is the
+    * heavy per-doc work and must not run inside a single-task scan.
+    */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val n = docs.sparkSession.sparkContext.defaultParallelism
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .repartition(n)
+      .select(col("doc_id"), simhash("__text").as("simhash"))
+  }
+
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, maxBucket: Int = 256): DataFrame = {
-    val fps = docs.select(col(idCol).as("doc_id"), simhash(textCol).as("simhash"))
-    val sized = chunked(fps).withColumn("bucket_size",
-        count(lit(1)).over(Window.partitionBy("chunk_id", "chunk_value")))
-      .filter(col("bucket_size") <= maxBucket)
-    val pairs = sized.as("l").join(sized.as("r"),
-        col("l.chunk_id") === col("r.chunk_id") &&
-        col("l.chunk_value") === col("r.chunk_value") &&
-        col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"),
-        col("l.simhash").as("sh_a"), col("r.simhash").as("sh_b"))
+    val fps = fingerprints(docs, idCol, textCol)
+    // one keyed aggregation per bucket + in-bucket pair generation
+    // (bounded by maxBucket²) — see MinHashLSH.candidatePairs for why
+    // this beats window-count + self-join
+    val buckets = chunked(fps)
+      .groupBy("chunk_id", "chunk_value")
+      .agg(slice(sort_array(collect_list(struct(col("doc_id"), col("simhash")))),
+        1, maxBucket + 1).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+    val pairs = buckets
+      .select(explode(expr(
+        """flatten(transform(members, (x, i) ->
+           transform(slice(members, i + 2, size(members)),
+             y -> struct(x.doc_id AS id_a, y.doc_id AS id_b,
+                         x.simhash AS sh_a, y.simhash AS sh_b))))"""))
+        .as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.sh_a"), col("p.sh_b"))
       .distinct()
     pairs.withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
@@ -79,7 +97,7 @@ object SimHash {
     */
   def summary(docs: DataFrame, idCol: String, textCol: String,
               maxHamming: Int = 3): DataFrame = {
-    val fps = docs.select(col(idCol).as("doc_id"), simhash(textCol).as("simhash"))
+    val fps = fingerprints(docs, idCol, textCol)
     val pairs = nearDupPairs(docs, idCol, textCol, maxHamming)
     val sym = pairs.select(col("id_a").as("doc_id"), col("id_b").as("other_id"), col("hamming"))
       .union(pairs.select(col("id_b").as("doc_id"), col("id_a").as("other_id"), col("hamming")))
