@@ -42,9 +42,11 @@ object SparkEntry {
     "de" -> Seq("der", "die", "und"),
     "fr" -> Seq("le", "les", "et"))
 
-  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. The
+    * medallion silver chain is the reference's core workload.
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q5_local_supplier")(spark, "/root/testdata/sf0.001")
+    queries("q_medallion_silver")(spark, "/root/testdata/sf0.001")
 
   // ---------------------------------------------------------------
   // Query catalog
@@ -390,6 +392,11 @@ object SparkEntry {
     "q_dedup_embedding" -> ((s, d) =>
       Knn.nearDupByEmbedding(Tables.embeddings(s, d), threshold = 0.95)),
 
+    "q_text_clean" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        length(TF.cleanText(col("text"))).cast("long").as("clean_len"),
+        (TF.cleanText(col("text")) =!= col("text")).as("changed"))),
+
     "q_fingerprint" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         TF.fingerprint(col("text")).as("rolling_fp"),
@@ -734,6 +741,20 @@ object SparkEntry {
          )
          SELECT query_id, CAST(rnk AS BIGINT) AS rank, nbr_id, sim
          FROM ranked WHERE rnk <= 5""",
+
+    "q_text_clean" ->
+      """WITH c AS (
+           SELECT doc_id, text,
+             trim(regexp_replace(
+               regexp_replace(
+                 regexp_replace(text, 'https?://\S+', ' ', 'g'),
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' ', 'g'),
+               '\s+', ' ', 'g')) AS clean
+           FROM documents
+         )
+         SELECT doc_id, CAST(length(clean) AS BIGINT) AS clean_len,
+           clean <> text AS changed
+         FROM c""",
 
     "q_event_windows" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,

@@ -114,4 +114,15 @@ object TextFunctions {
     * the scale-preferred dedup key).
     */
   def contentHash(text: Column): Column = xxhash64(text)
+
+  /** Training-data text cleanup: redact URLs and email addresses,
+    * collapse whitespace runs, trim. Pure codegen'd regexp chain —
+    * a narrow per-row pass at any scale.
+    */
+  def cleanText(text: Column): Column = {
+    val noUrl = regexp_replace(text, "https?://\\S+", " ")
+    val noEmail = regexp_replace(noUrl,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", " ")
+    trim(regexp_replace(noEmail, "\\s+", " "))
+  }
 }
