@@ -342,6 +342,11 @@ object SparkEntry {
       Deduplicator.exactGroups(Tables.documents(s, d), "doc_id", "text",
         c => md5(c.cast("binary")))),
 
+    "q_dedup_drop" -> ((s, d) =>
+      // surviving ids after exact-dup removal (left_semi against keepers)
+      Deduplicator.exact(Tables.documents(s, d), "doc_id", "text")
+        .select("doc_id", "lang", "n_chars")),
+
     "q_token_count" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         TF.tokenCount(col("text")).as("ws_tokens"),
@@ -404,6 +409,8 @@ object SparkEntry {
 
     // ===== H. Streaming (batch-equivalent forms) ========================
     "q_event_windows" -> ((s, d) => Events.windowedAggBatch(Tables.events(s, d))),
+
+    "q_stream_windows" -> ((s, d) => Events.windowedAggFileStream(s, d)),
 
     "q_sessionize" -> ((s, d) => Events.sessionizeBatch(Tables.events(s, d), 30))
   )
@@ -642,6 +649,15 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
            count(*) AS group_size
          FROM documents GROUP BY md5(text)""",
+
+    "q_stream_windows" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2""",
+
+    "q_dedup_drop" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))""",
 
     "q_token_count" ->
       """SELECT doc_id,

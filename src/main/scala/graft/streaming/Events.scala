@@ -60,6 +60,39 @@ object Events {
         round(sum(col("value")), 2).as("sum_value"))
   }
 
+  /** Run the windowed aggregation as a REAL file-source streaming
+    * query (Trigger.AvailableNow → memory sink) and return the final
+    * result — the correctness gate compares it to the same DuckDB
+    * oracle as the batch form. `rawEvents` must be the raw (long ts)
+    * streaming frame; conversion mirrors Tables.events.
+    */
+  def windowedAggFileStream(spark: SparkSession, sfDir: String,
+                            windowLen: String = "1 hour"): DataFrame = {
+    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // file streaming sources take a directory; filter to the one table
+    val stream = spark.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+    val events = stream.withColumn("ts",
+      timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    // distinct aggregates aren't supported on streams; the stream form
+    // carries count + sum (the oracle matches this column set)
+    val agg = events
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+    val name = "graft_stream_windows"
+    val q = agg.writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    spark.table(name)
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, sum: Double)
