@@ -269,6 +269,23 @@ object SparkEntry {
         Tables.customer(s, d).select(col("c_custkey").as("custkey")),
         "custkey")),
 
+    "q_asof_join" -> ((s, d) => {
+      // each event picks the user's latest order as of the event time;
+      // right side pre-reduced to one row per (custkey, orderdate) so
+      // the as-of pick is tie-free on both engines
+      val orders = Tables.orders(s, d)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"),
+          max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+      AsOfJoin.asOf(
+        Tables.events(s, d).select("event_id", "user_id", "ts"),
+        orders,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        rightPayload = Seq("o_orderkey", "o_totalprice"))
+        .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+    }),
+
     "q_salted_join" -> ((s, d) =>
       // skew-safe fact-dim join; result identical to the plain join,
       // which is exactly what the oracle verifies
@@ -581,6 +598,18 @@ object SparkEntry {
            LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
              ON o.o_custkey = c.c_custkey
          WHERE c.c_custkey IS NULL""",
+
+    "q_asof_join" ->
+      """WITH o AS (
+           SELECT o_custkey, o_orderdate,
+             max(o_orderkey) AS o_orderkey,
+             max_by(o_totalprice, o_orderkey) AS o_totalprice
+           FROM orders GROUP BY o_custkey, o_orderdate
+         )
+         SELECT event_id, user_id, o_orderkey, o_totalprice
+         FROM events ASOF LEFT JOIN o
+           ON events.user_id = o.o_custkey
+          AND CAST(events.ts AS TIMESTAMP) >= o.o_orderdate""",
 
     "q_salted_join" ->
       """SELECT s_nationkey, count(*) AS n_items,

@@ -19,6 +19,19 @@ class OperatorsSpec extends SparkSpec {
     assert(ColumnStandardizer.standardize(df).columns.toSeq == Seq("some_key", "some_value"))
   }
 
+  test("asOf join: latest right row at-or-before left time; null when none") {
+    val l = Seq((1L, 10L, "e1"), (1L, 20L, "e2"), (1L, 5L, "e0"), (2L, 50L, "x"))
+      .toDF("k", "t", "ev")
+    val r = Seq((1L, 10L, "s10"), (1L, 15L, "s15"), (3L, 1L, "zzz"))
+      .toDF("k", "t", "state")
+    val out = AsOfJoin.asOf(l, r, "k", "k", "t", "t", Seq("state"))
+      .select("ev", "state").as[(String, String)].collect().toMap
+    assert(out("e0") == null)   // before any right row
+    assert(out("e1") == "s10")  // exact-time tie matches
+    assert(out("e2") == "s15")  // latest at-or-before
+    assert(out("x") == null)    // key with no right rows at all
+  }
+
   test("saltedJoin equals the plain join on skewed data") {
     // 90% of rows share one hot key
     val big = spark.range(2000).select(
