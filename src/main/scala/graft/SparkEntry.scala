@@ -286,6 +286,21 @@ object SparkEntry {
         .select("event_id", "user_id", "o_orderkey", "o_totalprice")
     }),
 
+    "q_range_join" -> ((s, d) => {
+      // events landing inside a 30-day window after each order of the
+      // same user — inequality join made equi via time bins
+      val orders = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").as("w_start"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("w_end"))
+      RangeJoin.pointInInterval(
+        Tables.events(s, d).select("event_id", "user_id", "ts"),
+        orders,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightStart = "w_start", rightEnd = "w_end")
+        .select("event_id", "o_orderkey")
+    }),
+
     "q_salted_join" -> ((s, d) =>
       // skew-safe fact-dim join; result identical to the plain join,
       // which is exactly what the oracle verifies
@@ -598,6 +613,13 @@ object SparkEntry {
            LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
              ON o.o_custkey = c.c_custkey
          WHERE c.c_custkey IS NULL""",
+
+    "q_range_join" ->
+      """SELECT event_id, o_orderkey
+         FROM events JOIN orders
+           ON user_id = o_custkey
+          AND CAST(ts AS TIMESTAMP) >= o_orderdate
+          AND CAST(ts AS TIMESTAMP) < o_orderdate + INTERVAL 30 DAY""",
 
     "q_asof_join" ->
       """WITH o AS (
