@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF}
+import graft.dedup.MinHashLSH
+import graft.operators.Deduplicator
+
+/** Training-corpus preparation: the LLM-data analogue of the
+  * medallion silver chain. One declarative composition:
+  *
+  *   clean (URL/email redaction, whitespace collapse)
+  *   → per-doc stats (quality score, language id, token count)
+  *   → threshold gates (min quality, allowed languages, min tokens)
+  *   → exact dedup on cleaned content (hash groupBy, keep lowest id)
+  *   → [full variant] MinHash-LSH near-dup removal (keep lowest id
+  *     of each verified near-dup pair)
+  *
+  * Every stage before near-dup is a narrow codegen'd expression —
+  * at 100 TB the gates run inside the scan, exact dedup shuffles an
+  * 8-byte hash, and LSH shuffles band signatures. Nothing here is
+  * more than one pass + the dedup shuffles.
+  */
+object CorpusPrep {
+
+  /** Deterministic, SQL-expressible portion (oracle-checked). Returns
+    * the surviving corpus with its stats.
+    */
+  def prep(docs: DataFrame, idCol: String, textCol: String,
+           stopwords: Seq[String], langMarkers: Seq[(String, Seq[String])],
+           minQuality: Double, allowedLangs: Seq[String],
+           minTokens: Int): DataFrame = {
+    val cleaned = docs.select(
+      col(idCol).as("doc_id"),
+      TF.cleanText(col(textCol)).as("clean"))
+    val scored = cleaned.select(
+      col("doc_id"), col("clean"),
+      TF.qualityScore(col("clean"), stopwords).as("quality"),
+      TF.langId(col("clean"), langMarkers).as("lang_pred"),
+      TF.tokenCount(col("clean")).as("n_tokens"))
+    val gated = scored
+      .filter(col("quality") >= minQuality)
+      .filter(col("lang_pred").isin(allowedLangs: _*))
+      .filter(col("n_tokens") >= minTokens)
+    Deduplicator.exact(gated, "doc_id", "clean")
+      .select("doc_id", "quality", "lang_pred", "n_tokens")
+  }
+
+  /** Full pipeline: prep + near-dup removal. For each verified
+    * near-dup pair above `jaccardThreshold`, the higher id drops.
+    * Rows-only in the gate (LSH isn't SQL-expressible).
+    */
+  def prepFull(docs: DataFrame, idCol: String, textCol: String,
+               stopwords: Seq[String], langMarkers: Seq[(String, Seq[String])],
+               minQuality: Double = 0.3, allowedLangs: Seq[String] = Seq("en"),
+               minTokens: Int = 10, jaccardThreshold: Double = 0.8): DataFrame = {
+    val kept = prep(docs, idCol, textCol, stopwords, langMarkers,
+      minQuality, allowedLangs, minTokens)
+    val survivors = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+    val sigs = MinHashLSH.signatures(survivors, "doc_id", "text")
+    val pairs = MinHashLSH.candidatePairs(MinHashLSH.bands(sigs, 16, 4))
+    val dupIds = MinHashLSH.verifiedPairs(sigs, pairs, jaccardThreshold)
+      .select(col("id_b").as("doc_id")).distinct()
+    kept.join(dupIds, Seq("doc_id"), "left_anti")
+  }
+}
