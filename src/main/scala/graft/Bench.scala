@@ -13,7 +13,8 @@ object Bench {
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q_window_dedup", "q_v4_ml_dataset", "q_dedup_exact",
     "q_dedup_minhash", "q_ann_bruteforce", "q_token_count",
-    "q_quality_score", "q_event_windows", "q_sessionize")
+    "q_quality_score", "q_event_windows", "q_sessionize",
+    "q_medallion_silver", "q_corpus_prep", "q_asof_join", "q_range_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -31,14 +31,28 @@ object CorpusPrep {
            stopwords: Seq[String], langMarkers: Seq[(String, Seq[String])],
            minQuality: Double, allowedLangs: Seq[String],
            minTokens: Int): DataFrame = {
-    val cleaned = docs.select(
-      col(idCol).as("doc_id"),
-      TF.cleanText(col(textCol)).as("clean"))
+    val n = docs.sparkSession.sparkContext.defaultParallelism
+    val cleaned = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .repartition(n) // spread raw text off a possibly single-task scan
+      .select(col("doc_id"), TF.cleanText(col("__text")).as("clean"))
+      // materialization barrier: without it CollapseProject inlines the
+      // 3-regex clean expression into EVERY stat column below (quality,
+      // lang, tokens each re-clean the text). A within-partition sort
+      // is a no-shuffle pipeline break that forces `clean` to be
+      // computed once. ~4x fewer regex passes.
+      .sortWithinPartitions("doc_id")
     val scored = cleaned.select(
       col("doc_id"), col("clean"),
       TF.qualityScore(col("clean"), stopwords).as("quality"),
       TF.langId(col("clean"), langMarkers).as("lang_pred"),
       TF.tokenCount(col("clean")).as("n_tokens"))
+      // cache: (a) the gate predicates would otherwise PUSH DOWN past
+      // the repartition and re-inline the full clean+stat expressions
+      // into the (single-task) scan stage; against a cached relation
+      // they evaluate on materialized columns. (b) exact dedup
+      // consumes this frame twice (group + semi-join), so the pipeline
+      // runs once, not three times.
+      .cache()
     val gated = scored
       .filter(col("quality") >= minQuality)
       .filter(col("lang_pred").isin(allowedLangs: _*))
