@@ -86,6 +86,25 @@ object BinaryColumns {
       }(enc)
   }
 
+  /** Frame sampling for video-typed media: emit `n` evenly-spaced
+    * "frames" per payload. The frame extraction itself is STUBBED
+    * (payload byte-slices stand in for decoded frames); the Spark
+    * side — one row per (media, frame_idx) via a lateral explode,
+    * frame byte budget bounded per row — is the real shape a
+    * 100 TB video pipeline needs (frames explode 10-100×, so
+    * downstream must never carry the source payload alongside).
+    */
+  def sampleFrames(media: DataFrame, n: Int): DataFrame =
+    media.filter(col("media_type") === "video")
+      .select(col("media_id"),
+        posexplode(transform(sequence(lit(0), lit(n - 1)), i => {
+          val len = length(col("payload"))
+          // stub "frame": a 16-byte slice at position i/n of the payload
+          substring(col("payload"), (i * greatest(len / n, lit(1)) + 1).cast("int"), lit(16))
+        })).as(Seq("frame_idx", "frame")))
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("frame"), length(col("frame")).cast("long").as("frame_bytes"))
+
   /** Metadata-only projection — must not deserialize payloads
     * (verify with explain: ReadSchema excludes `payload`).
     */

@@ -32,6 +32,21 @@ object Profiler {
       .withColumn("duplicate_rows", col("total_rows") - col("distinct_keys"))
   }
 
+  /** Approximate dup profile — the 100 TB form of `dupProfile`:
+    * HLL++ (`approx_count_distinct`, default 5% rsd) replaces the
+    * exact-distinct double aggregation, so the profile needs no
+    * per-key shuffle at all (partial sketches merge map-side).
+    */
+  def dupProfileApprox(df: DataFrame, keyCols: Seq[String],
+                       rsd: Double = 0.05): DataFrame = {
+    val keyStruct = struct(keyCols.map(col): _*)
+    df.select(
+      count(lit(1)).as("total_rows"),
+      approx_count_distinct(keyStruct, rsd).as("approx_distinct_keys"))
+      .withColumn("approx_duplicate_rows",
+        greatest(col("total_rows") - col("approx_distinct_keys"), lit(0L)))
+  }
+
   /** Seeded sample profile (the reference profiles a 1% sample to
     * bound cost on large inputs).
     */

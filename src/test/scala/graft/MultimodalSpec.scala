@@ -41,6 +41,21 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
   }
 
+  test("sampleFrames: n frames per video, bounded frame bytes") {
+    val media = BinaryColumns.syntheticMedia(spark, 30)
+    val nVideos = media.filter(col("media_type") === "video").count()
+    val frames = BinaryColumns.sampleFrames(media, n = 4)
+    assert(frames.count() == nVideos * 4)
+    assert(frames.select(max("frame_bytes")).as[Long].head() <= 16L)
+    // deterministic: same frames on rerun
+    val a = frames.select(xxhash64(col("media_id"), col("frame_idx"), col("frame")))
+      .as[Long].collect().sorted.toSeq
+    val b = BinaryColumns.sampleFrames(media, 4)
+      .select(xxhash64(col("media_id"), col("frame_idx"), col("frame")))
+      .as[Long].collect().sorted.toSeq
+    assert(a == b)
+  }
+
   test("metadataSummary never reads the payload column (column pruning)") {
     val dir = s"/tmp/graft_media_spec"
     BinaryColumns.syntheticMedia(spark, 30).write.mode("overwrite").parquet(dir)

@@ -97,6 +97,16 @@ class OperatorsSpec extends SparkSpec {
     assert(r == ((2L, 1L)))
   }
 
+  test("Profiler.dupProfileApprox within HLL error of exact") {
+    val ev = Tables.events(spark, sf())
+    val exact = Profiler.dupProfile(ev, Seq("user_id", "event_type"))
+      .select("distinct_keys").as[Long].head()
+    val approx = Profiler.dupProfileApprox(ev, Seq("user_id", "event_type"))
+      .select("approx_distinct_keys").as[Long].head()
+    assert(math.abs(approx - exact).toDouble / exact < 0.15,
+      s"approx=$approx exact=$exact")
+  }
+
   test("Profiler.dupProfile") {
     val df = Seq((1, "a"), (1, "a"), (2, "b")).toDF("k", "v")
     val r = Profiler.dupProfile(df, Seq("k", "v")).as[(Long, Long, Long)].head()
