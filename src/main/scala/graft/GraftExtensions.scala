@@ -1,15 +1,18 @@
 package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, StringTrim, Upper}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
 
 import graft.functions.CosineSimilarity
 
 /** Engine extensions, registered through the public
   * `spark.sql.extensions` hook (GraftSession sets it). Native
-  * expressions live here so they're reachable from SQL and
-  * `call_function` without touching Spark internals.
+  * expressions and optimizer rules live here so they're reachable
+  * without touching Spark internals.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -20,5 +23,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "cosine_sim(a, b) takes exactly two arguments")
         CosineSimilarity(children.head, children(1))
       }))
+    ext.injectOptimizerRule(_ => CollapseRedundantNormalize)
   }
+}
+
+/** Composed graft operators each normalize defensively (Normalizer,
+  * CatalogEnricher's key normalization, validation predicates), so
+  * pipelines produce `upper(trim(upper(trim(x))))` chains — per-row
+  * string copies that survive Catalyst's own simplification. Both
+  * functions are idempotent and `upper∘trim` commutes with itself, so
+  * the inner applications fold away. Runs in the operatorOptimization
+  * batch via injectOptimizerRule (fixed-point, so one case per shape
+  * suffices).
+  */
+object CollapseRedundantNormalize extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case Upper(Upper(c))                    => Upper(c)
+      case StringTrim(StringTrim(c, None), None) => StringTrim(c, None)
+      case Upper(StringTrim(Upper(c), None))  => Upper(StringTrim(c, None))
+      case StringTrim(Upper(StringTrim(c, None)), None) =>
+        Upper(StringTrim(c, None))
+    }
 }
