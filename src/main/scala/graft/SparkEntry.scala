@@ -209,6 +209,17 @@ object SparkEntry {
           Seq("user_id", "event_type"), "ts", tieBreak = Some("event_id"))
         .select("event_id", "user_id", "event_type", "value")),
 
+    "q_window_dedup_agg" -> ((s, d) =>
+      // shuffle-light latest-wins (max_by with partial aggregation) —
+      // must produce the identical row set as the window form, which
+      // the shared oracle checks
+      Deduplicator.latestWinsAgg(Tables.events(s, d),
+          Seq("user_id", "event_type"), "ts", tieBreak = "event_id")
+        .select("event_id", "user_id", "event_type", "value")),
+
+    "q_profile_approx" -> ((s, d) =>
+      Profiler.dupProfileApprox(Tables.events(s, d), Seq("user_id", "event_type"))),
+
     "q_catalog_enrich" -> ((s, d) => {
       val natPlus = CatalogEnricher.enrich(Tables.nation(s, d), Tables.region(s, d),
         "n_regionkey", "r_regionkey", "r_name", "region_name", normalizeKeys = false)
@@ -556,6 +567,14 @@ object SparkEntry {
          FROM orders GROUP BY 1""",
 
     "q_window_dedup" ->
+      """SELECT event_id, user_id, event_type, value FROM (
+           SELECT *, row_number() OVER (
+             PARTITION BY user_id, event_type
+             ORDER BY ts DESC NULLS LAST, event_id DESC) AS rn
+           FROM events) t
+         WHERE rn = 1""",
+
+    "q_window_dedup_agg" ->
       """SELECT event_id, user_id, event_type, value FROM (
            SELECT *, row_number() OVER (
              PARTITION BY user_id, event_type
