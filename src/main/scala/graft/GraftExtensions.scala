@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, StringTrim, Up
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, SimHash64}
 
 /** Engine extensions, registered through the public
   * `spark.sql.extensions` hook (GraftSession sets it). Native
@@ -22,6 +22,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 2, "cosine_sim(a, b) takes exactly two arguments")
         CosineSimilarity(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, "simhash64(tokens) takes exactly one argument")
+        SimHash64(children.head)
       }))
     ext.injectOptimizerRule(_ => CollapseRedundantNormalize)
   }

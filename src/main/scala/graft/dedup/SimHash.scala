@@ -23,18 +23,26 @@ import org.apache.spark.sql.functions._
   */
 object SimHash {
 
-  /** 64-bit simhash of whitespace tokens, as a signed long column.
-    *
-    * Column-DSL higher-order functions throughout; the bit-index
-    * lambda variable feeds the shift amount via `call_function`
-    * ("shiftright"/"shiftleft" accept a column shift amount even
-    * though the typed `functions.shiftright` wrapper only takes an
-    * Int). The fingerprint assembles via shiftleft + bitwise OR — no
-    * `acc*2+bit` multiply, which would ANSI-overflow when bit 63 is
-    * set. (The nested-CASE SQL-text form of this expression trips a
-    * Spark 4.1 parser bug, hence no `expr()`.)
+  /** 64-bit simhash of whitespace tokens via the native one-pass
+    * `simhash64` expression (graft.functions.SimHash64, registered by
+    * GraftExtensions) — bit-identical to the HOF composition below,
+    * but hashes each token once instead of 64 times.
     */
-  def simhash(textCol: String): Column = {
+  def simhash(textCol: String): Column =
+    call_function("simhash64", graft.functions.TextFunctions.tokens(col(textCol)))
+
+  /** Composable-builtin form, kept as the spec cross-check for the
+    * native expression.
+    *
+    * The bit-index lambda variable feeds the shift amount via
+    * `call_function` ("shiftright"/"shiftleft" accept a column shift
+    * amount even though the typed `functions.shiftright` wrapper only
+    * takes an Int). The fingerprint assembles via shiftleft + bitwise
+    * OR — no `acc*2+bit` multiply, which would ANSI-overflow when bit
+    * 63 is set. (The nested-CASE SQL-text form of this expression
+    * trips a Spark 4.1 parser bug, hence no `expr()`.)
+    */
+  def simhashHof(textCol: String): Column = {
     val toks = graft.functions.TextFunctions.tokens(col(textCol))
     val bits = transform(sequence(lit(0), lit(63)), i => {
       val vote = aggregate(toks, lit(0L), (acc, t) =>

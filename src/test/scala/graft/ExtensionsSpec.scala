@@ -14,6 +14,15 @@ class ExtensionsSpec extends SparkSpec {
     assert(math.abs(r - 1.0) < 1e-12)
   }
 
+  test("native simhash64 is bit-identical to the HOF composition") {
+    val both = Tables.documents(spark, sf())
+      .select(graft.dedup.SimHash.simhash("text").as("native"),
+        graft.dedup.SimHash.simhashHof("text").as("hof"))
+      .as[(Long, Long)].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (n, h) => assert(n == h, f"native=$n%x hof=$h%x") }
+  }
+
   test("CollapseRedundantNormalize folds stacked upper/trim chains") {
     // parquet-backed column: constant folding can't pre-evaluate it
     val df = Tables.orders(spark, sf())
