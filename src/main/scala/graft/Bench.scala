@@ -35,11 +35,21 @@ object Bench {
       }
     else spark.read.parquet(s"$sfDir/nation.parquet").count()
 
+    // min of 2 runs per query: this box shares CPU with other tenants
+    // and single-shot timings swing 2x; the minimum is the standard
+    // low-noise estimator of the query's actual cost
     val results = headliners.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val times = (1 to 2).map { _ =>
+          // drop plan-level caches so each run pays the query's full
+          // cost (some pipelines cache internally); min-of-2 then
+          // controls for CPU noise only, not for cached reuse
+          spark.sharedState.cacheManager.clearCache()
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> times.min
       }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
