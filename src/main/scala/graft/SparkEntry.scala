@@ -392,6 +392,12 @@ object SparkEntry {
       graft.pipeline.CorpusPrep.prepFull(Tables.documents(s, d), "doc_id", "text",
         stopwords, langMarkers)),
 
+    "q_train_split" -> ((s, d) =>
+      // deterministic hash split; rows-only (DuckDB lacks xxhash64)
+      graft.pipeline.CorpusPrep.trainSplit(Tables.documents(s, d), "doc_id")
+        .groupBy("split").agg(count(lit(1)).as("n"),
+          round(avg("n_chars"), 2).as("avg_chars"))),
+
     "q_dedup_exact" -> ((s, d) =>
       Deduplicator.exactGroups(Tables.documents(s, d), "doc_id", "text",
         c => md5(c.cast("binary")))),

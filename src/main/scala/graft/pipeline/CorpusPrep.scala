@@ -61,6 +61,24 @@ object CorpusPrep {
       .select("doc_id", "quality", "lang_pred", "n_tokens")
   }
 
+  /** Deterministic train/val/test split: bucket = xxhash64(id, salt)
+    * mod 100, ranges assigned by cumulative weights. Hash-based (not
+    * id-mod) so clustered id spaces still split uniformly; salted so
+    * independent experiments draw independent splits; pure narrow
+    * expression, no shuffle, stable across runs and engines.
+    */
+  def trainSplit(df: DataFrame, idCol: String,
+                 weights: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10),
+                 salt: Int = 0): DataFrame = {
+    require(weights.map(_._2).sum == 100, "weights must sum to 100")
+    val bucket = pmod(xxhash64(col(idCol), lit(salt)), lit(100L))
+    val (_, splitCol) = weights.foldLeft((0, lit(null).cast("string"))) {
+      case ((acc, e), (name, w)) =>
+        (acc + w, when(bucket >= acc && bucket < acc + w, lit(name)).otherwise(e))
+    }
+    df.withColumn("split", splitCol)
+  }
+
   /** Full pipeline: prep + near-dup removal. For each verified
     * near-dup pair above `jaccardThreshold`, the higher id drops.
     * Rows-only in the gate (LSH isn't SQL-expressible).

@@ -29,4 +29,36 @@ class MedallionSpec extends SparkSpec {
     assert(fact.columns.contains("dias_vigencia") && fact.columns.contains("flag_vencido"))
     assert(orphans.as[Long].head() == 0L) // fact keys all present in dim
   }
+
+  test("silver RN-002 collapses duplicate matriculas latest-wins") {
+    // duplicate every matricula with an older date; silver must keep
+    // exactly the newer row
+    val raw = Medallion.rawFromOrders(spark, sf()).limit(50)
+    val older = raw.withColumn("FechaMatricula", lit("19900101"))
+    val dup = raw.unionByName(older)
+    val catalog = Tables.customer(spark, sf()).select(col("c_custkey"), col("c_name"))
+    val silver = Medallion.silver(dup, catalog, "c_custkey", "c_name", 2026)
+    assert(silver.count() == 50)
+    assert(silver.filter(year(col("fecha_matricula")) === 1990).count() == 0)
+  }
+
+  test("trainSplit: deterministic, disjoint, covering, roughly weighted") {
+    val docs = Tables.documents(spark, sf())
+    val s1 = graft.pipeline.CorpusPrep.trainSplit(docs, "doc_id")
+    val counts = s1.groupBy("split").count().as[(String, Long)].collect().toMap
+    val total = counts.values.sum
+    assert(total == docs.count())                    // covering
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(math.abs(counts("train").toDouble / total - 0.8) < 0.08)
+    // deterministic
+    val s2 = graft.pipeline.CorpusPrep.trainSplit(docs, "doc_id")
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts == s2)
+    // a different salt reshuffles membership but keeps sizes similar
+    val salted = graft.pipeline.CorpusPrep.trainSplit(docs, "doc_id", salt = 7)
+    val moved = s1.select(col("doc_id"), col("split").as("a"))
+      .join(salted.select(col("doc_id"), col("split").as("b")), "doc_id")
+      .filter(col("a") =!= col("b")).count()
+    assert(moved > 0)
+  }
 }
