@@ -93,6 +93,16 @@ object Events {
     spark.table(name)
   }
 
+  /** Streaming exact dedup: drop events whose (event_id) was already
+    * seen, with state bounded by the watermark —
+    * `dropDuplicatesWithinWatermark` keeps a key in state only until
+    * the watermark passes its event time, so 100 TB/day streams don't
+    * accumulate unbounded dedup state.
+    */
+  def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Long, sum: Double)

@@ -69,6 +69,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream drops re-delivered events within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val df = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Events.dedupStream(df, "1 hour")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData((1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0))
+      q.processAllAvailable()
+      // same event re-delivered (at-least-once source) + a new one
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0),
+        (2L, ts("2024-01-01 10:30:00"), 1L, "click", 2.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("event_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L)) // duplicate dropped, both uniques kept
+    } finally q.stop()
+  }
+
   test("sessionizeStream: in-batch gap close and event-time timeout close") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Events.Event]
