@@ -407,6 +407,17 @@ object SparkEntry {
       Deduplicator.exact(Tables.documents(s, d), "doc_id", "text")
         .select("doc_id", "lang", "n_chars")),
 
+    "q_vocab" -> ((s, d) =>
+      // corpus vocabulary: top-100 tokens by document-independent
+      // frequency; explode is narrow, count partial-aggregates, top-k
+      // is a TakeOrdered — the right plan at any corpus size
+      Tables.documents(s, d)
+        .select(explode(TF.tokens(col("text"))).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token").asc)
+        .limit(100)),
+
     "q_token_count" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         TF.tokenCount(col("text")).as("ws_tokens"),
@@ -789,6 +800,16 @@ object SparkEntry {
     "q_dedup_drop" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))""",
+
+    "q_vocab" ->
+      """SELECT token, count(*) AS freq FROM (
+           SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+           FROM documents WHERE length(trim(lower(text))) > 0
+         ) t
+         WHERE length(token) > 0
+         GROUP BY token
+         ORDER BY freq DESC, token ASC
+         LIMIT 100""",
 
     "q_token_count" ->
       """SELECT doc_id,
