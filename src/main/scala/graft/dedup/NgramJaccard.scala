@@ -33,18 +33,31 @@ object NgramJaccard {
       .select(col("doc_id"), col("set_size"), explode(col("sh")).as("shingle"))
   }
 
-  /** Pairs (id_a < id_b) with exact Jaccard ≥ threshold. */
+  /** Pairs (id_a < id_b) with exact Jaccard ≥ threshold.
+    *
+    * One keyed aggregation per shingle collects its posting list
+    * (capped at maxDf+1 so stopword-like shingles are dropped without
+    * materializing their full postings); in-bucket pairs come from a
+    * nested array transform — same shape as MinHashLSH/SimHash
+    * candidate generation, replacing the window-count + self-join.
+    */
   def pairs(docs: DataFrame, idCol: String, textCol: String,
             k: Int = 3, threshold: Double = 0.3, maxDf: Int = 50): DataFrame = {
     val idx = invertedIndex(docs, idCol, textCol, k)
-    val rare = idx.withColumn("df",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
-      .filter(col("df") <= maxDf)
-      .drop("df")
-    val shared = rare.as("a").join(rare.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.set_size").as("size_a"), col("b.set_size").as("size_b"))
+    val buckets = idx
+      .groupBy("shingle")
+      .agg(slice(sort_array(collect_list(struct(col("doc_id"), col("set_size")))),
+        1, maxDf + 1).as("postings"))
+      .filter(size(col("postings")).between(2, maxDf))
+    val shared = buckets
+      .select(explode(expr(
+        """flatten(transform(postings, (x, i) ->
+           transform(slice(postings, i + 2, size(postings)),
+             y -> struct(x.doc_id AS id_a, y.doc_id AS id_b,
+                         x.set_size AS size_a, y.set_size AS size_b))))"""))
+        .as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.size_a").as("size_a"), col("p.size_b").as("size_b"))
       .agg(count(lit(1)).as("inter"))
     shared.withColumn("jaccard",
         round(col("inter").cast("double") /
