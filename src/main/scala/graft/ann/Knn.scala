@@ -76,13 +76,23 @@ object Knn {
     * neighbor (by LSH bucket) exceeds `threshold`. One row per vector.
     */
   def nearDupByEmbedding(corpus: DataFrame, threshold: Double = 0.95,
-                         planes: Int = 10, dims: Int = 64, tables: Int = 4): DataFrame = {
+                         planes: Int = 10, dims: Int = 64, tables: Int = 4,
+                         maxBucket: Int = 256): DataFrame = {
     val buckets = VectorFunctions.srpBuckets(col("embedding"), planes, dims, tables)
     val b = corpus.select(col("vec_id"), explode(buckets).as("bucket"))
     val emb = corpus.select(col("vec_id"), col("embedding"))
-    val pairs = b.as("l").join(b.as("r"),
-        col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
-      .select(col("l.vec_id").as("id_a"), col("r.vec_id").as("id_b"))
+    // capped-bucket groupBy pair generation (see MinHashLSH): a
+    // degenerate bucket — zero vectors, a tight cluster — must never
+    // emit O(n²) pairs on one key
+    val grouped = b.groupBy("bucket")
+      .agg(slice(sort_array(collect_list(col("vec_id"))), 1, maxBucket + 1).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    val pairs = grouped
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+           transform(slice(ids, i + 2, size(ids)), y -> struct(x AS id_a, y AS id_b))))"""))
+        .as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
       .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("e_a")), Seq("id_a"))
       .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("e_b")), Seq("id_b"))

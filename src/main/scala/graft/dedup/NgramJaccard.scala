@@ -69,7 +69,8 @@ object NgramJaccard {
   /** Per-document best-match summary (one row per doc). */
   def summary(docs: DataFrame, idCol: String, textCol: String,
               k: Int = 3, maxDf: Int = 50): DataFrame = {
-    val p = pairs(docs, idCol, textCol, k, threshold = 0.0, maxDf = maxDf)
+    // cached: the sym union below evaluates the pair pipeline twice
+    val p = pairs(docs, idCol, textCol, k, threshold = 0.0, maxDf = maxDf).cache()
     val sym = p.select(col("id_a").as("doc_id"), col("id_b").as("other_id"), col("jaccard"))
       .union(p.select(col("id_b").as("doc_id"), col("id_a").as("other_id"), col("jaccard")))
     val best = sym.groupBy("doc_id").agg(

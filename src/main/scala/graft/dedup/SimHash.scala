@@ -76,8 +76,15 @@ object SimHash {
   }
 
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, maxBucket: Int = 256): DataFrame = {
-    val fps = fingerprints(docs, idCol, textCol)
+                   maxHamming: Int = 3, maxBucket: Int = 256): DataFrame =
+    nearDupPairsFromFps(fingerprints(docs, idCol, textCol), maxHamming, maxBucket)
+
+  /** Pair generation from precomputed fingerprints — lets callers that
+    * also need `fps` (e.g. summary) compute the heavy per-doc pass
+    * exactly once.
+    */
+  def nearDupPairsFromFps(fps: DataFrame,
+                          maxHamming: Int = 3, maxBucket: Int = 256): DataFrame = {
     // one keyed aggregation per bucket + in-bucket pair generation
     // (bounded by maxBucket²) — see MinHashLSH.candidatePairs for why
     // this beats window-count + self-join
@@ -105,8 +112,10 @@ object SimHash {
     */
   def summary(docs: DataFrame, idCol: String, textCol: String,
               maxHamming: Int = 3): DataFrame = {
-    val fps = fingerprints(docs, idCol, textCol)
-    val pairs = nearDupPairs(docs, idCol, textCol, maxHamming)
+    // fps cached: consumed by pair generation AND the final left join;
+    // pairs cached: the sym union evaluates it twice
+    val fps = fingerprints(docs, idCol, textCol).cache()
+    val pairs = nearDupPairsFromFps(fps, maxHamming).cache()
     val sym = pairs.select(col("id_a").as("doc_id"), col("id_b").as("other_id"), col("hamming"))
       .union(pairs.select(col("id_b").as("doc_id"), col("id_a").as("other_id"), col("hamming")))
     val best = sym.groupBy("doc_id").agg(

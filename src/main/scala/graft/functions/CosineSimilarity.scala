@@ -25,6 +25,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def prettyName: String = "cosine_sim"
   override def dataType: DataType = DoubleType
+  // NULL is produced for length mismatch / null elements even when
+  // both children are non-nullable; without this override the
+  // generated code would assign to a `false` literal (compile error →
+  // fallback) and the interpreted null would land in a slot Catalyst
+  // believes non-nullable.
+  override def nullable: Boolean = true
 
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType

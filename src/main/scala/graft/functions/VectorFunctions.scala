@@ -47,17 +47,8 @@ object VectorFunctions {
     * coeff(p,d) = (xxhash64(seed,p,d) % 1001)/1000 - 0.5 — derived
     * from codegen'd hashing, no driver-side randomness to ship.
     */
-  def srpBucket(v: Column, planes: Int, dims: Int, seed: Int = 0): Column = {
-    val dv = toDouble(v)
-    val bits = transform(sequence(lit(0), lit(planes - 1)), p => {
-      val proj = aggregate(
-        zip_with(dv, sequence(lit(0), lit(dims - 1)),
-          (x, d) => x * ((pmod(xxhash64(lit(seed), p, d), lit(1001L)).cast("double") / 1000.0) - 0.5)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L)).otherwise(lit(0L))
-    })
-    aggregate(bits, lit(0L), (acc, b) => acc * 2L + b)
-  }
+  def srpBucket(v: Column, planes: Int, dims: Int, seed: Int = 0): Column =
+    srpBucketDyn(v, planes, dims, lit(seed))
 
   /** Multi-table SRP-LSH: `tables` independent bucket ids (one per
     * hash table, each over its own `planes` hyperplanes), tagged with

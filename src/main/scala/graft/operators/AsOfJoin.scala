@@ -32,11 +32,15 @@ object AsOfJoin {
            leftTime: String, rightTime: String,
            rightPayload: Seq[String]): DataFrame = {
     val lCols = left.columns.toSeq
+    // a NULL right time would sort to the head of every key's timeline
+    // and match everything after it; ASOF semantics (and DuckDB's
+    // implementation) never match NULL-timed rows, so drop them
+    val rightValid = right.filter(col(rightTime).isNotNull)
     val l = left.select(
       col(leftKey).as("__k"), col(leftTime).as("__t"), lit(1).as("__side"),
       struct(lCols.map(col): _*).as("__l"),
       lit(null).cast(structType(right, rightPayload)).as("__r"))
-    val r = right.select(
+    val r = rightValid.select(
       col(rightKey).as("__k"), col(rightTime).as("__t"), lit(0).as("__side"),
       lit(null).cast(structType(left, lCols)).as("__l"),
       struct(rightPayload.map(col): _*).as("__r"))

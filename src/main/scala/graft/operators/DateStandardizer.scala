@@ -16,12 +16,17 @@ import org.apache.spark.sql.functions._
   */
 object DateStandardizer {
 
-  /** The parsing expression for one raw string column. */
+  /** The parsing expression for one raw string column. `try_to_*`
+    * variants, not `to_*`: under Spark 4's default ANSI mode the
+    * plain parsers THROW on guard-passing-but-invalid values (e.g.
+    * '20231345', month 13) — and malformed values are exactly what
+    * this operator exists to absorb as NULL.
+    */
   def parseDate(c: Column): Column = coalesce(
     when(length(trim(c)) === 8 && c.rlike("^[0-9]{8}$"),
-      to_date(trim(c), "yyyyMMdd")),
+      try_to_timestamp(trim(c), lit("yyyyMMdd")).cast("date")),
     when(c.contains("/"),
-      to_date(to_timestamp(substring(trim(c), 1, 19), "yyyy/MM/dd HH:mm:ss"))),
+      try_to_timestamp(substring(trim(c), 1, 19), lit("yyyy/MM/dd HH:mm:ss")).cast("date")),
     lit(null).cast("date")
   )
 

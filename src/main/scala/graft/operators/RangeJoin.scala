@@ -22,8 +22,6 @@ object RangeJoin {
                       leftKey: String, rightKey: String,
                       leftTime: String, rightStart: String, rightEnd: String,
                       binWidth: String = "7 days"): DataFrame = {
-    val binMicros = expr(s"INTERVAL $binWidth").cast("string") // validate early
-    require(binMicros != null)
     val widthUs = {
       // CalendarInterval → microseconds for day-or-smaller units
       val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
@@ -40,11 +38,14 @@ object RangeJoin {
     val l = left.withColumn("__bin", binOf(col(leftTime)))
     val r = right.withColumn("__bin",
       explode(sequence(binOf(col(rightStart)), binOf(col(rightEnd)))))
+    // df-qualified references throughout: unqualified col(...) would
+    // be AMBIGUOUS_REFERENCE whenever both sides share a column name
+    // (e.g. joining on a same-named key)
     l.join(r,
         l("__bin") === r("__bin") &&
-        col(leftKey) === col(rightKey) &&
-        col(leftTime) >= col(rightStart) &&
-        col(leftTime) < col(rightEnd))
-      .drop("__bin")
+        l(leftKey) === r(rightKey) &&
+        l(leftTime) >= r(rightStart) &&
+        l(leftTime) < r(rightEnd))
+      .drop(l("__bin")).drop(r("__bin"))
   }
 }

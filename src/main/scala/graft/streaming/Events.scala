@@ -122,6 +122,12 @@ object Events {
                        watermark: String = "1 hour"): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60 * 1000L
+    val gapSec = gapMinutes * 60L
+    // the gap compares SECOND-truncated times, matching sessionizeBatch
+    // (whose unix_timestamp arithmetic truncates) — sub-second
+    // differences must not split sessions in one form but not the other
+    def gapExceeded(prevMs: Long, curMs: Long): Boolean =
+      curMs / 1000L - prevMs / 1000L > gapSec
     events.withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
@@ -139,7 +145,7 @@ object Events {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.last <= gapMs =>
+                case Some(s) if !gapExceeded(s.last, t) =>
                   cur = Some(SessionState(s.start, t, s.n + 1, s.sum + e.value))
                 case Some(s) =>
                   closed ::= Session(userId, new java.sql.Timestamp(s.start),

@@ -46,12 +46,34 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("DateStandardizer parses both reference formats, NULLs the rest") {
-    val df = Seq("20230115", "2023/01/15 10:30:00.123456789", "garbage", "15-01-2023")
+    // '20231345' and '2023/99/99 …' pass the format guards but are
+    // invalid dates — under ANSI they must become NULL, not throw
+    val df = Seq("20230115", "2023/01/15 10:30:00.123456789", "garbage",
+      "15-01-2023", "20231345", "2023/99/99 10:30:00.000000000")
       .toDF("raw_date")
     val out = DateStandardizer.standardize(df, Seq("raw_date"))
       .select(col("raw_date").cast("string")).as[String].collect().toSeq
     assert(out.count(_ == "2023-01-15") == 2)
-    assert(out.count(_ == null) == 2)
+    assert(out.count(_ == null) == 4)
+  }
+
+  test("RangeJoin works with same-named keys on both sides") {
+    val l = Seq((1L, java.sql.Timestamp.valueOf("2024-01-05 00:00:00")))
+      .toDF("k", "t")
+    val r = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-10 00:00:00"), "w1"))
+      .toDF("k", "s", "e", "tag")
+    val out = RangeJoin.pointInInterval(l, r, "k", "k", "t", "s", "e")
+    assert(out.select("tag").as[String].collect().toSeq == Seq("w1"))
+  }
+
+  test("AsOfJoin ignores NULL right times") {
+    val l = Seq((1L, 10L, "ev")).toDF("k", "t", "name")
+    val r = Seq((1L, Option.empty[Long], "ghost"), (1L, Some(5L), "real"))
+      .toDF("k", "t", "state")
+    val out = AsOfJoin.asOf(l, r, "k", "k", "t", "t", Seq("state"))
+      .select("state").as[String].collect().toSeq
+    assert(out == Seq("real"))
   }
 
   test("Normalizer trims and uppercases only requested columns") {
