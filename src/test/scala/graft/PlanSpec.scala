@@ -1,0 +1,46 @@
+package graft
+
+/** Plan-shape regression guards: the scale properties PLANS.md
+  * documents, asserted so a future refactor can't silently lose them.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf()).queryExecution.executedPlan.toString
+
+  test("q1: ship-date filter reaches the parquet scan") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    assert(p.contains("partial_sum"), p) // map-side combine
+  }
+
+  test("q3/q5: dims broadcast, never nested-loop") {
+    for (q <- Seq("q3_shipping_priority", "q5_local_supplier")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoop"), s"$q:\n$p")
+    }
+  }
+
+  test("window dedup: partial top-k below the shuffle (WindowGroupLimit)") {
+    val p = plan("q_window_dedup")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("range join: hash join on (key, bin), no nested loop or cartesian") {
+    val p = plan("q_range_join")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("Cartesian"), p)
+    assert(p.contains("__bin"), p)
+  }
+
+  test("text stats: no exchange at all (pure scan-fused projection)") {
+    val p = plan("q_token_count")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("metadata projections prune unused wide columns") {
+    val p = plan("q_point_lookup")
+    // lookup reads only the projected columns, with the key pushed down
+    assert(p.contains("PushedFilters: [IsNotNull(o_custkey), EqualTo(o_custkey,7)"), p)
+  }
+}
