@@ -392,6 +392,12 @@ object SparkEntry {
       graft.pipeline.CorpusPrep.prepFull(Tables.documents(s, d), "doc_id", "text",
         stopwords, langMarkers)),
 
+    "q_sample_per_key" -> ((s, d) =>
+      // 3 lowest-id docs per language: per-key top-n via WindowGroupLimit
+      graft.operators.Sampling.perKey(
+          Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
+          Seq("lang"), Seq(col("doc_id").asc), n = 3)),
+
     "q_train_split" -> ((s, d) =>
       // deterministic hash split; rows-only (DuckDB lacks xxhash64)
       graft.pipeline.CorpusPrep.trainSplit(Tables.documents(s, d), "doc_id")
@@ -800,6 +806,13 @@ object SparkEntry {
     "q_dedup_drop" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))""",
+
+    "q_sample_per_key" ->
+      """SELECT doc_id, lang, n_chars FROM (
+           SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY doc_id ASC) AS rn
+           FROM documents) t
+         WHERE rn <= 3""",
 
     "q_vocab" ->
       """SELECT token, count(*) AS freq FROM (
