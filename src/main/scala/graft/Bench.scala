@@ -40,22 +40,33 @@ object Bench {
     // low-noise estimator of the query's actual cost
     val results = headliners.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
-        val times = (1 to 2).map { _ =>
+        val runs = (1 to 2).map { _ =>
           // drop plan-level caches so each run pays the query's full
           // cost (some pipelines cache internally); min-of-2 then
           // controls for CPU noise only, not for cached reuse
           spark.sharedState.cacheManager.clearCache()
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-          (System.nanoTime() - t0) / 1e9
+          val ok = try { fn(spark, sfDir).count(); true }
+                   catch { case _: Throwable => false }
+          (ok, (System.nanoTime() - t0) / 1e9)
         }
-        name -> times.min
+        // a query that threw must not report its (near-zero) elapsed
+        // time as a success — sentinel -1 and a `failed` list instead
+        name -> (if (runs.forall(_._1)) runs.map(_._2).min else -1.0)
       }
     }
+    val failed = results.collect { case (k, v) if v < 0 => k }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.filter(_._2 >= 0).map(_._2).sum
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    // stdout goes through sbt's logger ([info] prefixes broke the
+    // driver's parse in r1) — the file copy is the machine-readable one
+    println(json)
+    val out = new java.io.PrintWriter("BENCH_LAST.json")
+    try out.println(json) finally out.close()
     spark.stop()
   }
 }

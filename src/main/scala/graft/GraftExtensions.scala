@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, StringTrim, Up
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 
-import graft.functions.{CosineSimilarity, SimHash64}
+import graft.functions.{CollectMinK, CosineSimilarity, MinHash64, SimHash64}
 
 /** Engine extensions, registered through the public
   * `spark.sql.extensions` hook (GraftSession sets it). Native
@@ -29,6 +29,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 1, "simhash64(tokens) takes exactly one argument")
         SimHash64(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash64"),
+      new ExpressionInfo(classOf[MinHash64].getName, "minhash64"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "minhash64(hashes, n) takes exactly two arguments")
+        require(children(1).foldable, "minhash64: n must be a literal")
+        MinHash64(children.head, children(1).eval().asInstanceOf[Number].intValue())
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("collect_min_k"),
+      new ExpressionInfo(classOf[CollectMinK].getName, "collect_min_k"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "collect_min_k(e, k) takes exactly two arguments")
+        require(children(1).foldable, "collect_min_k: k must be a literal")
+        CollectMinK(children.head, children(1).eval().asInstanceOf[Number].intValue())
       }))
     ext.injectOptimizerRule(_ => CollapseRedundantNormalize)
   }

@@ -559,7 +559,7 @@ object SparkEntry {
 
     "q_json_extract" ->
       """SELECT event_type,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            count(json_extract_string(props, '$.k')) AS n_with_k
          FROM events GROUP BY event_type""",
 

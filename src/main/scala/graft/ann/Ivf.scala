@@ -27,10 +27,19 @@ object Ivf {
     */
   def centroids(corpus: DataFrame, c: Int, iters: Int = 2): DataFrame = {
     val emb = corpus.select(col("vec_id"), VectorFunctions.toDouble(col("embedding")).as("emb"))
+    // Seed selection: top-c by a pseudo-random hash order. The
+    // orderBy().limit(c) plans as TakeOrderedAndProject — per-partition
+    // top-c then c rows merged on one task — never a whole-corpus
+    // single-task Window (the r1 row_number() form funneled the full
+    // corpus through one partition). Ids come from each seed's sorted
+    // position via one bounded collect (c elements) + posexplode.
     var cents = emb
-      .withColumn("rk", row_number().over(Window.orderBy(xxhash64(col("vec_id")), col("vec_id"))))
-      .filter(col("rk") <= c)
-      .select((col("rk") - 1).cast("int").as("cluster_id"), col("emb").as("centroid"))
+      .select(xxhash64(col("vec_id")).as("hk"), col("vec_id"), col("emb"))
+      .orderBy(col("hk"), col("vec_id"))
+      .limit(c)
+      .agg(array_sort(collect_list(struct(col("hk"), col("vec_id"), col("emb")))).as("seeds"))
+      .select(posexplode(col("seeds")).as(Seq("cluster_id", "seed")))
+      .select(col("cluster_id").cast("int").as("cluster_id"), col("seed.emb").as("centroid"))
     var i = 0
     while (i < iters) {
       val assigned = assignTo(emb, cents)

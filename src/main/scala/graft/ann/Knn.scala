@@ -50,12 +50,19 @@ object Knn {
     * ≈ 0.67 expected candidate recall.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              planes: Int = 4, dims: Int = 64, tables: Int = 8): DataFrame = {
-    val buckets = VectorFunctions.srpBuckets(col("embedding"), planes, dims, tables)
+              planes: Int = 4, tables: Int = 8, maxBucket: Int = 4096): DataFrame = {
+    val buckets = VectorFunctions.srpBuckets(col("embedding"), planes, tables)
     val c = corpus.select(col("vec_id").as("nbr_id"), explode(buckets).as("bucket"))
+    // hot-bucket guard: a degenerate bucket (zero vectors, tight
+    // cluster) must not fan out |bucket|×|queries| candidates. The
+    // per-bucket count aggregates down to ≤ tables·2^planes rows, so
+    // the semi-join broadcasts and the corpus side never shuffles.
+    val smallBuckets = c.groupBy("bucket").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxBucket).select("bucket")
     val q = queries.select(col("vec_id").as("query_id"),
       explode(buckets).as("bucket"))
-    val cand = c.join(broadcast(q), Seq("bucket"))
+    val cand = c.join(broadcast(smallBuckets), Seq("bucket"), "left_semi")
+      .join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("nbr_id"))
       .select("query_id", "nbr_id").distinct()
     val scored = cand
@@ -76,16 +83,17 @@ object Knn {
     * neighbor (by LSH bucket) exceeds `threshold`. One row per vector.
     */
   def nearDupByEmbedding(corpus: DataFrame, threshold: Double = 0.95,
-                         planes: Int = 10, dims: Int = 64, tables: Int = 4,
+                         planes: Int = 10, tables: Int = 4,
                          maxBucket: Int = 256): DataFrame = {
-    val buckets = VectorFunctions.srpBuckets(col("embedding"), planes, dims, tables)
+    val buckets = VectorFunctions.srpBuckets(col("embedding"), planes, tables)
     val b = corpus.select(col("vec_id"), explode(buckets).as("bucket"))
     val emb = corpus.select(col("vec_id"), col("embedding"))
     // capped-bucket groupBy pair generation (see MinHashLSH): a
     // degenerate bucket — zero vectors, a tight cluster — must never
-    // emit O(n²) pairs on one key
+    // emit O(n²) pairs on one key, and collect_min_k bounds the
+    // aggregation buffer itself (maxBucket+1 slots, not |bucket|)
     val grouped = b.groupBy("bucket")
-      .agg(slice(sort_array(collect_list(col("vec_id"))), 1, maxBucket + 1).as("ids"))
+      .agg(call_function("collect_min_k", col("vec_id"), lit(maxBucket + 1)).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
     val pairs = grouped
       .select(explode(expr(

@@ -46,8 +46,11 @@ object NgramJaccard {
     val idx = invertedIndex(docs, idCol, textCol, k)
     val buckets = idx
       .groupBy("shingle")
-      .agg(slice(sort_array(collect_list(struct(col("doc_id"), col("set_size")))),
-        1, maxDf + 1).as("postings"))
+      // bounded-buffer collect: a stopword-like shingle's posting list
+      // is dropped by the size filter AND never exceeds maxDf+1 slots
+      // in the aggregation buffer (native CollectMinK)
+      .agg(call_function("collect_min_k",
+        struct(col("doc_id"), col("set_size")), lit(maxDf + 1)).as("postings"))
       .filter(size(col("postings")).between(2, maxDf))
     val shared = buckets
       .select(explode(expr(

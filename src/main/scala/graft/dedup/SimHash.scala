@@ -87,11 +87,13 @@ object SimHash {
                           maxHamming: Int = 3, maxBucket: Int = 256): DataFrame = {
     // one keyed aggregation per bucket + in-bucket pair generation
     // (bounded by maxBucket²) — see MinHashLSH.candidatePairs for why
-    // this beats window-count + self-join
+    // this beats window-count + self-join. collect_min_k bounds the
+    // aggregation buffer itself at maxBucket+1 members, so a
+    // degenerate chunk value can't OOM its reducer.
     val buckets = chunked(fps)
       .groupBy("chunk_id", "chunk_value")
-      .agg(slice(sort_array(collect_list(struct(col("doc_id"), col("simhash")))),
-        1, maxBucket + 1).as("members"))
+      .agg(call_function("collect_min_k",
+        struct(col("doc_id"), col("simhash")), lit(maxBucket + 1)).as("members"))
       .filter(size(col("members")).between(2, maxBucket))
     val pairs = buckets
       .select(explode(expr(

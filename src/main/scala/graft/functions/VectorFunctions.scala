@@ -46,9 +46,13 @@ object VectorFunctions {
     * Plane coefficients are pseudo-random but fully deterministic:
     * coeff(p,d) = (xxhash64(seed,p,d) % 1001)/1000 - 0.5 — derived
     * from codegen'd hashing, no driver-side randomness to ship.
+    * Dimensionality comes from each row's own array length — a
+    * hardcoded dims that disagreed with the data would null-pad the
+    * zip_with, zero every projection, and silently collapse all
+    * vectors into one bucket.
     */
-  def srpBucket(v: Column, planes: Int, dims: Int, seed: Int = 0): Column =
-    srpBucketDyn(v, planes, dims, lit(seed))
+  def srpBucket(v: Column, planes: Int, seed: Int = 0): Column =
+    srpBucketDyn(v, planes, lit(seed))
 
   /** Multi-table SRP-LSH: `tables` independent bucket ids (one per
     * hash table, each over its own `planes` hyperplanes), tagged with
@@ -58,17 +62,17 @@ object VectorFunctions {
     * tables buys recall while planes controls bucket selectivity —
     * the standard LSH knob pair.
     */
-  def srpBuckets(v: Column, planes: Int, dims: Int, tables: Int): Column =
+  def srpBuckets(v: Column, planes: Int, tables: Int): Column =
     transform(sequence(lit(0), lit(tables - 1)), t =>
       call_function("shiftleft", t.cast("long"), lit(planes))
-        .bitwiseOR(srpBucketDyn(v, planes, dims, t)))
+        .bitwiseOR(srpBucketDyn(v, planes, t)))
 
   /** srpBucket with a column-valued seed (table index). */
-  private def srpBucketDyn(v: Column, planes: Int, dims: Int, seed: Column): Column = {
+  private def srpBucketDyn(v: Column, planes: Int, seed: Column): Column = {
     val dv = toDouble(v)
     val bits = transform(sequence(lit(0), lit(planes - 1)), p => {
       val proj = aggregate(
-        zip_with(dv, sequence(lit(0), lit(dims - 1)),
+        zip_with(dv, sequence(lit(0), size(dv) - 1),
           (x, d) => x * ((pmod(xxhash64(seed, p, d), lit(1001L)).cast("double") / 1000.0) - 0.5)),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit(1L)).otherwise(lit(0L))

@@ -22,13 +22,19 @@ object DateStandardizer {
     * '20231345', month 13) — and malformed values are exactly what
     * this operator exists to absorb as NULL.
     */
-  def parseDate(c: Column): Column = coalesce(
-    when(length(trim(c)) === 8 && c.rlike("^[0-9]{8}$"),
-      try_to_timestamp(trim(c), lit("yyyyMMdd")).cast("date")),
-    when(c.contains("/"),
-      try_to_timestamp(substring(trim(c), 1, 19), lit("yyyy/MM/dd HH:mm:ss")).cast("date")),
-    lit(null).cast("date")
-  )
+  def parseDate(c: Column): Column = {
+    // every guard tests the TRIMMED value (a whitespace-padded
+    // ' 20230115' must parse, not fall through to NULL); the anchored
+    // regex subsumes the length check
+    val t = trim(c)
+    coalesce(
+      when(t.rlike("^[0-9]{8}$"),
+        try_to_timestamp(t, lit("yyyyMMdd")).cast("date")),
+      when(t.contains("/"),
+        try_to_timestamp(substring(t, 1, 19), lit("yyyy/MM/dd HH:mm:ss")).cast("date")),
+      lit(null).cast("date")
+    )
+  }
 
   /** Replace each named string column with its parsed date, keeping
     * the column name (reference drops + renames; a single projection

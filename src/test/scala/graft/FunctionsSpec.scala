@@ -84,13 +84,27 @@ class FunctionsSpec extends SparkSpec {
     assert(out.forall(_.isNullAt(0)))
   }
 
+  test("minhash64 native is bit-identical to the builtin HOF composition") {
+    val docs = Tables.documents(spark, sf())
+      .select(col("doc_id"), col("text"))
+      .union(Seq((100001L, ""), (100002L, "one two")).toDF("doc_id", "text"))
+    val withHashes = docs.select(col("doc_id"), array_distinct(
+      transform(TF.shingles(col("text"), 3), sh => xxhash64(sh))).as("hs"))
+    val both = withHashes.select(
+      call_function("minhash64", col("hs"), lit(64)).as("native"),
+      transform(sequence(lit(0), lit(63)),
+        s => array_min(transform(col("hs"), h => xxhash64(h, s)))).as("hof"))
+    assert(both.filter(!(col("native") <=> col("hof"))).count() == 0)
+    assert(both.count() > 100)
+  }
+
   test("srpBucket deterministic; identical vectors share a bucket") {
     val df = Seq(
       (1L, Seq.tabulate(8)(i => i.toFloat)),
       (2L, Seq.tabulate(8)(i => i.toFloat)),
       (3L, Seq.tabulate(8)(i => -i.toFloat))
     ).toDF("vec_id", "embedding")
-    val b = df.select(VF.srpBucket(col("embedding"), planes = 8, dims = 8))
+    val b = df.select(VF.srpBucket(col("embedding"), planes = 8))
       .as[Long].collect().toSeq
     assert(b(0) == b(1))
     assert(b(0) != b(2)) // opposite vector flips every nonzero projection

@@ -38,6 +38,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("IVF: no unpartitioned Window — seeding is TakeOrdered, not a global sort") {
+    val qe = SparkEntry.queries("q_ann_ivf")(spark, sf()).queryExecution
+    // every Window must carry a partition key; an empty partitionBy
+    // funnels the whole corpus through one task
+    val globalWindows = qe.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty, globalWindows.mkString("\n"))
+    assert(qe.executedPlan.toString.contains("TakeOrdered"), qe.executedPlan.toString)
+  }
+
   test("metadata projections prune unused wide columns") {
     val p = plan("q_point_lookup")
     // lookup reads only the projected columns, with the key pushed down
