@@ -399,10 +399,13 @@ object SparkEntry {
           Seq("lang"), Seq(col("doc_id").asc), n = 3)),
 
     "q_train_split" -> ((s, d) =>
-      // deterministic hash split; rows-only (DuckDB lacks xxhash64)
-      graft.pipeline.CorpusPrep.trainSplit(Tables.documents(s, d), "doc_id")
+      // deterministic hash split on the cross-engine md5 bucket (the
+      // xxhash64 default is the production path but only Spark
+      // reproduces its seed — portableBucket makes the gate exact)
+      graft.pipeline.CorpusPrep.trainSplit(Tables.documents(s, d), "doc_id",
+          bucket = Some(graft.pipeline.CorpusPrep.portableBucket("doc_id")))
         .groupBy("split").agg(count(lit(1)).as("n"),
-          round(avg("n_chars"), 2).as("avg_chars"))),
+          pround(avg("n_chars"), 2).as("avg_chars"))),
 
     "q_dedup_exact" -> ((s, d) =>
       Deduplicator.exactGroups(Tables.documents(s, d), "doc_id", "text",
@@ -480,9 +483,10 @@ object SparkEntry {
         (TF.cleanText(col("text")) =!= col("text")).as("changed"))),
 
     "q_fingerprint" -> ((s, d) =>
+      // rolling polynomial hash only — contentHash (xxhash64) has no
+      // cross-engine oracle and is exercised by the dedup paths/specs
       Tables.documents(s, d).select(col("doc_id"),
-        TF.fingerprint(col("text")).as("rolling_fp"),
-        TF.contentHash(col("text")).as("xxh64"))),
+        TF.fingerprint(col("text")).as("rolling_fp"))),
 
     // ===== H. Streaming (batch-equivalent forms) ========================
     "q_event_windows" -> ((s, d) => Events.windowedAggBatch(Tables.events(s, d))),
@@ -902,6 +906,85 @@ object SparkEntry {
            FROM s
          )
          SELECT lang, lang_pred, count(*) AS n FROM p GROUP BY lang, lang_pred""",
+
+    // exact mirror of NgramJaccard.summary(k=3, maxDf=100): shingling
+    // (distinct word 3-grams; short docs → whole text), df-capped
+    // inverted index (HAVING df BETWEEN 2 AND maxDf == the bounded
+    // collect + size filter), pair intersection counts, floor-rounded
+    // jaccard, best-match per doc with (jaccard, other_id) max order
+    "q_ngram_jaccard" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS ts
+           FROM documents
+         ), sh AS (
+           SELECT doc_id,
+             CASE WHEN len(ts) = 0 THEN CAST([] AS VARCHAR[])
+                  WHEN len(ts) <= 3 THEN [array_to_string(ts, ' ')]
+                  ELSE list_distinct(list_transform(range(1, len(ts) - 1),
+                         i -> array_to_string(ts[i:i+2], ' ')))
+             END AS shs
+           FROM toks
+         ), idx AS (
+           SELECT doc_id, CAST(len(shs) AS BIGINT) AS set_size, unnest(shs) AS shingle
+           FROM sh
+         ), rare AS (
+           SELECT shingle FROM idx GROUP BY shingle HAVING count(*) BETWEEN 2 AND 100
+         ), p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.set_size AS size_a, b.set_size AS size_b, count(*) AS inter
+           FROM idx a JOIN rare r ON a.shingle = r.shingle
+                      JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4
+         ), j AS (
+           SELECT id_a, id_b,
+             floor(CAST(inter AS DOUBLE) / (size_a + size_b - inter) * 10000.0 + 0.5)
+               / 10000.0 AS jaccard
+           FROM p
+         ), sym AS (
+           SELECT id_a AS doc_id, id_b AS other_id, jaccard FROM j
+           UNION ALL
+           SELECT id_b AS doc_id, id_a AS other_id, jaccard FROM j
+         ), ranked AS (
+           SELECT doc_id, other_id, jaccard,
+             count(*) OVER (PARTITION BY doc_id) AS n_overlapping,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY jaccard DESC, other_id DESC) AS rn
+           FROM sym
+         )
+         SELECT d.doc_id,
+           CAST(COALESCE(r.n_overlapping, 0) AS BIGINT) AS n_overlapping,
+           r.other_id AS best_match_id,
+           COALESCE(r.jaccard, -1.0) AS best_jaccard
+         FROM documents d
+         LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r ON d.doc_id = r.doc_id""",
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, length(text) + 1),
+                 i -> CAST(ascii(text[i]) AS BIGINT))),
+             (acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_fp
+         FROM documents""",
+
+    "q_train_split" ->
+      """WITH b AS (
+           SELECT n_chars,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#0'), 1, 8))::BIGINT % 100
+               AS bucket
+           FROM documents
+         ), s AS (
+           SELECT n_chars,
+             CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val'
+                  ELSE 'test' END AS split
+           FROM b
+         )
+         SELECT split, count(*) AS n,
+           floor(avg(n_chars) * 100.0 + 0.5) / 100.0 AS avg_chars
+         FROM s GROUP BY split""",
 
     "q_ann_bruteforce" ->
       """WITH q AS (

@@ -62,9 +62,13 @@ object NgramJaccard {
       .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
         col("p.size_a").as("size_a"), col("p.size_b").as("size_b"))
       .agg(count(lit(1)).as("inter"))
+    // floor(x*1e4+0.5)/1e4 instead of round(): identical IEEE ops on
+    // the identical binary double in every engine, so the DuckDB
+    // oracle reproduces the value bit-for-bit
     shared.withColumn("jaccard",
-        round(col("inter").cast("double") /
-          (col("size_a") + col("size_b") - col("inter")).cast("double"), 4))
+        floor(col("inter").cast("double") /
+          (col("size_a") + col("size_b") - col("inter")).cast("double")
+          * lit(10000.0) + lit(0.5)) / lit(10000.0))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

@@ -69,15 +69,27 @@ object CorpusPrep {
     */
   def trainSplit(df: DataFrame, idCol: String,
                  weights: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10),
-                 salt: Int = 0): DataFrame = {
+                 salt: Int = 0,
+                 bucket: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(weights.map(_._2).sum == 100, "weights must sum to 100")
-    val bucket = pmod(xxhash64(col(idCol), lit(salt)), lit(100L))
+    val bkt = bucket.getOrElse(pmod(xxhash64(col(idCol), lit(salt)), lit(100L)))
     val (_, splitCol) = weights.foldLeft((0, lit(null).cast("string"))) {
       case ((acc, e), (name, w)) =>
-        (acc + w, when(bucket >= acc && bucket < acc + w, lit(name)).otherwise(e))
+        (acc + w, when(bkt >= acc && bkt < acc + w, lit(name)).otherwise(e))
     }
     df.withColumn("split", splitCol)
   }
+
+  /** Cross-engine-verifiable split bucket: the first 8 hex chars of
+    * md5(id '#' salt) as an int, mod 100. xxhash64 (the default) is
+    * the production path — one 64-bit mix, no string digest — but no
+    * other engine reproduces Spark's seed, so the correctness gate
+    * uses this md5 form, which DuckDB computes bit-identically as
+    * ('0x' || substr(md5(...), 1, 8))::BIGINT % 100.
+    */
+  def portableBucket(idCol: String, salt: Int = 0): org.apache.spark.sql.Column =
+    pmod(conv(substring(md5(concat(col(idCol).cast("string"), lit("#" + salt))), 1, 8),
+      16, 10).cast("long"), lit(100L))
 
   /** Full pipeline: prep + near-dup removal. For each verified
     * near-dup pair above `jaccardThreshold`, the higher id drops.

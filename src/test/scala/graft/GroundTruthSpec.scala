@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.{MinHashLSH, SimHash}
+import graft.ann.Knn
+import graft.functions.{VectorFunctions => VF}
+
+/** Ground truth for the similarity family: every approximate operator
+  * measured against an exact brute-force all-pairs computation at
+  * sf0.001 (500 docs / 500 vectors — small enough to cross-join,
+  * real enough to exercise the planted duplicates). All inputs and
+  * hash families are deterministic, so the measured recalls are exact
+  * reproducible values, not flaky statistics.
+  */
+class GroundTruthSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf()).cache()
+
+  test("MinHash-LSH: finds EXACTLY the true Jaccard>=0.5 pairs (recall 1.0, precision 1.0)") {
+    val sigs = MinHashLSH.signatures(docs, "doc_id", "text").cache()
+    val truth = sigs.as("a").crossJoin(sigs.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .withColumn("j",
+        size(array_intersect(col("a.sh_hashes"), col("b.sh_hashes"))).cast("double") /
+        size(array_union(col("a.sh_hashes"), col("b.sh_hashes"))).cast("double"))
+      .filter(col("j") >= 0.5)
+      .select(col("a.doc_id"), col("b.doc_id")).as[(Long, Long)].collect().toSet
+    val found = MinHashLSH.verifiedPairs(sigs,
+        MinHashLSH.candidatePairs(MinHashLSH.bands(sigs, 16, 4)), 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "testdata must contain planted near-dups")
+    // precision 1.0 is structural (candidates are verified with exact
+    // Jaccard); recall 1.0 is the measured property of 16x4 banding
+    // at threshold 0.5 on this corpus
+    assert(found == truth, s"truth=${truth.size} found=${found.size}")
+  }
+
+  test("SimHash: hamming<=3 pairs are found EXACTLY (pigeonhole guarantee over 4 chunks)") {
+    val fps = SimHash.fingerprints(docs, "doc_id", "text").cache()
+    val truth = fps.as("a").crossJoin(fps.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .filter(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= 3)
+      .select(col("a.doc_id"), col("b.doc_id")).as[(Long, Long)].collect().toSet
+    val found = SimHash.nearDupPairsFromFps(fps, maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "testdata must contain simhash near-dups")
+    // any pair within hamming 3 of a 64-bit fingerprint split into 4
+    // chunks must agree on >=1 chunk — candidate recall is GUARANTEED,
+    // and exact-hamming verification makes precision structural
+    assert(found == truth, s"truth=${truth.size} found=${found.size}")
+  }
+
+  test("SimHash beyond the guarantee (hamming<=16): found pairs are all true, none fabricated") {
+    val fps = SimHash.fingerprints(docs, "doc_id", "text").cache()
+    val truth = fps.as("a").crossJoin(fps.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .filter(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= 16)
+      .select(col("a.doc_id"), col("b.doc_id")).as[(Long, Long)].collect().toSet
+    val found = SimHash.nearDupPairsFromFps(fps, maxHamming = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // above hamming 3 the chunk index is a documented approximation
+    // (only chunk-sharing pairs are candidates): subset, never wrong
+    assert(found.nonEmpty && found.subsetOf(truth),
+      s"truth=${truth.size} found=${found.size}")
+  }
+
+  test("embedding near-dup: planted cosine-1.0 duplicates all flagged, no false positives") {
+    val emb = Tables.embeddings(spark, sf()).select("vec_id", "embedding")
+    // plant 20 scaled copies: cosine(v, 1.01*v) = 1, and SRP buckets
+    // are scale-invariant, so every copy must land with its original
+    val planted = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.01f)).as("embedding"))
+    val corpus = emb.unionByName(planted).cache()
+    val flagged = Knn.nearDupByEmbedding(corpus, threshold = 0.95)
+      .filter(col("is_near_dup")).select("vec_id").as[Long].collect().toSet
+    // exact truth on the same corpus
+    val truthDocs = corpus.as("a").crossJoin(corpus.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .filter(VF.cosineRounded(col("a.embedding"), col("b.embedding"), 4) >= 0.95)
+      .select(col("a.vec_id"), col("b.vec_id")).as[(Long, Long)].collect()
+      .flatMap(p => Seq(p._1, p._2)).toSet
+    val plantedIds = (0L until 20L).flatMap(i => Seq(i, i + 100000L)).toSet
+    assert(plantedIds.subsetOf(flagged), s"missed=${plantedIds diff flagged}")
+    assert(flagged.subsetOf(truthDocs), s"false positives=${flagged diff truthDocs}")
+  }
+
+  test("ANN LSH and IVF: recall vs brute-force top-5 meets measured floors") {
+    val emb = Tables.embeddings(spark, sf()).select("vec_id", "embedding").cache()
+    val q = emb.filter(col("vec_id") < 8)
+    val exact = Knn.bruteForceTopK(emb, q, k = 5)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val lsh = Knn.lshTopK(emb, q, k = 5)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val ivf = graft.ann.Ivf.topK(emb, q, k = 5, c = 16, nprobe = 6)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    // deterministic hash families + fixed corpus => these are exact
+    // reproducible values (0.725 / 0.65 measured), not flaky bounds
+    val lshRecall = (exact intersect lsh).size.toDouble / exact.size
+    val ivfRecall = (exact intersect ivf).size.toDouble / exact.size
+    assert(lshRecall >= 0.7, s"LSH recall $lshRecall below measured floor")
+    assert(ivfRecall >= 0.6, s"IVF recall $ivfRecall below measured floor")
+  }
+}
