@@ -398,6 +398,14 @@ object SparkEntry {
           Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
           Seq("lang"), Seq(col("doc_id").asc), n = 3)),
 
+    "q_sample_global" -> ((s, d) =>
+      // seeded ORDER BY RAND() LIMIT n analogue; plans as TakeOrdered.
+      // Gate uses the portable md5 ordering (xxhash64 = production default)
+      graft.operators.Sampling.globalSample(
+          Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
+          "doc_id", n = 25,
+          ordering = Some(graft.operators.Sampling.portableOrdering("doc_id")))),
+
     "q_train_split" -> ((s, d) =>
       // deterministic hash split on the cross-engine md5 bucket (the
       // xxhash64 default is the production path but only Spark
@@ -810,6 +818,11 @@ object SparkEntry {
     "q_dedup_drop" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))""",
+
+    "q_sample_global" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         ORDER BY md5(CAST(doc_id AS VARCHAR) || '#0') ASC, doc_id ASC
+         LIMIT 25""",
 
     "q_sample_per_key" ->
       """SELECT doc_id, lang, n_chars FROM (

@@ -27,4 +27,27 @@ object Sampling {
   def randomPerKey(df: DataFrame, keys: Seq[String], idCol: String,
                    n: Int, salt: Int = 0): DataFrame =
     perKey(df, keys, Seq(xxhash64(col(idCol), lit(salt)), col(idCol)), n)
+
+  /** Seeded global random sample — the scalable `ORDER BY RAND()
+    * LIMIT n` (reference gold validations V4 sampling, cf.
+    * query_gold_validations.sql:164). Ordering by a seeded hash of a
+    * unique id instead of rand() makes the sample reproducible AND
+    * lets Spark plan it as TakeOrderedAndProject: each task forwards
+    * only its local top-n, so the driver merges tasks*n rows rather
+    * than globally sorting the corpus — the only form that survives
+    * 100 TB. Pass `ordering` to override the hash (the gate uses a
+    * cross-engine md5 ordering; xxhash64 is the production default).
+    */
+  def globalSample(df: DataFrame, idCol: String, n: Int, salt: Int = 0,
+                   ordering: Option[Column] = None): DataFrame = {
+    val ord = ordering.getOrElse(xxhash64(col(idCol), lit(salt)))
+    df.orderBy(ord.asc, col(idCol).asc).limit(n)
+  }
+
+  /** Cross-engine-reproducible sample ordering: the md5 hex digest of
+    * `id '#' salt` (same portable-hash trick as
+    * [[graft.pipeline.CorpusPrep.portableBucket]]).
+    */
+  def portableOrdering(idCol: String, salt: Int = 0): Column =
+    md5(concat(col(idCol).cast("string"), lit("#" + salt)))
 }

@@ -159,6 +159,16 @@ class OperatorsSpec extends SparkSpec {
     assert(orphans == Seq(9))
   }
 
+  test("globalSample: deterministic, seed-sensitive, exactly n rows") {
+    val docs = Tables.documents(spark, sf()).select("doc_id", "lang")
+    val a = Sampling.globalSample(docs, "doc_id", n = 10).as[(Long, String)].collect().toSeq
+    val b = Sampling.globalSample(docs, "doc_id", n = 10).as[(Long, String)].collect().toSeq
+    val c = Sampling.globalSample(docs, "doc_id", n = 10, salt = 1).as[(Long, String)].collect().toSeq
+    assert(a == b, "same seed must reproduce the same sample in the same order")
+    assert(a.size == 10 && a.map(_._1).distinct.size == 10)
+    assert(a.toSet != c.toSet, "different seed must select a different sample")
+  }
+
   test("DerivedColumns semantics match reference rules") {
     val df = Seq(("nit ", "2020-05-01"), ("CC", "2023-01-01")).toDF("clase", "d")
       .withColumn("d", col("d").cast("date"))

@@ -50,6 +50,12 @@ class PlanSpec extends SparkSpec {
     assert(qe.executedPlan.toString.contains("TakeOrdered"), qe.executedPlan.toString)
   }
 
+  test("global sample: TakeOrdered, never a global Sort") {
+    val p = plan("q_sample_global")
+    assert(p.contains("TakeOrdered"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
   test("metadata projections prune unused wide columns") {
     val p = plan("q_point_lookup")
     // lookup reads only the projected columns, with the key pushed down
