@@ -501,7 +501,9 @@ object SparkEntry {
 
     "q_stream_windows" -> ((s, d) => Events.windowedAggFileStream(s, d)),
 
-    "q_sessionize" -> ((s, d) => Events.sessionizeBatch(Tables.events(s, d), 30))
+    "q_sessionize" -> ((s, d) => Events.sessionizeBatch(Tables.events(s, d), 30)),
+
+    "q_sessionize_stream" -> ((s, d) => Events.sessionizeFileStream(s, d, 30))
   )
 
   // ---------------------------------------------------------------
@@ -1055,6 +1057,30 @@ object SparkEntry {
            FROM f
          )
          SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(min(ts) AS TIMESTAMP) AS session_start,
+           CAST(max(ts) AS TIMESTAMP) AS session_end,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM g GROUP BY user_id, session_seq""",
+
+    // same session semantics as q_sessionize; the stream form has no
+    // session_seq ordinal (Append-mode state emits sessions as the
+    // watermark closes them, in no defined order)
+    "q_sessionize_stream" ->
+      """WITH e AS (
+           SELECT event_id, ts, user_id, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events
+         ), f AS (
+           SELECT *, CASE WHEN prev_ts IS NULL
+                            OR date_diff('second', prev_ts, ts) > 1800
+                          THEN 1 ELSE 0 END AS new_session
+           FROM e
+         ), g AS (
+           SELECT *, sum(new_session) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS session_seq
+           FROM f
+         )
+         SELECT user_id,
            CAST(min(ts) AS TIMESTAMP) AS session_start,
            CAST(max(ts) AS TIMESTAMP) AS session_end,
            count(*) AS n_events, round(sum(value), 2) AS sum_value

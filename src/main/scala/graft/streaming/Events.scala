@@ -93,6 +93,92 @@ object Events {
     spark.table(name)
   }
 
+  /** Run sessionization as a REAL file-source streaming query
+    * (AvailableNow → memory sink) and return the closed sessions —
+    * gate-compared against the same DuckDB oracle as
+    * [[sessionizeBatch]] (minus the session_seq ordinal, which only
+    * the batch window form defines).
+    *
+    * Append-mode flatMapGroupsWithState only emits a session once the
+    * event-time watermark passes `last + gap`, so a plain one-shot
+    * read would leave every trailing session stuck in state. The
+    * input is therefore staged into a temp dir as the real events
+    * file plus two far-future sentinel rows (user_id = -1, filtered
+    * from the result), processed one file per micro-batch: the first
+    * sentinel drags the watermark past every real session's timeout,
+    * the second gives the engine a further batch in which those
+    * timeouts fire. This is exactly how a production stream drains —
+    * event-time progress, not query shutdown, closes sessions.
+    */
+  def sessionizeFileStream(spark: SparkSession, sfDir: String,
+                           gapMinutes: Int = 30,
+                           watermark: String = "1 hour"): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import spark.implicits._
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val rawSchema = raw.schema
+    val maxTsNanos = raw.agg(max("ts")).as[Long].head()
+
+    val stage = Files.createTempDirectory("graft_sess_stream")
+    try {
+      Files.copy(Paths.get(s"$sfDir/events.parquet"),
+        stage.resolve("00_events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      // sentinels: far enough past max(ts) + gap + watermark that every
+      // real session's event-time timeout is behind the new watermark
+      val hourNs = 3600L * 1000 * 1000 * 1000
+      val gapNs = gapMinutes * 60L * 1000 * 1000 * 1000
+      for ((off, i) <- Seq(1, 2).map(k => maxTsNanos + k * (gapNs + 3 * hourNs)).zipWithIndex) {
+        val scratch = stage.resolve(s"scratch_$i")
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row.fromSeq(
+              rawSchema.fields.map {
+                case f if f.name == "event_id" => -1L - i
+                case f if f.name == "ts"       => off
+                case f if f.name == "user_id"  => -1L
+                case f if f.name == "event_type" => "sentinel"
+                case f if f.name == "value"    => 0.0
+                case _                          => null
+              }.toSeq)), 1), rawSchema)
+          .write.parquet(scratch.toString)
+        val part = Files.list(scratch).filter(_.toString.endsWith(".parquet"))
+          .findFirst().get()
+        val dst = stage.resolve(f"0${i + 1}_sentinel.parquet")
+        Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+        // file source orders batches by modification time
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + (i + 1) * 60000L))
+      }
+
+      val stream = spark.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(stage.toString)
+      val events = stream
+        .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .as[Event]
+      val name = "graft_sessionize_stream"
+      val q = sessionizeStream(events, gapMinutes, watermark).writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      spark.table(name)
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"),
+          col("session_start").cast("timestamp_ntz").as("session_start"),
+          col("session_end").cast("timestamp_ntz").as("session_end"),
+          col("n_events"), round(col("sum_value"), 2).as("sum_value"))
+        // the memory sink holds rows in driver memory, so the staged
+        // input files can be deleted before this frame is consumed
+        .localCheckpoint(eager = true)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(stage).iterator().asScala.toSeq.reverse.foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
   /** Streaming exact dedup: drop events whose (event_id) was already
     * seen, with state bounded by the watermark —
     * `dropDuplicatesWithinWatermark` keeps a key in state only until
@@ -105,9 +191,21 @@ object Events {
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
+  /** start/last are epoch MICROseconds — java.sql.Timestamp.getTime is
+    * millis-only, and the events table carries microsecond precision.
+    */
   case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   case class Session(user_id: Long, session_start: java.sql.Timestamp,
                      session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+
+  private def toMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def fromMicros(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
 
   /** Streaming sessionization with explicit state: a session closes
     * either in-batch (a row arrives past the gap) or via EVENT-TIME
@@ -126,8 +224,8 @@ object Events {
     // the gap compares SECOND-truncated times, matching sessionizeBatch
     // (whose unix_timestamp arithmetic truncates) — sub-second
     // differences must not split sessions in one form but not the other
-    def gapExceeded(prevMs: Long, curMs: Long): Boolean =
-      curMs / 1000L - prevMs / 1000L > gapSec
+    def gapExceeded(prevUs: Long, curUs: Long): Boolean =
+      curUs / 1000000L - prevUs / 1000000L > gapSec
     events.withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
@@ -136,20 +234,18 @@ object Events {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator(Session(userId, new java.sql.Timestamp(s.start),
-              new java.sql.Timestamp(s.last), s.n, s.sum))
+            Iterator(Session(userId, fromMicros(s.start), fromMicros(s.last), s.n, s.sum))
           } else {
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = rows.toSeq.sortBy(e => (toMicros(e.ts), e.event_id))
             var closed = List.empty[Session]
             var cur = state.getOption
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = toMicros(e.ts)
               cur match {
                 case Some(s) if !gapExceeded(s.last, t) =>
                   cur = Some(SessionState(s.start, t, s.n + 1, s.sum + e.value))
                 case Some(s) =>
-                  closed ::= Session(userId, new java.sql.Timestamp(s.start),
-                    new java.sql.Timestamp(s.last), s.n, s.sum)
+                  closed ::= Session(userId, fromMicros(s.start), fromMicros(s.last), s.n, s.sum)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
@@ -157,7 +253,9 @@ object Events {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
+              // timeout API is millisecond-granular; floor(last)+gap is at
+              // most 1 ms early, invisible at a second-granularity gap
+              state.setTimeoutTimestamp(s.last / 1000L + gapMs)
             }
             closed.reverseIterator
           }
