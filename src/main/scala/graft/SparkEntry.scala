@@ -49,6 +49,58 @@ object SparkEntry {
     queries("q_medallion_silver")(spark, "/root/testdata/sf0.001")
 
   // ---------------------------------------------------------------
+  // Analytics V1-V4 (reference test/query_gold_validations.sql),
+  // parameterized by input so they run identically over parquet paths
+  // and managed catalog tables.
+  // ---------------------------------------------------------------
+  private def v1(orders: DataFrame, customer: DataFrame): DataFrame =
+    orders
+      .filter(upper(trim(col("o_orderstatus"))) === "O")
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count_distinct(col("o_custkey")).as("total_active"))
+      .orderBy(col("total_active").desc, col("c_mktsegment").asc)
+
+  private def v2(orders: DataFrame, customer: DataFrame, nation: DataFrame): DataFrame =
+    customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(orders, col("o_custkey") === col("c_custkey"))
+      .groupBy("n_name")
+      .agg(pround(avg(lit(2026) - year(col("o_orderdate"))), 2).as("avg_age"),
+        count_distinct(col("c_custkey")).as("total_customers"))
+      .filter(col("total_customers") > 5)
+      .orderBy(col("avg_age").desc, col("n_name").asc)
+      .limit(5)
+
+  private def v3(orders: DataFrame, customer: DataFrame): DataFrame =
+    orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        count_distinct(when(upper(trim(col("o_orderstatus"))) === "O", col("o_custkey")))
+          .as("active_customers"),
+        count_distinct(col("o_custkey")).as("total_customers"))
+      .withColumn("rate_pct",
+        pround(col("active_customers") * lit(100.0) / col("total_customers"), 2))
+      .orderBy(col("rate_pct").desc, col("c_mktsegment").asc)
+
+  private def v4(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val base = orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .filter(col("o_orderstatus").isin("O", "F", "P") && col("o_totalprice").isNotNull)
+      .select("c_custkey", "c_mktsegment", "o_orderkey", "o_orderdate", "o_totalprice")
+    Deduplicator.latestWins(base, Seq("c_custkey"), "o_orderdate", Some("o_orderkey"))
+      .select(
+        col("c_custkey"), col("c_mktsegment"),
+        year(col("o_orderdate")).cast("long").as("last_order_year"),
+        when(year(col("o_orderdate")) >= 1998, 1L).otherwise(0L).as("renovo"),
+        when(col("o_totalprice") < 50000, "small")
+          .when(col("o_totalprice") < 150000, "medium")
+          .otherwise("large").as("value_segment"),
+        (lit(2026) - year(col("o_orderdate"))).cast("long").as("years_since_order"))
+  }
+
+  // ---------------------------------------------------------------
   // Query catalog
   // ---------------------------------------------------------------
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -325,51 +377,37 @@ object SparkEntry {
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))),
 
     // ===== E. Analytics (reference test/query_gold_validations.sql) =====
-    "q_v1_active_by_type" -> ((s, d) =>
-      Tables.orders(s, d)
-        .filter(upper(trim(col("o_orderstatus"))) === "O")
-        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-        .groupBy("c_mktsegment")
-        .agg(count_distinct(col("o_custkey")).as("total_active"))
-        .orderBy(col("total_active").desc, col("c_mktsegment").asc)),
+    "q_v1_active_by_type" -> ((s, d) => v1(Tables.orders(s, d), Tables.customer(s, d))),
 
     "q_v2_avg_age" -> ((s, d) =>
-      Tables.customer(s, d)
-        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
-        .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"))
-        .groupBy("n_name")
-        .agg(pround(avg(lit(2026) - year(col("o_orderdate"))), 2).as("avg_age"),
-          count_distinct(col("c_custkey")).as("total_customers"))
-        .filter(col("total_customers") > 5)
-        .orderBy(col("avg_age").desc, col("n_name").asc)
-        .limit(5)),
+      v2(Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
 
-    "q_v3_rate" -> ((s, d) =>
-      Tables.orders(s, d)
-        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-        .groupBy("c_mktsegment")
-        .agg(
-          count_distinct(when(upper(trim(col("o_orderstatus"))) === "O", col("o_custkey")))
-            .as("active_customers"),
-          count_distinct(col("o_custkey")).as("total_customers"))
-        .withColumn("rate_pct",
-          pround(col("active_customers") * lit(100.0) / col("total_customers"), 2))
-        .orderBy(col("rate_pct").desc, col("c_mktsegment").asc)),
+    "q_v3_rate" -> ((s, d) => v3(Tables.orders(s, d), Tables.customer(s, d))),
 
-    "q_v4_ml_dataset" -> ((s, d) => {
-      val base = Tables.orders(s, d)
-        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-        .filter(col("o_orderstatus").isin("O", "F", "P") && col("o_totalprice").isNotNull)
-        .select("c_custkey", "c_mktsegment", "o_orderkey", "o_orderdate", "o_totalprice")
-      Deduplicator.latestWins(base, Seq("c_custkey"), "o_orderdate", Some("o_orderkey"))
-        .select(
-          col("c_custkey"), col("c_mktsegment"),
-          year(col("o_orderdate")).cast("long").as("last_order_year"),
-          when(year(col("o_orderdate")) >= 1998, 1L).otherwise(0L).as("renovo"),
-          when(col("o_totalprice") < 50000, "small")
-            .when(col("o_totalprice") < 150000, "medium")
-            .otherwise("large").as("value_segment"),
-          (lit(2026) - year(col("o_orderdate"))).cast("long").as("years_since_order"))
+    "q_v4_ml_dataset" -> ((s, d) => v4(Tables.orders(s, d), Tables.customer(s, d))),
+
+    // same four analytics read through MANAGED bucketed tables (the
+    // reference gold jobs read silver via the Data Catalog, not paths:
+    // job-gold-rues.py:61-78). Bucketing on custkey makes the
+    // fact-dim join exchange-free (plan-asserted in PlanSpec).
+    "q_v1_tables" -> ((s, d) => {
+      val db = graft.sources.CatalogStar.ensure(s, d)
+      v1(s.table(s"$db.orders"), s.table(s"$db.customer"))
+    }),
+
+    "q_v2_tables" -> ((s, d) => {
+      val db = graft.sources.CatalogStar.ensure(s, d)
+      v2(s.table(s"$db.orders"), s.table(s"$db.customer"), s.table(s"$db.nation"))
+    }),
+
+    "q_v3_tables" -> ((s, d) => {
+      val db = graft.sources.CatalogStar.ensure(s, d)
+      v3(s.table(s"$db.orders"), s.table(s"$db.customer"))
+    }),
+
+    "q_v4_tables" -> ((s, d) => {
+      val db = graft.sources.CatalogStar.ensure(s, d)
+      v4(s.table(s"$db.orders"), s.table(s"$db.customer"))
     }),
 
     "q_point_lookup" -> ((s, d) =>
@@ -509,6 +547,56 @@ object SparkEntry {
   // ---------------------------------------------------------------
   // DuckDB oracles (driver runs these on the same parquet tables)
   // ---------------------------------------------------------------
+  private val v1Sql =
+    """SELECT c_mktsegment, count(DISTINCT o_custkey) AS total_active
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       WHERE upper(trim(o_orderstatus)) = 'O'
+       GROUP BY c_mktsegment
+       ORDER BY total_active DESC, c_mktsegment ASC"""
+
+  private val v2Sql =
+    """SELECT n_name,
+         floor(avg(2026 - year(o_orderdate)) * 100.0 + 0.5) / 100.0 AS avg_age,
+         count(DISTINCT c_custkey) AS total_customers
+       FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN orders ON o_custkey = c_custkey
+       GROUP BY n_name
+       HAVING count(DISTINCT c_custkey) > 5
+       ORDER BY avg_age DESC, n_name ASC
+       LIMIT 5"""
+
+  private val v3Sql =
+    """SELECT c_mktsegment,
+         count(DISTINCT CASE WHEN upper(trim(o_orderstatus)) = 'O' THEN o_custkey END)
+           AS active_customers,
+         count(DISTINCT o_custkey) AS total_customers,
+         floor(count(DISTINCT CASE WHEN upper(trim(o_orderstatus)) = 'O' THEN o_custkey END)
+           * 100.0 / count(DISTINCT o_custkey) * 100.0 + 0.5) / 100.0 AS rate_pct
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_mktsegment
+       ORDER BY rate_pct DESC, c_mktsegment ASC"""
+
+  private val v4Sql =
+    """WITH base AS (
+         SELECT c_custkey, c_mktsegment, o_orderkey, o_orderdate, o_totalprice
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE o_orderstatus IN ('O','F','P') AND o_totalprice IS NOT NULL
+       ), dedup AS (
+         SELECT *, row_number() OVER (
+           PARTITION BY c_custkey
+           ORDER BY o_orderdate DESC NULLS LAST, o_orderkey DESC) AS rn
+         FROM base
+       )
+       SELECT c_custkey, c_mktsegment,
+         CAST(year(o_orderdate) AS BIGINT) AS last_order_year,
+         CAST(CASE WHEN year(o_orderdate) >= 1998 THEN 1 ELSE 0 END AS BIGINT) AS renovo,
+         CASE WHEN o_totalprice < 50000 THEN 'small'
+              WHEN o_totalprice < 150000 THEN 'medium'
+              ELSE 'large' END AS value_segment,
+         CAST(2026 - year(o_orderdate) AS BIGINT) AS years_since_order
+       FROM dedup WHERE rn = 1"""
+
   def oracleSql: Map[String, String] = Map(
 
     "q1_pricing_summary" ->
@@ -706,55 +794,16 @@ object SparkEntry {
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          GROUP BY s_nationkey""",
 
-    "q_v1_active_by_type" ->
-      """SELECT c_mktsegment, count(DISTINCT o_custkey) AS total_active
-         FROM orders JOIN customer ON o_custkey = c_custkey
-         WHERE upper(trim(o_orderstatus)) = 'O'
-         GROUP BY c_mktsegment
-         ORDER BY total_active DESC, c_mktsegment ASC""",
-
-    "q_v2_avg_age" ->
-      """SELECT n_name,
-           floor(avg(2026 - year(o_orderdate)) * 100.0 + 0.5) / 100.0 AS avg_age,
-           count(DISTINCT c_custkey) AS total_customers
-         FROM customer
-           JOIN nation ON c_nationkey = n_nationkey
-           JOIN orders ON o_custkey = c_custkey
-         GROUP BY n_name
-         HAVING count(DISTINCT c_custkey) > 5
-         ORDER BY avg_age DESC, n_name ASC
-         LIMIT 5""",
-
-    "q_v3_rate" ->
-      """SELECT c_mktsegment,
-           count(DISTINCT CASE WHEN upper(trim(o_orderstatus)) = 'O' THEN o_custkey END)
-             AS active_customers,
-           count(DISTINCT o_custkey) AS total_customers,
-           floor(count(DISTINCT CASE WHEN upper(trim(o_orderstatus)) = 'O' THEN o_custkey END)
-             * 100.0 / count(DISTINCT o_custkey) * 100.0 + 0.5) / 100.0 AS rate_pct
-         FROM orders JOIN customer ON o_custkey = c_custkey
-         GROUP BY c_mktsegment
-         ORDER BY rate_pct DESC, c_mktsegment ASC""",
-
-    "q_v4_ml_dataset" ->
-      """WITH base AS (
-           SELECT c_custkey, c_mktsegment, o_orderkey, o_orderdate, o_totalprice
-           FROM orders JOIN customer ON o_custkey = c_custkey
-           WHERE o_orderstatus IN ('O','F','P') AND o_totalprice IS NOT NULL
-         ), dedup AS (
-           SELECT *, row_number() OVER (
-             PARTITION BY c_custkey
-             ORDER BY o_orderdate DESC NULLS LAST, o_orderkey DESC) AS rn
-           FROM base
-         )
-         SELECT c_custkey, c_mktsegment,
-           CAST(year(o_orderdate) AS BIGINT) AS last_order_year,
-           CAST(CASE WHEN year(o_orderdate) >= 1998 THEN 1 ELSE 0 END AS BIGINT) AS renovo,
-           CASE WHEN o_totalprice < 50000 THEN 'small'
-                WHEN o_totalprice < 150000 THEN 'medium'
-                ELSE 'large' END AS value_segment,
-           CAST(2026 - year(o_orderdate) AS BIGINT) AS years_since_order
-         FROM dedup WHERE rn = 1""",
+    "q_v1_active_by_type" -> v1Sql,
+    "q_v2_avg_age" -> v2Sql,
+    "q_v3_rate" -> v3Sql,
+    "q_v4_ml_dataset" -> v4Sql,
+    // catalog-table variants produce identical results; the oracle
+    // (DuckDB over parquet) is the same SQL
+    "q_v1_tables" -> v1Sql,
+    "q_v2_tables" -> v2Sql,
+    "q_v3_tables" -> v3Sql,
+    "q_v4_tables" -> v4Sql,
 
     "q_point_lookup" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

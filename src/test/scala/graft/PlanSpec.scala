@@ -56,6 +56,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
 
+  test("catalog-table analytics: no shuffle on the bucketed join key") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // force SMJ so a missing bucket optimization would need a shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q_v1_tables")(spark, sf())
+      df.collect()
+      val shuffles = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
+        def all = collect(df.queryExecution.executedPlan) { case s: ShuffleExchangeExec => s }
+      }.all
+      val onCustkey = shuffles.filter(_.outputPartitioning.toString.contains("custkey"))
+      assert(onCustkey.isEmpty,
+        s"bucketed join must not re-shuffle on custkey:\n${onCustkey.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("metadata projections prune unused wide columns") {
     val p = plan("q_point_lookup")
     // lookup reads only the projected columns, with the key pushed down
