@@ -41,6 +41,36 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
   }
 
+  test("real PNG decode: true dimensions and a real luminance histogram") {
+    val media = BinaryColumns.syntheticImages(spark, 20, w = 32, h = 24)
+    val f = BinaryColumns.extractFeatures(media).collect()
+    assert(f.length == 20)
+    f.foreach { r =>
+      // dimensions come from actually decoding the PNG, not metadata
+      assert(r.getAs[Int]("width") == 32 && r.getAs[Int]("height") == 24, r)
+      val feat = r.getAs[scala.collection.Seq[Float]]("feature")
+      assert(feat.length == 8)
+      // histogram over 32*24 pixels: non-negative bins summing to 1
+      assert(feat.forall(_ >= 0.0f))
+      assert(math.abs(feat.sum - 1.0f) < 1e-3, s"histogram must sum to 1: $feat")
+    }
+    // distinct images produce distinct histograms (it's a real feature,
+    // not a constant)
+    val distinctFeats = f.map(_.getAs[scala.collection.Seq[Float]]("feature")).distinct
+    assert(distinctFeats.length > 1)
+  }
+
+  test("non-decodable image payloads fall back to the stub with null dimensions") {
+    val media = BinaryColumns.syntheticMedia(spark, 9) // md5-derived bytes, not PNGs
+    val f = BinaryColumns.extractFeatures(media)
+      .filter(col("media_type") === "image").collect()
+    assert(f.nonEmpty)
+    f.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("width")) && r.isNullAt(r.fieldIndex("height")), r)
+      assert(r.getAs[scala.collection.Seq[Float]]("feature").length == 8)
+    }
+  }
+
   test("sampleFrames: n frames per video, bounded frame bytes") {
     val media = BinaryColumns.syntheticMedia(spark, 30)
     val nVideos = media.filter(col("media_type") === "video").count()
