@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Record the oracle-engine baseline for the bench headliners: time each
+headliner's oracle SQL in DuckDB (all cores, same parquet, same box) and
+write BASELINE.md. This is the number BENCH_r{N}.json is graded against
+("within 2x of baseline at the same SF").
+
+Usage: python3 tools/baseline.py <sfDir> <oracle_sql.json> [runs]
+"""
+import json, sys, os, time
+
+import duckdb
+
+HEADLINERS = [
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+    "q_window_dedup", "q_v4_ml_dataset", "q_dedup_exact",
+    "q_dedup_minhash", "q_ann_bruteforce", "q_token_count",
+    "q_quality_score", "q_event_windows", "q_sessionize",
+    "q_medallion_silver", "q_corpus_prep", "q_asof_join", "q_range_join"]
+
+sf_dir = sys.argv[1]
+oracle = json.load(open(sys.argv[2]))
+runs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    p = f"{sf_dir}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+timings, skipped = {}, []
+for q in HEADLINERS:
+    if q not in oracle:
+        skipped.append(q)
+        continue
+    best = None
+    for _ in range(runs):
+        t0 = time.monotonic()
+        con.execute(oracle[q]).fetchall()
+        dt = time.monotonic() - t0
+        best = dt if best is None else min(best, dt)
+    timings[q] = best
+
+total = sum(timings.values())
+lines = [
+    "# BASELINE — oracle-engine (DuckDB) headliner timings",
+    "",
+    f"DuckDB {duckdb.__version__}, all cores, parquet at `{sf_dir}`,",
+    f"min of {runs} runs per query, recorded by `tools/baseline.py`.",
+    "This is the reference number the per-round `BENCH_r{N}.json`",
+    "(Spark local[32], min of 2, same box) is compared against — the",
+    "perf gate is \"within 2x of baseline at the same SF\".",
+    "",
+    "| query | seconds |",
+    "|---|---|",
+]
+for q in HEADLINERS:
+    if q in timings:
+        lines.append(f"| {q} | {timings[q]:.3f} |")
+    else:
+        lines.append(f"| {q} | n/a (not SQL-expressible; no oracle) |")
+lines += [
+    f"| **total ({len(timings)} queries)** | **{total:.3f}** |",
+    "",
+    f"Skipped (no oracle): {', '.join(skipped) if skipped else 'none'}.",
+    "When comparing BENCH totals, drop the skipped queries from the",
+    "Spark total as well.",
+    "",
+    "```json",
+    json.dumps({"sf": sf_dir, "runs": runs, "total_sec": round(total, 3),
+                "queries": {k: round(v, 3) for k, v in timings.items()},
+                "skipped": skipped}),
+    "```",
+]
+open("BASELINE.md", "w").write("\n".join(lines) + "\n")
+print("\n".join(lines))
