@@ -436,6 +436,11 @@ object SparkEntry {
           Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
           Seq("lang"), Seq(col("doc_id").asc), n = 3)),
 
+    "q_bm25_search" -> ((s, d) =>
+      // ranked retrieval for corpus curation; query-term-only postings
+      graft.operators.Bm25.topK(Tables.documents(s, d), "doc_id", "text",
+        Seq("join", "hash", "stream"), k = 15)),
+
     "q_sample_global" -> ((s, d) =>
       // seeded ORDER BY RAND() LIMIT n analogue; plans as TakeOrdered.
       // Gate uses the portable md5 ordering (xxhash64 = production default)
@@ -869,6 +874,50 @@ object SparkEntry {
     "q_dedup_drop" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))""",
+
+    // exact mirror of Bm25.topK(k1=1.5, b=0.75, terms=[join,hash,stream]):
+    // same tokenization, Lucene-style idf, identical operation order and
+    // exact-binary constants, floor-rounded score, (score, id) ordering
+    "q_bm25_search" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS ts
+           FROM documents
+         ), tf AS (
+           SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl,
+             [CAST(len(list_filter(ts, x -> x = 'join')) AS DOUBLE),
+              CAST(len(list_filter(ts, x -> x = 'hash')) AS DOUBLE),
+              CAST(len(list_filter(ts, x -> x = 'stream')) AS DOUBLE)] AS tfs
+           FROM toks
+         ), stats AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+             [sum(CASE WHEN tfs[1] > 0 THEN 1.0 ELSE 0.0 END),
+              sum(CASE WHEN tfs[2] > 0 THEN 1.0 ELSE 0.0 END),
+              sum(CASE WHEN tfs[3] > 0 THEN 1.0 ELSE 0.0 END)] AS dfs
+           FROM tf
+         ), scored AS (
+           SELECT doc_id,
+             (CASE WHEN tfs[1] > 0 THEN
+               ln(1.0 + (n_docs - dfs[1] + 0.5) / (dfs[1] + 0.5)) * tfs[1] * (1.5 + 1.0)
+                 / (tfs[1] + 1.5 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) ELSE 0.0 END)
+             + (CASE WHEN tfs[2] > 0 THEN
+               ln(1.0 + (n_docs - dfs[2] + 0.5) / (dfs[2] + 0.5)) * tfs[2] * (1.5 + 1.0)
+                 / (tfs[2] + 1.5 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) ELSE 0.0 END)
+             + (CASE WHEN tfs[3] > 0 THEN
+               ln(1.0 + (n_docs - dfs[3] + 0.5) / (dfs[3] + 0.5)) * tfs[3] * (1.5 + 1.0)
+                 / (tfs[3] + 1.5 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) ELSE 0.0 END)
+               AS raw_score,
+             (CASE WHEN tfs[1] > 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN tfs[2] > 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN tfs[3] > 0 THEN 1 ELSE 0 END) AS n_hits
+           FROM tf, stats
+         )
+         SELECT doc_id, floor(raw_score * 10000.0 + 0.5) / 10000.0 AS score,
+           CAST(n_hits AS BIGINT) AS n_hits
+         FROM scored WHERE n_hits > 0
+         ORDER BY score DESC, doc_id ASC
+         LIMIT 15""",
 
     "q_sample_global" ->
       """SELECT doc_id, lang, n_chars FROM documents

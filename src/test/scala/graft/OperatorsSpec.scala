@@ -169,6 +169,23 @@ class OperatorsSpec extends SparkSpec {
     assert(a.toSet != c.toSet, "different seed must select a different sample")
   }
 
+  test("Bm25.topK ranks term-dense docs first and never returns non-matches") {
+    val docs = Seq(
+      (1L, "spark spark spark join"),
+      (2L, "spark is here"),
+      (3L, "nothing relevant at all"),
+      (4L, "spark"),
+      (5L, "a much longer document that mentions spark once among many many other words")
+    ).toDF("doc_id", "text")
+    val out = Bm25.topK(docs, "doc_id", "text", Seq("spark"), k = 10).collect()
+    val ids = out.map(_.getAs[Long]("doc_id")).toSeq
+    assert(!ids.contains(3L), "doc without the term must not match")
+    assert(ids.head == 1L, s"highest-tf doc must rank first: $ids")
+    // length normalization: the one-word doc beats the long doc
+    assert(ids.indexOf(4L) < ids.indexOf(5L), s"length norm violated: $ids")
+    assert(out.forall(_.getAs[Long]("n_hits") == 1L))
+  }
+
   test("DerivedColumns semantics match reference rules") {
     val df = Seq(("nit ", "2020-05-01"), ("CC", "2023-01-01")).toDF("clase", "d")
       .withColumn("d", col("d").cast("date"))

@@ -72,6 +72,13 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("BM25: no token explode, broadcast stats, TakeOrdered top-k") {
+    val p = plan("q_bm25_search")
+    assert(!p.contains("Generate"), s"query-term tf must not explode tokens:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrdered"), p)
+  }
+
   test("metadata projections prune unused wide columns") {
     val p = plan("q_point_lookup")
     // lookup reads only the projected columns, with the key pushed down
