@@ -436,6 +436,13 @@ object SparkEntry {
           Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
           Seq("lang"), Seq(col("doc_id").asc), n = 3)),
 
+    "q_scd2_build" -> ((s, d) =>
+      // type-2 dimension history: customer order-status over time
+      graft.operators.Scd2.build(Tables.orders(s, d), Seq("o_custkey"),
+          "o_orderdate", Seq("o_orderstatus"), tieBreak = Some("o_orderkey"))
+        .select(col("o_custkey").as("custkey"), col("o_orderstatus").as("status"),
+          col("valid_from"), col("valid_to"), col("is_current"))),
+
     "q_bm25_search" -> ((s, d) =>
       // ranked retrieval for corpus curation; query-term-only postings
       graft.operators.Bm25.topK(Tables.documents(s, d), "doc_id", "text",
@@ -874,6 +881,27 @@ object SparkEntry {
     "q_dedup_drop" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))""",
+
+    // SCD2: keep only rows where the tracked attribute changed vs the
+    // previous observation per key; valid_to = next change's ts
+    "q_scd2_build" ->
+      """WITH ordered AS (
+           SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             lag(o_orderstatus) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_status
+           FROM orders
+         ), chg AS (
+           SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+           FROM ordered
+           WHERE prev_status IS DISTINCT FROM o_orderstatus
+         )
+         SELECT o_custkey AS custkey, o_orderstatus AS status,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to,
+           lead(o_orderdate) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
+         FROM chg""",
 
     // exact mirror of Bm25.topK(k1=1.5, b=0.75, terms=[join,hash,stream]):
     // same tokenization, Lucene-style idf, identical operation order and

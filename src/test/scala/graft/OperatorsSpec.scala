@@ -169,6 +169,30 @@ class OperatorsSpec extends SparkSpec {
     assert(a.toSet != c.toSet, "different seed must select a different sample")
   }
 
+  test("Scd2.build: change-only rows, contiguous validity, single current") {
+    val log = Seq(
+      (1L, "2024-01-01", "A", 1L), (1L, "2024-02-01", "A", 2L), // no change
+      (1L, "2024-03-01", "B", 3L), (1L, "2024-04-01", "A", 4L),
+      (2L, "2024-01-15", "X", 5L)
+    ).toDF("k", "d", "status", "seq")
+      .withColumn("d", col("d").cast("timestamp_ntz"))
+    val hist = Scd2.build(log, Seq("k"), "d", Seq("status"), Some("seq"))
+      .select(col("k"), col("status"),
+        date_format(col("valid_from"), "yyyy-MM-dd").as("from"),
+        date_format(col("valid_to"), "yyyy-MM-dd").as("to"),
+        col("is_current"))
+      .as[(Long, String, String, Option[String], Boolean)]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(hist == Seq(
+      (1L, "A", "2024-01-01", Some("2024-03-01"), false), // dup collapsed
+      (1L, "B", "2024-03-01", Some("2024-04-01"), false),
+      (1L, "A", "2024-04-01", None, true),
+      (2L, "X", "2024-01-15", None, true)))
+    // exactly one current row per key
+    val cur = hist.filter(_._5).groupBy(_._1).view.mapValues(_.size).toMap
+    assert(cur == Map(1L -> 1, 2L -> 1))
+  }
+
   test("Bm25.topK ranks term-dense docs first and never returns non-matches") {
     val docs = Seq(
       (1L, "spark spark spark join"),
