@@ -523,6 +523,16 @@ object SparkEntry {
         c = 16, nprobe = 6)
     }),
 
+    "q_ann_ivf_indexed" -> ((s, d) => {
+      // write-time-partitioned IVF index + partition-pruned search —
+      // the 100 TB form (rows-only; spec asserts equality with the
+      // inline form and PartitionFilters in the scan)
+      val emb = Tables.embeddings(s, d)
+      val tmp = s"/tmp/graft_ivf_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.ann.Ivf.writeIndex(emb, tmp, c = 16)
+      graft.ann.Ivf.topKIndexed(tmp, emb.filter(col("vec_id") < 8), k = 5, nprobe = 6)
+    }),
+
     "q_dedup_minhash" -> ((s, d) =>
       MinHashLSH.nearDupSummary(Tables.documents(s, d), "doc_id", "text")),
 

@@ -76,21 +76,19 @@ object Ivf {
       corpus.select(col("vec_id"), VectorFunctions.toDouble(col("embedding")).as("emb")),
       cents)
 
-  /** Approximate top-k: probe the `nprobe` nearest cells per query. */
-  def topK(corpus: DataFrame, queries: DataFrame, k: Int,
-           c: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
-    val cents = centroids(corpus, c, iters).cache()
-    val indexed = index(corpus, cents)
-    val qEmb = queries.select(col("vec_id").as("query_id"),
-      VectorFunctions.toDouble(col("embedding")).as("q_emb"))
+  /** nprobe nearest cells per query: (query_id, cluster_id, q_emb). */
+  private def probe(qEmb: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
     val probeW = Window.partitionBy("query_id")
       .orderBy(col("c_sim").desc, col("cluster_id").asc)
-    val probed = qEmb.crossJoin(broadcast(cents))
+    qEmb.crossJoin(broadcast(cents))
       .withColumn("c_sim", VectorFunctions.cosine(col("q_emb"), col("centroid")))
       .withColumn("c_rank", row_number().over(probeW))
       .filter(col("c_rank") <= nprobe)
       .select("query_id", "cluster_id", "q_emb")
-    // cluster_id equality join == partition pruning on an indexed corpus
+  }
+
+  /** Score probed cells and keep the per-query top-k. */
+  private def scoreAndRank(indexed: DataFrame, probed: DataFrame, k: Int): DataFrame = {
     val scored = indexed.join(broadcast(probed), Seq("cluster_id"))
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("sim", round(VectorFunctions.cosine(col("q_emb"), col("emb")), 4))
@@ -100,5 +98,51 @@ object Ivf {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("nbr_id"), col("sim"))
+  }
+
+  private def queryEmb(queries: DataFrame): DataFrame =
+    queries.select(col("vec_id").as("query_id"),
+      VectorFunctions.toDouble(col("embedding")).as("q_emb"))
+
+  /** Approximate top-k: probe the `nprobe` nearest cells per query. */
+  def topK(corpus: DataFrame, queries: DataFrame, k: Int,
+           c: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    val cents = centroids(corpus, c, iters).cache()
+    // cluster_id equality join == partition pruning on an indexed corpus
+    scoreAndRank(index(corpus, cents), probe(queryEmb(queries), cents, nprobe), k)
+  }
+
+  /** Materialize the index: cells/ is the corpus PARTITIONED BY
+    * cluster_id (each cell its own directory), centroids/ the tiny
+    * centroid table. This is the 100 TB form — the k-means assignment
+    * shuffle is paid once at write time, and every later search reads
+    * only the probed cells' directories.
+    */
+  def writeIndex(corpus: DataFrame, path: String,
+                 c: Int = 16, iters: Int = 2): Unit = {
+    val cents = centroids(corpus, c, iters).cache()
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    index(corpus, cents)
+      .repartition(col("cluster_id"))
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(s"$path/cells")
+  }
+
+  /** Search a written index. The union of probed cells is collected
+    * to the driver — bounded by `c` (tens to low hundreds) regardless
+    * of corpus size — and pushed into the scan as a LITERAL partition
+    * filter, so the plan reads nprobe-ish/c of the data (PartitionFilters,
+    * plan-asserted in spec). This, not the inline form, is what runs
+    * against a 100 TB corpus.
+    */
+  def topKIndexed(path: String, queries: DataFrame, k: Int,
+                  nprobe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids")
+    val probed = probe(queryEmb(queries), cents, nprobe).cache()
+    val cells: Array[Int] = probed.select("cluster_id").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val indexed = spark.read.parquet(s"$path/cells")
+      .filter(col("cluster_id").isin(cells.map(x => x: Any): _*))
+    scoreAndRank(indexed, probed, k)
   }
 }

@@ -102,4 +102,21 @@ class GroundTruthSpec extends SparkSpec {
     assert(lshRecall >= 0.7, s"LSH recall $lshRecall below measured floor")
     assert(ivfRecall >= 0.6, s"IVF recall $ivfRecall below measured floor")
   }
+
+  test("IVF written index: identical results to inline form, partition-pruned scan") {
+    val emb = Tables.embeddings(spark, sf()).select("vec_id", "embedding")
+    val q = emb.filter(col("vec_id") < 8)
+    val tmp = "/tmp/graft_ivf_spec"
+    graft.ann.Ivf.writeIndex(emb, tmp, c = 16)
+    val indexed = graft.ann.Ivf.topKIndexed(tmp, q, k = 5, nprobe = 6)
+    val inline = graft.ann.Ivf.topK(emb, q, k = 5, c = 16, nprobe = 6)
+    assert(indexed.collect().map(_.toString).sorted.toSeq ==
+      inline.collect().map(_.toString).sorted.toSeq)
+    // the probed-cells filter must reach the scan as a partition filter
+    // (reads nprobe-ish of 16 cell directories, not the corpus)
+    val scans = indexed.queryExecution.executedPlan.collectLeaves().map(_.toString)
+    val cellScan = scans.find(_.contains("cells"))
+    assert(cellScan.exists(_.contains("PartitionFilters: [cluster_id")),
+      s"expected partition-pruned cells scan:\n${scans.mkString("\n")}")
+  }
 }
