@@ -436,6 +436,15 @@ object SparkEntry {
           Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
           Seq("lang"), Seq(col("doc_id").asc), n = 3)),
 
+    "q_numeric_profile" -> ((s, d) => {
+      val p = Profiler.numericProfile(Tables.orders(s, d),
+        Seq("o_totalprice", "o_custkey"))
+      p.select(col("column"), col("n"), col("n_null"), col("min"), col("max"),
+        pround(col("mean"), 4).as("mean"),
+        pround(col("stddev"), 4).as("stddev"),
+        pround(col("median"), 4).as("median"))
+    }),
+
     "q_scd2_build" -> ((s, d) =>
       // type-2 dimension history: customer order-status over time
       graft.operators.Scd2.build(Tables.orders(s, d), Seq("o_custkey"),
@@ -891,6 +900,29 @@ object SparkEntry {
     "q_dedup_drop" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))""",
+
+    "q_numeric_profile" ->
+      """SELECT 'o_totalprice' AS "column",
+           count(o_totalprice) AS n,
+           count(*) - count(o_totalprice) AS n_null,
+           CAST(min(o_totalprice) AS DOUBLE) AS min,
+           CAST(max(o_totalprice) AS DOUBLE) AS max,
+           floor(avg(o_totalprice) * 10000.0 + 0.5) / 10000.0 AS mean,
+           floor(stddev_samp(o_totalprice) * 10000.0 + 0.5) / 10000.0 AS stddev,
+           floor(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) * 10000.0 + 0.5)
+             / 10000.0 AS median
+         FROM orders
+         UNION ALL
+         SELECT 'o_custkey',
+           count(o_custkey),
+           count(*) - count(o_custkey),
+           CAST(min(o_custkey) AS DOUBLE),
+           CAST(max(o_custkey) AS DOUBLE),
+           floor(avg(o_custkey) * 10000.0 + 0.5) / 10000.0,
+           floor(stddev_samp(o_custkey) * 10000.0 + 0.5) / 10000.0,
+           floor(quantile_cont(CAST(o_custkey AS DOUBLE), 0.5) * 10000.0 + 0.5)
+             / 10000.0
+         FROM orders""",
 
     // SCD2: keep only rows where the tracked attribute changed vs the
     // previous observation per key; valid_to = next change's ts

@@ -47,6 +47,37 @@ object Profiler {
         greatest(col("total_rows") - col("approx_distinct_keys"), lit(0L)))
   }
 
+  /** Numeric column statistics, one row per column, ONE scan: count,
+    * nulls, min/max/mean/stddev and the exact interpolated median.
+    * All aggregates partial-combine except `percentile`, whose buffer
+    * grows with distinct values — at 100 TB swap it for
+    * `approx_percentile` (same call shape; the spec bounds the
+    * approximation against exact on real data).
+    */
+  def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty)
+    val d = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__n"),
+        count(when(col(c).isNull, lit(1))).as(s"${c}__n_null"),
+        min(col(c)).as(s"${c}__min"),
+        max(col(c)).as(s"${c}__max"),
+        avg(col(c)).as(s"${c}__mean"),
+        stddev_samp(col(c)).as(s"${c}__stddev"),
+        expr(s"percentile(`$c`, 0.5)").as(s"${c}__median"))
+    }
+    val one = d.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("column"),
+        col(s"${c}__n").as("n"), col(s"${c}__n_null").as("n_null"),
+        col(s"${c}__min").as("min"), col(s"${c}__max").as("max"),
+        col(s"${c}__mean").as("mean"), col(s"${c}__stddev").as("stddev"),
+        col(s"${c}__median").as("median"))
+    }
+    one.select(explode(array(rows: _*)).as("s")).select("s.*")
+  }
+
   /** Seeded sample profile (the reference profiles a 1% sample to
     * bound cost on large inputs).
     */

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import graft.operators._
 
@@ -167,6 +168,24 @@ class OperatorsSpec extends SparkSpec {
     assert(a == b, "same seed must reproduce the same sample in the same order")
     assert(a.size == 10 && a.map(_._1).distinct.size == 10)
     assert(a.toSet != c.toSet, "different seed must select a different sample")
+  }
+
+  test("numericProfile: one row per column; approx median tracks exact at scale") {
+    val docs = Tables.documents(spark, sf())
+    val total = docs.count()
+    val p = Profiler.numericProfile(docs, Seq("n_chars", "doc_id"))
+      .collect().map(r => r.getAs[String]("column") -> r).toMap
+    assert(p.keySet == Set("n_chars", "doc_id"))
+    val nc = p("n_chars")
+    assert(nc.getAs[Long]("n") + nc.getAs[Long]("n_null") == total)
+    assert(nc.getAs[Double]("min") <= nc.getAs[Double]("median") &&
+      nc.getAs[Double]("median") <= nc.getAs[Double]("max"))
+    // the documented 100 TB swap: approx_percentile stays within 2% of
+    // the exact interpolated median on real data
+    val Row(exact: Double, approx: Double) = docs
+      .select(expr("percentile(n_chars, 0.5)"),
+        expr("approx_percentile(n_chars, 0.5, 10000)").cast("double")).head()
+    assert(math.abs(approx - exact) / exact < 0.02, s"exact=$exact approx=$approx")
   }
 
   test("Scd2.build: change-only rows, contiguous validity, single current") {
