@@ -436,6 +436,10 @@ object SparkEntry {
           Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
           Seq("lang"), Seq(col("doc_id").asc), n = 3)),
 
+    "q_heavy_hitters" -> ((s, d) =>
+      // key-skew diagnostic on the events stream's user key
+      Profiler.heavyHitters(Tables.events(s, d), Seq("user_id"), topN = 10)),
+
     "q_numeric_profile" -> ((s, d) => {
       val p = Profiler.numericProfile(Tables.orders(s, d),
         Seq("o_totalprice", "o_custkey"))
@@ -900,6 +904,16 @@ object SparkEntry {
     "q_dedup_drop" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))""",
+
+    "q_heavy_hitters" ->
+      """WITH c AS (
+           SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+         ), t AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM events)
+         SELECT user_id, n,
+           floor(n / total * 10000.0 + 0.5) / 10000.0 AS share
+         FROM c, t
+         ORDER BY n DESC, user_id ASC
+         LIMIT 10""",
 
     "q_numeric_profile" ->
       """SELECT 'o_totalprice' AS "column",

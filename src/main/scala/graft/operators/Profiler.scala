@@ -78,6 +78,24 @@ object Profiler {
     one.select(explode(array(rows: _*)).as("s")).select("s.*")
   }
 
+  /** Heavy-hitter / key-skew diagnostic: top-n keys by frequency with
+    * their share of all rows — the profile you run on a join key
+    * before deciding between plain, broadcast, and salted joins
+    * ([[SkewJoin]]). One keyed shuffle (partial-aggregated counts), a
+    * broadcast scalar for the total, TakeOrdered for the top-n.
+    */
+  def heavyHitters(df: DataFrame, keyCols: Seq[String], topN: Int = 10): DataFrame = {
+    require(keyCols.nonEmpty)
+    val counts = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
+    val total = df.select(count(lit(1)).cast("double").as("__total"))
+    counts.join(broadcast(total))
+      .select(keyCols.map(col) :+ col("n") :+
+        (floor(col("n") / col("__total") * lit(10000.0) + lit(0.5)) / lit(10000.0))
+          .as("share"): _*)
+      .orderBy(col("n").desc +: keyCols.map(col(_).asc): _*)
+      .limit(topN)
+  }
+
   /** Seeded sample profile (the reference profiles a 1% sample to
     * bound cost on large inputs).
     */
