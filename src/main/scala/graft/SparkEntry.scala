@@ -576,7 +576,9 @@ object SparkEntry {
 
     "q_sessionize" -> ((s, d) => Events.sessionizeBatch(Tables.events(s, d), 30)),
 
-    "q_sessionize_stream" -> ((s, d) => Events.sessionizeFileStream(s, d, 30))
+    "q_sessionize_stream" -> ((s, d) => Events.sessionizeFileStream(s, d, 30)),
+
+    "q_stream_join" -> ((s, d) => Events.attributionFileStream(s, d, 30))
   )
 
   // ---------------------------------------------------------------
@@ -904,6 +906,16 @@ object SparkEntry {
     "q_dedup_drop" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))""",
+
+    // stream-stream attribution join == batch interval self-join
+    "q_stream_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           c.event_id AS click_id, c.ts AS click_ts
+         FROM events p JOIN events c
+           ON p.user_id = c.user_id
+          AND c.ts <= p.ts
+          AND c.ts >= p.ts - INTERVAL 30 MINUTE
+         WHERE p.event_type = 'purchase' AND c.event_type = 'click'""",
 
     "q_heavy_hitters" ->
       """WITH c AS (

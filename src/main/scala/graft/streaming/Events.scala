@@ -179,6 +179,61 @@ object Events {
     }
   }
 
+  /** Stream-stream inner join with time-bound state: attribute each
+    * purchase to the same user's clicks at most `withinMinutes` before
+    * it. Watermarks on BOTH sides plus the two-sided time-range
+    * condition are what let Spark expire join state — without them a
+    * stream-stream join buffers forever. Inner-join output is eager
+    * (a match emits as soon as both rows arrived); the watermark only
+    * governs state cleanup, so results are complete even on a
+    * single-batch run.
+    */
+  def attributionStream(purchases: DataFrame, clicks: DataFrame,
+                        withinMinutes: Int = 30,
+                        purchaseWm: String = "30 minutes",
+                        clickWm: String = "1 hour"): DataFrame = {
+    val p = purchases.withWatermark("ts", purchaseWm)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    val c = clicks.withWatermark("ts", clickWm)
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"),
+        col("ts").as("click_ts"))
+    p.join(c,
+      col("user_id") === col("c_user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $withinMinutes MINUTES"))
+      .select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
+  }
+
+  /** The attribution join as a REAL two-source file-stream query
+    * (AvailableNow → memory sink), gate-compared to a DuckDB interval
+    * self-join oracle.
+    */
+  def attributionFileStream(spark: SparkSession, sfDir: String,
+                            withinMinutes: Int = 30): DataFrame = {
+    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // stream-stream joins require LTZ event time (EVENT_TIME_IS_NOT_ON
+    // _TIMESTAMP_TYPE on NTZ); outputs are cast back to NTZ below to
+    // match the batch tables (session TZ is UTC)
+    def stream(eventType: String): DataFrame =
+      spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .filter(col("event_type") === eventType)
+    val joined = attributionStream(stream("purchase"), stream("click"), withinMinutes)
+      .withColumn("purchase_ts", col("purchase_ts").cast("timestamp_ntz"))
+      .withColumn("click_ts", col("click_ts").cast("timestamp_ntz"))
+    val name = "graft_attribution_stream"
+    val q = joined.writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    spark.table(name).localCheckpoint(eager = true)
+  }
+
   /** Streaming exact dedup: drop events whose (event_id) was already
     * seen, with state bounded by the watermark —
     * `dropDuplicatesWithinWatermark` keeps a key in state only until

@@ -89,6 +89,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attributionStream: joins clicks within the window, excludes outside") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val clicks = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    def df(m: MemoryStream[(Long, Timestamp, Long, String, Double)]) =
+      m.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val joined = Events.attributionStream(df(purchases), df(clicks), withinMinutes = 30)
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData(
+        (10L, ts("2024-01-01 09:50:00"), 1L, "click", 0.0),  // in window
+        (11L, ts("2024-01-01 09:00:00"), 1L, "click", 0.0),  // too early
+        (12L, ts("2024-01-01 10:05:00"), 1L, "click", 0.0),  // after purchase
+        (13L, ts("2024-01-01 09:55:00"), 2L, "click", 0.0))  // other user
+      purchases.addData((1L, ts("2024-01-01 10:00:00"), 1L, "purchase", 5.0))
+      q.processAllAvailable()
+      val out = spark.table("attrib")
+        .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+      assert(out == Set((1L, 10L)), s"got $out")
+      // a click arriving later (but in-window by event time) still joins:
+      // inner-join emission is eager, not watermark-gated
+      clicks.addData((14L, ts("2024-01-01 09:40:00"), 1L, "click", 0.0))
+      q.processAllAvailable()
+      val out2 = spark.table("attrib")
+        .select("purchase_id", "click_id").as[(Long, Long)].collect().toSet
+      assert(out2 == Set((1L, 10L), (1L, 14L)), s"got $out2")
+    } finally q.stop()
+  }
+
   test("sessionizeStream: in-batch gap close and event-time timeout close") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Events.Event]
