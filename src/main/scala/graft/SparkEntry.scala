@@ -425,6 +425,14 @@ object SparkEntry {
         stopwords, langMarkers, minQuality = 0.3,
         allowedLangs = Seq("en"), minTokens = 10)),
 
+    "q_corpus_prep_staged" -> ((s, d) =>
+      // write-barrier variant: scored corpus staged to parquet instead
+      // of cache — the form that holds at 100 TB. Same oracle as prep.
+      graft.pipeline.CorpusPrep.prepStaged(Tables.documents(s, d), "doc_id", "text",
+        stopwords, langMarkers, minQuality = 0.3,
+        allowedLangs = Seq("en"), minTokens = 10,
+        stagePath = s"/tmp/graft_prep_stage_${d.replaceAll("[^a-zA-Z0-9]", "_")}")),
+
     "q_corpus_prep_full" -> ((s, d) =>
       // + MinHash near-dup removal (rows-only: LSH not SQL-expressible)
       graft.pipeline.CorpusPrep.prepFull(Tables.documents(s, d), "doc_id", "text",
@@ -633,6 +641,50 @@ object SparkEntry {
               ELSE 'large' END AS value_segment,
          CAST(2026 - year(o_orderdate) AS BIGINT) AS years_since_order
        FROM dedup WHERE rn = 1"""
+
+  private val corpusPrepSql =
+    """WITH c AS (
+           SELECT doc_id,
+             trim(regexp_replace(regexp_replace(
+               regexp_replace(text, 'https?://\S+', ' ', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' ', 'g'),
+               '\s+', ' ', 'g')) AS clean
+           FROM documents
+         ), t AS (
+           SELECT doc_id, clean,
+             CASE WHEN length(trim(lower(clean))) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(lower(clean)), '\s+') END AS toks
+           FROM c
+         ), s AS (
+           SELECT doc_id, clean,
+             floor((least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
+               + (CASE WHEN length(clean) = 0 THEN 0.0
+                       ELSE CAST(len(regexp_extract_all(clean, '[A-Za-z]')) AS DOUBLE) / length(clean) END)
+               + least((CASE WHEN len(toks) = 0 THEN 0.0
+                             ELSE CAST(len(list_filter(toks,
+                                    x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE)
+                                  / len(toks) END) * 4.0, 1.0)
+               ) / 3.0 * 10000.0 + 0.5) / 10000.0 AS quality,
+             len(list_filter(toks, x -> list_contains(['the','a'], x))) AS s_en,
+             len(list_filter(toks, x -> list_contains(['el','la','los'], x))) AS s_es,
+             len(list_filter(toks, x -> list_contains(['der','die','und'], x))) AS s_de,
+             len(list_filter(toks, x -> list_contains(['le','les','et'], x))) AS s_fr,
+             CAST(len(toks) AS BIGINT) AS n_tokens
+           FROM t
+         ), p AS (
+           SELECT doc_id, clean, quality, n_tokens,
+             CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+                  WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+                  WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+                  WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+                  ELSE 'fr' END AS lang_pred
+           FROM s
+         ), g AS (
+           SELECT * FROM p
+           WHERE quality >= 0.3 AND lang_pred IN ('en') AND n_tokens >= 10
+         )
+         SELECT doc_id, quality, lang_pred, n_tokens FROM g
+         WHERE doc_id IN (SELECT min(doc_id) FROM g GROUP BY md5(clean))"""
 
   def oracleSql: Map[String, String] = Map(
 
@@ -849,49 +901,10 @@ object SparkEntry {
          ORDER BY o_orderdate DESC, o_orderkey DESC
          LIMIT 1""",
 
-    "q_corpus_prep" ->
-      """WITH c AS (
-           SELECT doc_id,
-             trim(regexp_replace(regexp_replace(
-               regexp_replace(text, 'https?://\S+', ' ', 'g'),
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' ', 'g'),
-               '\s+', ' ', 'g')) AS clean
-           FROM documents
-         ), t AS (
-           SELECT doc_id, clean,
-             CASE WHEN length(trim(lower(clean))) = 0 THEN CAST([] AS VARCHAR[])
-                  ELSE string_split_regex(trim(lower(clean)), '\s+') END AS toks
-           FROM c
-         ), s AS (
-           SELECT doc_id, clean,
-             floor((least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
-               + (CASE WHEN length(clean) = 0 THEN 0.0
-                       ELSE CAST(len(regexp_extract_all(clean, '[A-Za-z]')) AS DOUBLE) / length(clean) END)
-               + least((CASE WHEN len(toks) = 0 THEN 0.0
-                             ELSE CAST(len(list_filter(toks,
-                                    x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE)
-                                  / len(toks) END) * 4.0, 1.0)
-               ) / 3.0 * 10000.0 + 0.5) / 10000.0 AS quality,
-             len(list_filter(toks, x -> list_contains(['the','a'], x))) AS s_en,
-             len(list_filter(toks, x -> list_contains(['el','la','los'], x))) AS s_es,
-             len(list_filter(toks, x -> list_contains(['der','die','und'], x))) AS s_de,
-             len(list_filter(toks, x -> list_contains(['le','les','et'], x))) AS s_fr,
-             CAST(len(toks) AS BIGINT) AS n_tokens
-           FROM t
-         ), p AS (
-           SELECT doc_id, clean, quality, n_tokens,
-             CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
-                  WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
-                  WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
-                  WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
-                  ELSE 'fr' END AS lang_pred
-           FROM s
-         ), g AS (
-           SELECT * FROM p
-           WHERE quality >= 0.3 AND lang_pred IN ('en') AND n_tokens >= 10
-         )
-         SELECT doc_id, quality, lang_pred, n_tokens FROM g
-         WHERE doc_id IN (SELECT min(doc_id) FROM g GROUP BY md5(clean))""",
+    "q_corpus_prep" -> corpusPrepSql,
+
+    // staged (write-barrier) variant has identical semantics
+    "q_corpus_prep_staged" -> corpusPrepSql,
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,

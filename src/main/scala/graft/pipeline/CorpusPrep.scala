@@ -24,13 +24,10 @@ import graft.operators.Deduplicator
   */
 object CorpusPrep {
 
-  /** Deterministic, SQL-expressible portion (oracle-checked). Returns
-    * the surviving corpus with its stats.
-    */
-  def prep(docs: DataFrame, idCol: String, textCol: String,
-           stopwords: Seq[String], langMarkers: Seq[(String, Seq[String])],
-           minQuality: Double, allowedLangs: Seq[String],
-           minTokens: Int): DataFrame = {
+  /** clean + per-doc stats, no materialization decision yet. */
+  private def scoredFrame(docs: DataFrame, idCol: String, textCol: String,
+                          stopwords: Seq[String],
+                          langMarkers: Seq[(String, Seq[String])]): DataFrame = {
     val n = docs.sparkSession.sparkContext.defaultParallelism
     val cleaned = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
       .repartition(n) // spread raw text off a possibly single-task scan
@@ -41,11 +38,32 @@ object CorpusPrep {
       // is a no-shuffle pipeline break that forces `clean` to be
       // computed once. ~4x fewer regex passes.
       .sortWithinPartitions("doc_id")
-    val scored = cleaned.select(
+    cleaned.select(
       col("doc_id"), col("clean"),
       TF.qualityScore(col("clean"), stopwords).as("quality"),
       TF.langId(col("clean"), langMarkers).as("lang_pred"),
       TF.tokenCount(col("clean")).as("n_tokens"))
+  }
+
+  /** gates + exact dedup over a MATERIALIZED scored frame. */
+  private def gateAndDedup(scored: DataFrame, minQuality: Double,
+                           allowedLangs: Seq[String], minTokens: Int): DataFrame = {
+    val gated = scored
+      .filter(col("quality") >= minQuality)
+      .filter(col("lang_pred").isin(allowedLangs: _*))
+      .filter(col("n_tokens") >= minTokens)
+    Deduplicator.exact(gated, "doc_id", "clean")
+      .select("doc_id", "quality", "lang_pred", "n_tokens")
+  }
+
+  /** Deterministic, SQL-expressible portion (oracle-checked). Returns
+    * the surviving corpus with its stats.
+    */
+  def prep(docs: DataFrame, idCol: String, textCol: String,
+           stopwords: Seq[String], langMarkers: Seq[(String, Seq[String])],
+           minQuality: Double, allowedLangs: Seq[String],
+           minTokens: Int): DataFrame = {
+    val scored = scoredFrame(docs, idCol, textCol, stopwords, langMarkers)
       // cache: (a) the gate predicates would otherwise PUSH DOWN past
       // the repartition and re-inline the full clean+stat expressions
       // into the (single-task) scan stage; against a cached relation
@@ -53,12 +71,25 @@ object CorpusPrep {
       // consumes this frame twice (group + semi-join), so the pipeline
       // runs once, not three times.
       .cache()
-    val gated = scored
-      .filter(col("quality") >= minQuality)
-      .filter(col("lang_pred").isin(allowedLangs: _*))
-      .filter(col("n_tokens") >= minTokens)
-    Deduplicator.exact(gated, "doc_id", "clean")
-      .select("doc_id", "quality", "lang_pred", "n_tokens")
+    gateAndDedup(scored, minQuality, allowedLangs, minTokens)
+  }
+
+  /** The 100 TB form of [[prep]]: the scored corpus is STAGED TO
+    * STORAGE (write barrier) instead of executor memory — a cache of
+    * the full scored corpus doesn't fit at scale, evicts under
+    * pressure (re-running the regex pipeline), and dies with the job;
+    * a parquet stage is durable, spillless, column-pruned on re-read,
+    * and doubles as the pipeline's checkpoint for downstream jobs.
+    * Same semantics (oracle-checked against the same SQL as prep).
+    */
+  def prepStaged(docs: DataFrame, idCol: String, textCol: String,
+                 stopwords: Seq[String], langMarkers: Seq[(String, Seq[String])],
+                 minQuality: Double, allowedLangs: Seq[String],
+                 minTokens: Int, stagePath: String): DataFrame = {
+    scoredFrame(docs, idCol, textCol, stopwords, langMarkers)
+      .write.mode("overwrite").parquet(stagePath)
+    val scored = docs.sparkSession.read.parquet(stagePath)
+    gateAndDedup(scored, minQuality, allowedLangs, minTokens)
   }
 
   /** Deterministic train/val/test split: bucket = xxhash64(id, salt)
