@@ -42,6 +42,8 @@ object BinaryColumns {
     // real decoded dimensions (null when the payload isn't a decodable image)
     StructField("width", IntegerType, nullable = true),
     StructField("height", IntegerType, nullable = true),
+    // real decoded duration (null unless the payload is decodable audio)
+    StructField("duration_ms", LongType, nullable = true),
     StructField("feature", ArrayType(FloatType), nullable = true)
   ))
 
@@ -101,11 +103,56 @@ object BinaryColumns {
     hist.map(_ / n)
   }
 
+  /** REAL audio decode via JDK-built-in javax.sound.sampled (WAV/AIFF
+    * PCM). None when the bytes aren't a decodable audio file.
+    */
+  def decodeAudio(payload: Array[Byte])
+      : Option[(javax.sound.sampled.AudioFormat, Array[Byte])] =
+    if (payload.isEmpty) None
+    else
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val out = (ais.getFormat, ais.readAllBytes())
+        ais.close()
+        Some(out)
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException |
+             _: java.io.IOException => None
+      }
+
+  /** 8-segment RMS envelope over 16-bit PCM samples, each segment's
+    * root-mean-square amplitude normalized to [0,1] — a real audio
+    * feature with the same shape the stub fakes for video.
+    */
+  def audioFeature(pcm: Array[Byte]): Array[Float] = {
+    val nSamples = pcm.length / 2
+    if (nSamples == 0) return new Array[Float](8)
+    val out = new Array[Float](8)
+    var seg = 0
+    while (seg < 8) {
+      val from = nSamples.toLong * seg / 8
+      val until = nSamples.toLong * (seg + 1) / 8
+      var acc = 0.0
+      var i = from
+      while (i < until) {
+        // little-endian signed 16-bit
+        val s = ((pcm((i * 2).toInt) & 0xFF) | (pcm((i * 2 + 1).toInt) << 8)).toShort
+        acc += s.toDouble * s
+        i += 1
+      }
+      val n = (until - from).max(1)
+      out(seg) = (math.sqrt(acc / n) / 32768.0).toFloat
+      seg += 1
+    }
+    out
+  }
+
   /** Feature extraction over an iterator of rows — the mapPartitions
     * pattern a real decoder needs (amortizes decoder init per
     * partition, streams rows, never materializes the partition).
-    * Images decode for real; non-decodable payloads and audio/video
-    * fall back to the stub with null dimensions.
+    * Images and audio decode for real; non-decodable payloads and
+    * video fall back to the stub with null dimensions/duration.
     */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -117,18 +164,63 @@ object BinaryColumns {
         rows.map { r =>
           val payload = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.emptyByteArray)
           val mt = r.getAs[String]("media_type")
-          val decoded = if (mt == "image") decodeImage(payload) else None
-          val (w, h, feat) = decoded match {
-            case Some(img) =>
-              (Integer.valueOf(img.getWidth), Integer.valueOf(img.getHeight), imageFeature(img))
-            case None => (null, null, decodeStub(payload, mt))
+          val (w, h, durMs, feat) = mt match {
+            case "image" =>
+              decodeImage(payload) match {
+                case Some(img) =>
+                  (Integer.valueOf(img.getWidth), Integer.valueOf(img.getHeight),
+                    null, imageFeature(img))
+                case None => (null, null, null, decodeStub(payload, mt))
+              }
+            case "audio" =>
+              decodeAudio(payload) match {
+                case Some((fmt, pcm)) =>
+                  val frames = pcm.length / fmt.getFrameSize
+                  val dur = (frames * 1000.0 / fmt.getFrameRate).toLong
+                  (null, null, java.lang.Long.valueOf(dur), audioFeature(pcm))
+                case None => (null, null, null, decodeStub(payload, mt))
+              }
+            case _ => (null, null, null, decodeStub(payload, mt))
           }
           Row(r.getAs[Long]("media_id"), mt,
             payload.length.toLong,
             java.util.Arrays.hashCode(payload).toLong,
-            w, h, feat)
+            w, h, durMs, feat)
         }
       }(enc)
+  }
+
+  /** Deterministic REAL-WAV media table: each payload is an actual
+    * 16-bit PCM mono WAV (seeded sine tone, encoded with
+    * javax.sound.sampled) — exercises the real audio decode path with
+    * zero external fixtures.
+    */
+  def syntheticAudio(spark: SparkSession, n: Int, rateHz: Int = 8000,
+                     millis: Int = 250): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    spark.range(n.toLong).mapPartitions { ids =>
+      ids.map { idRow =>
+        val id = idRow.longValue()
+        val nSamples = rateHz * millis / 1000
+        val freq = 200.0 + id * 50.0
+        val pcm = new Array[Byte](nSamples * 2)
+        var i = 0
+        while (i < nSamples) {
+          val s = (math.sin(2 * math.Pi * freq * i / rateHz) * 8000).toInt.toShort
+          pcm(i * 2) = (s & 0xFF).toByte
+          pcm(i * 2 + 1) = ((s >> 8) & 0xFF).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(rateHz.toFloat, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        Row(id, "audio", bos.toByteArray,
+          Row(null, null, java.lang.Long.valueOf(millis.toLong), "wav"))
+      }
+    }(enc)
   }
 
   /** Deterministic REAL-PNG media table: each row's payload is an

@@ -60,6 +60,22 @@ class MultimodalSpec extends SparkSpec {
     assert(distinctFeats.length > 1)
   }
 
+  test("real WAV decode: true duration and RMS envelope of the sine tones") {
+    val media = BinaryColumns.syntheticAudio(spark, 12, rateHz = 8000, millis = 250)
+    val f = BinaryColumns.extractFeatures(media).collect()
+    assert(f.length == 12)
+    f.foreach { r =>
+      // duration comes from actually parsing the WAV, not metadata
+      assert(r.getAs[Long]("duration_ms") == 250L, r)
+      assert(r.isNullAt(r.fieldIndex("width")), r)
+      val feat = r.getAs[scala.collection.Seq[Float]]("feature")
+      assert(feat.length == 8)
+      // a constant-amplitude sine has near-equal RMS in every segment,
+      // well above silence and below clipping
+      assert(feat.forall(v => v > 0.1f && v < 0.3f), s"rms=$feat")
+    }
+  }
+
   test("non-decodable image payloads fall back to the stub with null dimensions") {
     val media = BinaryColumns.syntheticMedia(spark, 9) // md5-derived bytes, not PNGs
     val f = BinaryColumns.extractFeatures(media)
