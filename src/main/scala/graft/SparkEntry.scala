@@ -448,6 +448,24 @@ object SparkEntry {
       // key-skew diagnostic on the events stream's user key
       Profiler.heavyHitters(Tables.events(s, d), Seq("user_id"), topN = 10)),
 
+    "q_upsert" -> ((s, d) => {
+      // MERGE INTO analogue: deterministic changeset (double the price
+      // of every 97th order at v2, tombstone every 101st at v3)
+      // applied to the snapshot; WindowGroupLimit winner per key
+      val base = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      val snap = base.withColumn("version", lit(1L)).withColumn("deleted", lit(false))
+      val ups = base.filter(pmod(col("o_orderkey"), lit(97)) === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") * 2).as("o_totalprice"), lit("U").as("o_orderstatus"))
+        .withColumn("version", lit(2L)).withColumn("deleted", lit(false))
+      val dels = base.filter(pmod(col("o_orderkey"), lit(101)) === 0)
+        .withColumn("version", lit(3L)).withColumn("deleted", lit(true))
+      graft.operators.Upsert(snap, ups.unionByName(dels),
+          Seq("o_orderkey"), "version", Some("deleted"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus", "version")
+    }),
+
     "q_numeric_profile" -> ((s, d) => {
       val p = Profiler.numericProfile(Tables.orders(s, d),
         Seq("o_totalprice", "o_custkey"))
@@ -939,6 +957,30 @@ object SparkEntry {
          FROM c, t
          ORDER BY n DESC, user_id ASC
          LIMIT 10""",
+
+    "q_upsert" ->
+      """WITH snap AS (
+           SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+             1 AS version, false AS deleted, 0 AS src
+           FROM orders
+         ), ups AS (
+           SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice,
+             'U' AS o_orderstatus, 2 AS version, false AS deleted, 1 AS src
+           FROM orders WHERE o_orderkey % 97 = 0
+         ), dels AS (
+           SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+             3 AS version, true AS deleted, 1 AS src
+           FROM orders WHERE o_orderkey % 101 = 0
+         ), u AS (
+           SELECT * FROM snap UNION ALL SELECT * FROM ups UNION ALL SELECT * FROM dels
+         ), r AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY o_orderkey ORDER BY version DESC, src DESC) AS rn
+           FROM u
+         )
+         SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus,
+           CAST(version AS BIGINT) AS version
+         FROM r WHERE rn = 1 AND NOT deleted""",
 
     "q_numeric_profile" ->
       """SELECT 'o_totalprice' AS "column",

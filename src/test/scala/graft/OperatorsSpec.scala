@@ -170,6 +170,19 @@ class OperatorsSpec extends SparkSpec {
     assert(a.toSet != c.toSet, "different seed must select a different sample")
   }
 
+  test("Upsert: changeset beats snapshot at same version; tombstones delete") {
+    val snap = Seq((1L, "a", 1L, false), (2L, "b", 1L, false), (3L, "c", 1L, false))
+      .toDF("k", "v", "version", "deleted")
+    val changes = Seq(
+      (1L, "a2", 1L, false), // same version: changeset wins
+      (2L, "b2", 2L, true),  // tombstone
+      (4L, "d", 1L, false))  // brand-new key
+      .toDF("k", "v", "version", "deleted")
+    val out = Upsert(snap, changes, Seq("k"), "version", Some("deleted"))
+      .select("k", "v").as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "a2"), (3L, "c"), (4L, "d")))
+  }
+
   test("numericProfile: one row per column; approx median tracks exact at scale") {
     val docs = Tables.documents(spark, sf())
     val total = docs.count()

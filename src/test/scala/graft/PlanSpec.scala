@@ -72,6 +72,13 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("Upsert: per-key winner planned as WindowGroupLimit, single key shuffle") {
+    val p = plan("q_upsert")
+    assert(p.contains("WindowGroupLimit"), p)
+    val keyShuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning(o_orderkey"))
+    assert(keyShuffles == 1, s"expected one key shuffle, got $keyShuffles:\n$p")
+  }
+
   test("BM25: no token explode, broadcast stats, TakeOrdered top-k") {
     val p = plan("q_bm25_search")
     assert(!p.contains("Generate"), s"query-term tf must not explode tokens:\n$p")
