@@ -448,6 +448,35 @@ object SparkEntry {
       // key-skew diagnostic on the events stream's user key
       Profiler.heavyHitters(Tables.events(s, d), Seq("user_id"), topN = 10)),
 
+    "q_pivot" -> ((s, d) =>
+      // wide-format contingency matrix: explicit pivot values keep the
+      // schema static (no driver-side distinct scan at 100 TB)
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("c_mktsegment"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))),
+
+    "q_rollup" -> ((s, d) => {
+      // hierarchical totals in one pass (segment, segment×status, grand).
+      // SQL ROLLUP: the DataFrame .rollup() lineage duplicates grouping
+      // attribute names, which trips the ambiguous-self-join check when
+      // the null markers are re-projected — the SQL form resolves clean
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"), col("o_orderstatus").as("st"),
+          col("o_totalprice"))
+        .createOrReplaceTempView("rollup_in")
+      s.sql("""SELECT coalesce(seg, 'ALL') AS segment,
+                      coalesce(st, 'ALL') AS status,
+                      count(*) AS n, round(sum(o_totalprice), 2) AS total
+               FROM rollup_in GROUP BY ROLLUP(seg, st)""")
+    }),
+
     "q_upsert" -> ((s, d) => {
       // MERGE INTO analogue: deterministic changeset (double the price
       // of every 97th order at v2, tombstone every 101st at v3)
@@ -957,6 +986,21 @@ object SparkEntry {
          FROM c, t
          ORDER BY n DESC, user_id ASC
          LIMIT 10""",
+
+    "q_pivot" ->
+      """SELECT c_mktsegment,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
+
+    "q_rollup" ->
+      """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+           coalesce(o_orderstatus, 'ALL') AS status,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY ROLLUP(c_mktsegment, o_orderstatus)""",
 
     "q_upsert" ->
       """WITH snap AS (
