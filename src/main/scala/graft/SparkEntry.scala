@@ -477,6 +477,72 @@ object SparkEntry {
                FROM rollup_in GROUP BY ROLLUP(seg, st)""")
     }),
 
+    "q_cube" -> ((s, d) => {
+      // all 2^k grouping-set subtotals in one pass — the OLAP cube
+      // materialization; same single-shuffle Expand plan as ROLLUP
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"), col("o_orderstatus").as("st"),
+          col("o_totalprice"))
+        .createOrReplaceTempView("cube_in")
+      s.sql("""SELECT coalesce(seg, 'ALL') AS segment,
+                      coalesce(st, 'ALL') AS status,
+                      count(*) AS n, round(sum(o_totalprice), 2) AS total
+               FROM cube_in GROUP BY CUBE(seg, st)""")
+    }),
+
+    "q_window_analytics" -> ((s, d) => {
+      // the standard analytic-function battery over a per-key ordered
+      // stream: lag/lead, running position, quartile, relative rank.
+      // One window partitioning (custkey) reused across functions =
+      // one shuffle + one sort; ntile/percent_rank get a total
+      // ordering (price, key) so ranks are engine-deterministic
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wp = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey").orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .filter(col("o_custkey") % 10 === 0)
+        .select(col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).cast("long").as("order_seq"),
+          coalesce(round(col("o_totalprice") - lag("o_totalprice", 1).over(w), 2),
+            lit(0.0)).as("price_delta"),
+          coalesce(datediff(lead("o_orderdate", 1).over(w), col("o_orderdate"))
+            .cast("long"), lit(-1L)).as("days_to_next"),
+          ntile(4).over(wp).cast("long").as("price_quartile"),
+          pround(percent_rank().over(wp), 4).as("price_pct_rank"))
+    }),
+
+    "q_set_ops" -> ((s, d) => {
+      // INTERSECT / EXCEPT / UNION-distinct over customer key sets
+      // (customers with open vs finished orders). Each set op hashes
+      // on the full row — dedup + membership in one shuffle each
+      val o = Tables.orders(s, d)
+      val open = o.filter(col("o_orderstatus") === "O").select("o_custkey")
+      val done = o.filter(col("o_orderstatus") === "F").select("o_custkey")
+      val both = open.intersect(done).agg(count(lit(1)).as("n"))
+        .select(lit("both").as("op"), col("n"))
+      val openOnly = open.distinct.except(done).agg(count(lit(1)).as("n"))
+        .select(lit("open_only").as("op"), col("n"))
+      val either = open.union(done).distinct.agg(count(lit(1)).as("n"))
+        .select(lit("either").as("op"), col("n"))
+      both.unionByName(openOnly).unionByName(either)
+    }),
+
+    "q_compact" -> ((s, d) => {
+      // small-file compaction: 64-sliver write → byte-targeted rewrite;
+      // correctness = content identical through the rewrite
+      val base = s"/tmp/graft_compact_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      Tables.orders(s, d).repartition(64)
+        .write.mode("overwrite").parquet(s"$base/small")
+      graft.sources.Writers.compactParquet(s, s"$base/small", s"$base/out",
+        targetFileBytes = 64L * 1024 * 1024)
+      s.read.parquet(s"$base/out")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("sum_total"))
+    }),
+
     "q_upsert" -> ((s, d) => {
       // MERGE INTO analogue: deterministic changeset (double the price
       // of every 97th order at v2, tombstone every 101st at v3)
@@ -1001,6 +1067,44 @@ object SparkEntry {
            count(*) AS n, round(sum(o_totalprice), 2) AS total
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY ROLLUP(c_mktsegment, o_orderstatus)""",
+
+    "q_cube" ->
+      """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+           coalesce(o_orderstatus, 'ALL') AS status,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY CUBE(c_mktsegment, o_orderstatus)""",
+
+    "q_window_analytics" ->
+      """SELECT o_custkey, o_orderkey,
+           CAST(row_number() OVER w AS BIGINT) AS order_seq,
+           coalesce(round(o_totalprice - lag(o_totalprice, 1) OVER w, 2),
+                    0.0) AS price_delta,
+           coalesce(CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                      CAST(lead(o_orderdate, 1) OVER w AS DATE)) AS BIGINT),
+                    CAST(-1 AS BIGINT)) AS days_to_next,
+           CAST(ntile(4) OVER wp AS BIGINT) AS price_quartile,
+           floor(percent_rank() OVER wp * 10000 + 0.5) / 10000 AS price_pct_rank
+         FROM orders WHERE o_custkey % 10 = 0
+         WINDOW w  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                wp AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)""",
+
+    "q_set_ops" ->
+      """WITH open_k AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+              done_k AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+         SELECT 'both' AS op, count(*) AS n
+           FROM (SELECT * FROM open_k INTERSECT SELECT * FROM done_k)
+         UNION ALL
+         SELECT 'open_only', count(*)
+           FROM (SELECT * FROM open_k EXCEPT SELECT * FROM done_k)
+         UNION ALL
+         SELECT 'either', count(*)
+           FROM (SELECT * FROM open_k UNION SELECT * FROM done_k)""",
+
+    "q_compact" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_total
+         FROM orders GROUP BY o_orderstatus""",
 
     "q_upsert" ->
       """WITH snap AS (

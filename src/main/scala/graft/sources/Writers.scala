@@ -76,6 +76,29 @@ object Writers {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
 
+  /** Small-file compaction: rewrite a parquet directory into files of
+    * ~`targetFileBytes` each. At 100 TB the metadata cost of millions
+    * of KB-sized files (NameNode/S3 LIST pressure, per-file task
+    * overhead, footer reads) dominates scan time; periodic compaction
+    * of streaming/incremental output is the standard fix. File count
+    * is derived from the actual on-disk byte size, not row counts, so
+    * compression ratio is respected. Returns the output file count.
+    */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession,
+                     inPath: String, outPath: String,
+                     targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    spark.read.parquet(inPath)
+      .repartition(nFiles)
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "snappy")
+      .parquet(outPath)
+    nFiles
+  }
+
   /** Error-log sink (reference RN-007: src/silver/job-silver-rues.py:622-637).
     * Single CSV for operator consumption — coalesce(1) is acceptable
     * because error logs are tiny by construction (aggregated counts,

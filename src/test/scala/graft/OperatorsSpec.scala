@@ -242,6 +242,24 @@ class OperatorsSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("n_hits") == 1L))
   }
 
+  test("compactParquet shrinks file count to the byte target, content identical") {
+    val base = "/tmp/graft_compact_spec"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    Tables.orders(spark, sf()).repartition(32)
+      .write.mode("overwrite").parquet(s"$base/small")
+    def parquetFiles(dir: String): Int =
+      new java.io.File(dir).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$base/small") == 32)
+    // sf0.001 orders is ~tens of KB: a 1 MiB target must compact to 1 file
+    val n = graft.sources.Writers.compactParquet(
+      spark, s"$base/small", s"$base/out", targetFileBytes = 1024L * 1024)
+    assert(n == 1 && parquetFiles(s"$base/out") == 1)
+    val before = spark.read.parquet(s"$base/small")
+    val after = spark.read.parquet(s"$base/out")
+    assert(after.count() == before.count())
+    assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty)
+  }
+
   test("DerivedColumns semantics match reference rules") {
     val df = Seq(("nit ", "2020-05-01"), ("CC", "2023-01-01")).toDF("clase", "d")
       .withColumn("d", col("d").cast("date"))
