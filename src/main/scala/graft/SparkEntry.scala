@@ -676,6 +676,16 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, d) =>
       NgramJaccard.summary(Tables.documents(s, d), "doc_id", "text", k = 3, maxDf = 100)),
 
+    "q_dedup_clusters" -> ((s, d) =>
+      // pairs → CLUSTERS: alternating large/small-star connected
+      // components over the (oracle-green) ngram-jaccard pair list;
+      // component = min doc_id, unmatched docs are singletons
+      graft.dedup.Components.clusters(
+        Tables.documents(s, d), "doc_id",
+        NgramJaccard.pairs(Tables.documents(s, d), "doc_id", "text",
+          k = 3, threshold = 0.5, maxDf = 100),
+        "id_a", "id_b")),
+
     "q_dedup_embedding" -> ((s, d) =>
       Knn.nearDupByEmbedding(Tables.embeddings(s, d), threshold = 0.95)),
 
@@ -1371,6 +1381,45 @@ object SparkEntry {
            COALESCE(r.jaccard, -1.0) AS best_jaccard
          FROM documents d
          LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) r ON d.doc_id = r.doc_id""",
+
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id,
+             CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS ts
+           FROM documents
+         ), sh AS (
+           SELECT doc_id,
+             CASE WHEN len(ts) = 0 THEN CAST([] AS VARCHAR[])
+                  WHEN len(ts) <= 3 THEN [array_to_string(ts, ' ')]
+                  ELSE list_distinct(list_transform(range(1, len(ts) - 1),
+                         i -> array_to_string(ts[i:i+2], ' ')))
+             END AS shs
+           FROM toks
+         ), idx AS (
+           SELECT doc_id, CAST(len(shs) AS BIGINT) AS set_size, unnest(shs) AS shingle
+           FROM sh
+         ), rare AS (
+           SELECT shingle FROM idx GROUP BY shingle HAVING count(*) BETWEEN 2 AND 100
+         ), p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.set_size AS size_a, b.set_size AS size_b, count(*) AS inter
+           FROM idx a JOIN rare r ON a.shingle = r.shingle
+                      JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4
+         ), e AS (
+           SELECT id_a AS u, id_b AS v FROM p
+           WHERE floor(CAST(inter AS DOUBLE) / (size_a + size_b - inter)
+                   * 10000.0 + 0.5) / 10000.0 >= 0.5
+         ), sym2 AS (
+           SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e
+         ), reach AS (
+           SELECT doc_id AS a, doc_id AS b FROM documents
+           UNION
+           SELECT r.a, s.v AS b FROM reach r JOIN sym2 s ON r.b = s.u
+         )
+         SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS component
+         FROM reach GROUP BY a""",
 
     "q_fingerprint" ->
       """SELECT doc_id,

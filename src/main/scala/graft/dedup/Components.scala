@@ -1,0 +1,100 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over a pair list — the step that turns
+  * near-duplicate PAIRS (MinHash / SimHash / n-gram Jaccard output)
+  * into dedup CLUSTERS with one canonical representative per group.
+  *
+  * Algorithm: alternating large-star / small-star contraction
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * SoCC 2014) — the standard shuffle-based CC at web scale. Each
+  * round is two keyed aggregations + two joins (no per-node adjacency
+  * list is ever collected, so a celebrity node cannot blow a reducer
+  * buffer), and the edge set contracts toward a star forest rooted at
+  * each component's minimum id in O(log² n) rounds — NOT the O(diam)
+  * rounds of naive min-label propagation, which dies on long chains.
+  *
+  * Driver involvement per round is a single 1-row convergence
+  * aggregate; the iteration count is bounded and checked. Lineage is
+  * truncated every round with an eager localCheckpoint — on a real
+  * cluster this would be `checkpoint` to reliable storage, same shape.
+  */
+object Components {
+
+  private def canon(e: DataFrame): DataFrame =
+    e.filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+
+  /** large-star: every node v in N⁺(u) = {v ∈ N(u) : v > u} re-attaches
+    * to m(u) = min(N(u) ∪ {u}). Computed as one groupBy-min plus one
+    * join back onto the symmetric edge list.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val m = sym.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("m"))
+    canon(sym.filter(col("v") > col("u"))
+      .join(m, "u")
+      .select(col("v").as("u"), col("m").as("v")))
+  }
+
+  /** small-star: orient each edge large→small; every smaller neighbor
+    * (and u itself) attaches to u's minimum smaller neighbor.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val dir = canon(e) // u > v for every row
+    val m = dir.groupBy("u").agg(min(col("v")).as("m"))
+    val reattach = dir.join(m, "u").select(col("v").as("u"), col("m").as("v"))
+    val self = m.select(col("u"), col("m").as("v"))
+    canon(reattach.union(self))
+  }
+
+  /** Star-forest edges (node → component-min) for every non-isolated
+    * node. `edges` is an undirected pair list in (srcCol, dstCol).
+    */
+  def starEdges(edges: DataFrame, srcCol: String, dstCol: String,
+                maxIter: Int = 25): DataFrame = {
+    var e = canon(edges.select(
+      col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v")))
+      .localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      // fixpoint test: count + order-free pair checksum, one tiny row
+      // (bit_xor, not sum: ANSI mode makes a long sum overflow-fatal)
+      val Array(a, b) = Seq(e, next).map(df =>
+        df.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()).toArray
+      converged = a == b
+      e = next
+      it += 1
+    }
+    require(converged, s"connected components did not converge in $maxIter rounds")
+    e.select(col("u").as("id"), col("v").as("component"))
+  }
+
+  /** (id, component) for every node present in `edges`; component =
+    * minimum node id. Roots map to themselves.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    val star = starEdges(edges, srcCol, dstCol, maxIter)
+    star.unionByName(
+        star.select(col("component").as("id"), col("component")).distinct())
+      .distinct()
+  }
+
+  /** Cluster assignment for a full corpus: every row of `docs` gets a
+    * component id (its own id when unmatched — singleton cluster).
+    */
+  def clusters(docs: DataFrame, idCol: String, pairs: DataFrame,
+               srcCol: String, dstCol: String): DataFrame = {
+    val comp = connectedComponents(pairs, srcCol, dstCol)
+    docs.select(col(idCol).cast("long").as("id"))
+      .join(comp, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("component"), col("id")).as("component"))
+  }
+}

@@ -79,4 +79,32 @@ class DedupSpec extends SparkSpec {
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall > 0.2, s"recall=$recall") // SRP-LSH with 1 table is coarse; >0 proves bucketing works
   }
+
+  test("connected components: chains, stars, and singletons resolve to min-id clusters") {
+    import graft.dedup.Components
+    // component {1..5} as a pure chain (forces multi-round contraction),
+    // component {10,11,12} as a star, {20,21} a pair; 30 isolated
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (5L, 4L),
+      (10L, 11L), (10L, 12L), (21L, 20L)).toDF("a", "b")
+    val comp = Components.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 5L).forall(comp(_) == 1L), s"chain: $comp")
+    assert(Seq(10L, 11L, 12L).forall(comp(_) == 10L), s"star: $comp")
+    assert(Seq(20L, 21L).forall(comp(_) == 20L), s"pair: $comp")
+    val all = Seq((1L, ""), (5L, ""), (30L, "")).toDF("doc_id", "text")
+    val cl = Components.clusters(all, "doc_id", edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(cl(30L) == 30L, "isolated doc must be its own singleton cluster")
+    assert(cl(1L) == 1L && cl(5L) == 1L)
+  }
+
+  test("connected components: long path converges within the round bound") {
+    import graft.dedup.Components
+    // 64-node path — diameter 63; naive min propagation needs 63 rounds,
+    // alternating star must finish well inside maxIter=25 (O(log² n))
+    val path = (1L until 64L).map(i => (i, i + 1)).toDF("a", "b")
+    val comp = Components.connectedComponents(path, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(comp.size == 64 && comp.values.forall(_ == 1L), s"path: ${comp.toSeq.sorted}")
+  }
 }
