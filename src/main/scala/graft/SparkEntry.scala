@@ -543,6 +543,41 @@ object SparkEntry {
           round(sum("o_totalprice"), 2).as("sum_total"))
     }),
 
+    "q_snapshot_diff" -> ((s, d) => {
+      // CDC bootstrap: recover the insert/update/delete changelog two
+      // snapshots imply (deterministic v2: delete %101, double-price
+      // %97, re-keyed inserts from %89)
+      val base = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      val v2 = base.filter(pmod(col("o_orderkey"), lit(101)) =!= 0)
+        .withColumn("o_totalprice",
+          when(pmod(col("o_orderkey"), lit(97)) === 0, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")))
+        .unionByName(base.filter(pmod(col("o_orderkey"), lit(89)) === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L)))
+      graft.operators.SnapshotDiff.diff(base, v2, Seq("o_orderkey"))
+    }),
+
+    "q_histogram" -> ((s, d) =>
+      // fixed-width numeric histogram: bucket id from pure arithmetic
+      // (floor of a double divide — identical IEEE ops in any engine),
+      // one partial-agg shuffle of 12 groups
+      Tables.orders(s, d)
+        .groupBy(least(floor(col("o_totalprice") / lit(50000.0)), lit(11L))
+          .cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(sum("o_totalprice"), 2).as("sum_total"))),
+
+    "q_corr_stats" -> ((s, d) =>
+      // second-moment statistics battery (corr / covar / stddev) —
+      // single-pass co-moment aggregates, no self-join
+      Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+        pround(corr(col("l_quantity"), col("l_extendedprice")), 4)
+          .as("corr_qty_price"),
+        pround(covar_samp(col("l_quantity"), col("l_discount")), 4)
+          .as("covar_qty_disc"),
+        pround(stddev_samp(col("l_quantity")), 4).as("stddev_qty"))),
+
     "q_upsert" -> ((s, d) => {
       // MERGE INTO analogue: deterministic changeset (double the price
       // of every 97th order at v2, tombstone every 101st at v3)
@@ -1115,6 +1150,44 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS n_orders,
            round(sum(o_totalprice), 2) AS sum_total
          FROM orders GROUP BY o_orderstatus""",
+
+    "q_snapshot_diff" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
+         ), v2 AS (
+           SELECT o_orderkey, o_custkey,
+                  CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 2
+                       ELSE o_totalprice END AS o_totalprice,
+                  o_orderstatus
+           FROM base WHERE o_orderkey % 101 <> 0
+           UNION ALL
+           SELECT o_orderkey + 100000000, o_custkey, o_totalprice, o_orderstatus
+           FROM base WHERE o_orderkey % 89 = 0
+         )
+         SELECT * FROM (
+           SELECT coalesce(b.o_orderkey, v.o_orderkey) AS o_orderkey,
+             CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+                  WHEN v.o_orderkey IS NULL THEN 'delete'
+                  WHEN b.o_totalprice  IS DISTINCT FROM v.o_totalprice
+                    OR b.o_custkey     IS DISTINCT FROM v.o_custkey
+                    OR b.o_orderstatus IS DISTINCT FROM v.o_orderstatus
+                    THEN 'update' END AS change_type
+           FROM base b FULL OUTER JOIN v2 v ON b.o_orderkey = v.o_orderkey
+         ) WHERE change_type IS NOT NULL""",
+
+    "q_histogram" ->
+      """SELECT CAST(least(floor(o_totalprice / 50000.0), 11) AS BIGINT) AS bucket,
+           count(*) AS n, round(sum(o_totalprice), 2) AS sum_total
+         FROM orders GROUP BY 1""",
+
+    "q_corr_stats" ->
+      """SELECT l_returnflag,
+           floor(corr(l_quantity, l_extendedprice) * 10000 + 0.5) / 10000
+             AS corr_qty_price,
+           floor(covar_samp(l_quantity, l_discount) * 10000 + 0.5) / 10000
+             AS covar_qty_disc,
+           floor(stddev_samp(l_quantity) * 10000 + 0.5) / 10000 AS stddev_qty
+         FROM lineitem GROUP BY l_returnflag""",
 
     "q_upsert" ->
       """WITH snap AS (

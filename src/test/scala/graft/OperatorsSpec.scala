@@ -260,6 +260,22 @@ class OperatorsSpec extends SparkSpec {
     assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty)
   }
 
+  test("SnapshotDiff classifies insert/update/delete, drops unchanged, survives schema drift") {
+    val old = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    val neu = Seq((1L, "a", 10.0), (2L, "B", 20.0), (4L, "d", 40.0))
+      .toDF("k", "s", "v").withColumn("extra", lit("ignored"))
+    val d = operators.SnapshotDiff.diff(old, neu, Seq("k"))
+      .as[(Long, String)].collect().toMap
+    assert(d == Map(2L -> "update", 3L -> "delete", 4L -> "insert"))
+    // null-safe compare: null -> value and value -> null are updates
+    val o2 = Seq((1L, Option.empty[String]), (2L, Option("x"))).toDF("k", "s")
+    val n2 = Seq((1L, Option("y")), (2L, Option.empty[String])).toDF("k", "s")
+    val d2 = operators.SnapshotDiff.diff(o2, n2, Seq("k"))
+      .as[(Long, String)].collect().toMap
+    assert(d2 == Map(1L -> "update", 2L -> "update"))
+  }
+
   test("DerivedColumns semantics match reference rules") {
     val df = Seq(("nit ", "2020-05-01"), ("CC", "2023-01-01")).toDF("clase", "d")
       .withColumn("d", col("d").cast("date"))
