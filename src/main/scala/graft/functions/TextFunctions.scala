@@ -13,6 +13,16 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Let-binding for column expressions: evaluate `x` ONCE per row and
+    * hand the result to `body` as a lambda variable. An expression
+    * captured inside a higher-order-function lambda body is otherwise
+    * re-evaluated on EVERY element visit (the lambda stores the whole
+    * subtree, not a reference) — for `shingles` that meant one full
+    * regex split per shingle, a ~50× hot-path blow-up at corpus scale.
+    */
+  private def bindOnce(x: Column, body: Column => Column): Column =
+    element_at(transform(array(x), body), 1)
+
   /** Whitespace tokens of trimmed, lowercased text. Empty text → []. */
   def tokens(text: Column): Column = {
     val t = trim(lower(text))
@@ -31,11 +41,10 @@ object TextFunctions {
     regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long")
 
   /** Mean token length (0.0 for empty docs). */
-  def meanTokenLen(text: Column): Column = {
-    val ts = tokens(text)
-    when(size(ts) === 0, lit(0.0)).otherwise(
-      aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(ts))
-  }
+  def meanTokenLen(text: Column): Column =
+    bindOnce(tokens(text), ts =>
+      when(size(ts) === 0, lit(0.0)).otherwise(
+        aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(ts)))
 
   /** Fraction of characters that are a-z/A-Z (0.0 for empty). */
   def alphaRatio(text: Column): Column =
@@ -44,10 +53,10 @@ object TextFunctions {
 
   /** Fraction of tokens found in `stopwords`. */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
-    val ts = tokens(text)
     val stops = array(stopwords.map(lit): _*)
-    when(size(ts) === 0, lit(0.0)).otherwise(
-      size(filter(ts, t => array_contains(stops, t))).cast("double") / size(ts))
+    bindOnce(tokens(text), ts =>
+      when(size(ts) === 0, lit(0.0)).otherwise(
+        size(filter(ts, t => array_contains(stops, t))).cast("double") / size(ts)))
   }
 
   /** Composite quality score in [0,1]: favors mid-length docs with
@@ -70,35 +79,43 @@ object TextFunctions {
     * tokens that are marker words for that language.
     */
   def langScore(text: Column, markers: Seq[String]): Column = {
-    val ts = tokens(text)
     val ms = array(markers.map(lit): _*)
-    size(filter(ts, t => array_contains(ms, t))).cast("long")
+    bindOnce(tokens(text), ts =>
+      size(filter(ts, t => array_contains(ms, t))).cast("long"))
   }
 
   /** Argmax language id over marker lists; ties break by list order
-    * (first wins), unknown when all scores are 0.
+    * (first wins), unknown when all scores are 0. Tokens are split
+    * once and the score vector is bound once — the naive when-chain
+    * re-evaluated every marker filter O(L²) times per row.
     */
   def langId(text: Column, markerSets: Seq[(String, Seq[String])],
-             unknown: String = "und"): Column = {
-    val scored = markerSets.map { case (lang, ms) => (lang, langScore(text, ms)) }
-    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
-    scored.foldRight(lit(unknown): Column) { case ((lang, s), els) =>
-      when(s === best && best > 0, lit(lang)).otherwise(els)
-    }
-  }
+             unknown: String = "und"): Column =
+    bindOnce(tokens(text), ts => {
+      val scores = array(markerSets.map { case (_, ms) =>
+        val m = array(ms.map(lit): _*)
+        size(filter(ts, t => array_contains(m, t))).cast("long")
+      }: _*)
+      val names = array(markerSets.map(p => lit(p._1)): _*)
+      bindOnce(scores, sc => {
+        val best = array_max(sc)
+        when(best > 0, element_at(names, array_position(sc, best).cast("int")))
+          .otherwise(lit(unknown))
+      })
+    })
 
   /** Word k-shingles as distinct strings ("w1 w2 ... wk"). Documents
     * shorter than k words yield a single shingle of the whole text.
     */
-  def shingles(text: Column, k: Int): Column = {
-    val ts = tokens(text)
-    val n = size(ts)
-    when(n === 0, array().cast("array<string>"))
-      .otherwise(when(n <= k, array(concat_ws(" ", ts)))
-      .otherwise(array_distinct(
-        transform(sequence(lit(0), n - k),
-          i => concat_ws(" ", slice(ts, i + 1, lit(k)))))))
-  }
+  def shingles(text: Column, k: Int): Column =
+    bindOnce(tokens(text), ts => {
+      val n = size(ts)
+      when(n === 0, array().cast("array<string>"))
+        .otherwise(when(n <= k, array(concat_ws(" ", ts)))
+        .otherwise(array_distinct(
+          transform(sequence(lit(0), n - k),
+            i => concat_ws(" ", slice(ts, i + 1, lit(k)))))))
+    })
 
   /** Polynomial rolling-hash fingerprint of the full text: the
     * classic `h = h*31 + c`, reduced mod 1e9+7 each step so the

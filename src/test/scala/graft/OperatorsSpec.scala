@@ -260,6 +260,23 @@ class OperatorsSpec extends SparkSpec {
     assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty)
   }
 
+  test("FuzzyJoin finds within-block close pairs and drops hot blocks before pairing") {
+    val df = Seq(
+      (1L, "cold widget"), (2L, "cold widgets"),   // dist 1, same block
+      (3L, "cold rodder"), (4L, "warm widget"),    // 4 vs 1: diff block
+      (5L, "warm widget")                          // exact dup of 4
+    ).toDF("id", "name")
+    val p = operators.FuzzyJoin.pairs(df, "id", "name",
+        substring_index(col("name"), " ", 1), maxDist = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(p == Set((1L, 2L, 1L), (4L, 5L, 0L)), s"pairs: $p")
+    // cap: a block bigger than maxBlock contributes nothing
+    val hot = (1L to 10L).map(i => (i, "same word")).toDF("id", "name")
+    val capped = operators.FuzzyJoin.pairs(hot, "id", "name",
+      substring_index(col("name"), " ", 1), maxDist = 2, maxBlock = 5)
+    assert(capped.count() == 0)
+  }
+
   test("SnapshotDiff classifies insert/update/delete, drops unchanged, survives schema drift") {
     val old = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
       .toDF("k", "s", "v")

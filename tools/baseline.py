@@ -15,7 +15,8 @@ HEADLINERS = [
     "q_window_dedup", "q_v4_ml_dataset", "q_dedup_exact",
     "q_dedup_minhash", "q_ann_bruteforce", "q_token_count",
     "q_quality_score", "q_event_windows", "q_sessionize",
-    "q_medallion_silver", "q_corpus_prep", "q_asof_join", "q_range_join"]
+    "q_medallion_silver", "q_corpus_prep", "q_asof_join", "q_range_join",
+    "q_window_analytics", "q_dedup_clusters"]
 
 sf_dir = sys.argv[1]
 oracle = json.load(open(sys.argv[2]))
