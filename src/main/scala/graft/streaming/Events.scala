@@ -234,6 +234,40 @@ object Events {
     spark.table(name).localCheckpoint(eager = true)
   }
 
+  /** Streaming MERGE sink: maintain a latest-state keyed table from a
+    * changelog stream. Each micro-batch folds into the snapshot via
+    * `foreachBatch`: in-batch latest-per-key collapses first (the
+    * Upsert window), then the batch merges against the current table
+    * (one WindowGroupLimit shuffle of winner candidates — never a join
+    * of the full snapshot), and the result replaces the table.
+    *
+    * Exactly-once for this sink = determinism: a replayed micro-batch
+    * recomputes the identical snapshot, so replay is idempotent. The
+    * overwrite itself is not crash-atomic on plain parquet — a real
+    * deployment points the same foreachBatch at a transactional table
+    * format; the merge shape is unchanged.
+    */
+  def upsertSink(changes: DataFrame, keys: Seq[String], versionCol: String,
+                 tombstoneCol: Option[String], tablePath: String,
+                 checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = changes.sparkSession
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cur =
+          if (new java.io.File(tablePath).exists()) spark.read.parquet(tablePath)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+        val merged = graft.operators.Upsert(
+          cur, batch, keys, versionCol, tombstoneCol)
+        // materialize BEFORE overwriting the directory being read
+        merged.localCheckpoint(true)
+          .write.mode("overwrite").parquet(tablePath)
+        ()
+      }
+      .start()
+  }
+
   /** Streaming exact dedup: drop events whose (event_id) was already
     * seen, with state bounded by the watermark —
     * `dropDuplicatesWithinWatermark` keeps a key in state only until

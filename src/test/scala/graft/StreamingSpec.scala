@@ -155,6 +155,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("upsertSink maintains latest-state table across micro-batches with tombstones") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "/tmp/graft_upsert_sink"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    val input = MemoryStream[(Long, String, Long, Boolean)]
+    val df = input.toDF().toDF("k", "v", "version", "deleted")
+    val q = Events.upsertSink(df, Seq("k"), "version", Some("deleted"),
+      s"$base/table", s"$base/cp")
+    try {
+      input.addData((1L, "a", 1L, false), (2L, "b", 1L, false))
+      q.processAllAvailable()
+      def state(): Map[Long, String] =
+        spark.read.parquet(s"$base/table").select("k", "v")
+          .as[(Long, String)].collect().toMap
+      assert(state() == Map(1L -> "a", 2L -> "b"))
+      // batch 2: update 1, insert 3, tombstone 2
+      input.addData((1L, "a2", 2L, false), (3L, "c", 2L, false), (2L, "b", 2L, true))
+      q.processAllAvailable()
+      assert(state() == Map(1L -> "a2", 3L -> "c"))
+      // stale version must lose against the standing snapshot
+      input.addData((1L, "old", 1L, false))
+      q.processAllAvailable()
+      assert(state() == Map(1L -> "a2", 3L -> "c"))
+    } finally q.stop()
+  }
+
   test("streaming parquet sink is exactly-once across restarts (checkpoint + sink metadata)") {
     val base = "/tmp/graft_eo_sink"
     val (cp, out) = (s"$base/cp", s"$base/out")
