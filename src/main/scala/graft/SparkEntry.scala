@@ -477,6 +477,30 @@ object SparkEntry {
                FROM rollup_in GROUP BY ROLLUP(seg, st)""")
     }),
 
+    "q_gap_fill" -> ((s, d) =>
+      // time-series regularization: dense per-user hourly series with
+      // explicit zero rows for missing hours; grid generated in-place
+      // by sequence+explode, never shuffled or driver-side
+      graft.operators.Resample.gapFill(
+          Tables.events(s, d), Seq("user_id"), "ts", "value", "hour")
+        .select(col("user_id"), col("bucket"), col("n"),
+          round(col("sum_value"), 2).as("sum_value"))),
+
+    "q_grouping_sets" -> ((s, d) => {
+      // arbitrary grouping sets (not a rollup/cube prefix) with the
+      // standard GROUPING() provenance markers
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"), col("o_orderstatus").as("st"))
+        .createOrReplaceTempView("gs_in")
+      s.sql("""SELECT coalesce(seg, 'ALL') AS segment,
+                      coalesce(st, 'ALL') AS status,
+                      CAST(grouping(seg) AS BIGINT) AS g_seg,
+                      CAST(grouping(st) AS BIGINT) AS g_st,
+                      count(*) AS n
+               FROM gs_in GROUP BY GROUPING SETS ((seg), (st), ())""")
+    }),
+
     "q_cube" -> ((s, d) => {
       // all 2^k grouping-set subtotals in one pass — the OLAP cube
       // materialization; same single-shuffle Expand plan as ROLLUP
@@ -1123,6 +1147,30 @@ object SparkEntry {
            count(*) AS n, round(sum(o_totalprice), 2) AS total
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY ROLLUP(c_mktsegment, o_orderstatus)""",
+
+    "q_gap_fill" ->
+      """WITH c AS (
+           SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket,
+                  count(*) AS n, sum(value) AS sv
+           FROM events GROUP BY 1, 2
+         ), span AS (
+           SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM c GROUP BY 1
+         ), grid AS (
+           SELECT user_id, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+           FROM span
+         )
+         SELECT g.user_id, g.bucket, coalesce(c.n, 0) AS n,
+                round(coalesce(c.sv, 0), 2) AS sum_value
+         FROM grid g LEFT JOIN c ON g.user_id = c.user_id AND g.bucket = c.bucket""",
+
+    "q_grouping_sets" ->
+      """SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+           coalesce(o_orderstatus, 'ALL') AS status,
+           CAST(grouping(c_mktsegment) AS BIGINT) AS g_seg,
+           CAST(grouping(o_orderstatus) AS BIGINT) AS g_st,
+           count(*) AS n
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())""",
 
     "q_cube" ->
       """SELECT coalesce(c_mktsegment, 'ALL') AS segment,

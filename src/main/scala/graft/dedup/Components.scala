@@ -41,12 +41,13 @@ object Components {
   }
 
   /** small-star: orient each edge large→small; every smaller neighbor
-    * (and u itself) attaches to u's minimum smaller neighbor.
+    * (and u itself) attaches to u's minimum smaller neighbor. Input
+    * must already be canonical (u > v, distinct) — largeStar's output
+    * is, which saves a distinct shuffle per round.
     */
   private def smallStar(e: DataFrame): DataFrame = {
-    val dir = canon(e) // u > v for every row
-    val m = dir.groupBy("u").agg(min(col("v")).as("m"))
-    val reattach = dir.join(m, "u").select(col("v").as("u"), col("m").as("v"))
+    val m = e.groupBy("u").agg(min(col("v")).as("m"))
+    val reattach = e.join(m, "u").select(col("v").as("u"), col("m").as("v"))
     val self = m.select(col("u"), col("m").as("v"))
     canon(reattach.union(self))
   }

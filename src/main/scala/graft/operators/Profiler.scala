@@ -78,6 +78,24 @@ object Profiler {
     one.select(explode(array(rows: _*)).as("s")).select("s.*")
   }
 
+  /** Sketch-based percentiles — the 100 TB form of `numericProfile`'s
+    * median: exact `percentile` materializes every value per group,
+    * while `approx_percentile` keeps a fixed-size mergeable sketch per
+    * partial aggregate (error ≤ 1/accuracy of rank). One pass, many
+    * quantiles per column. Spec bounds the error vs the exact path.
+    */
+  def approxPercentiles(df: DataFrame, cols: Seq[String],
+                        ps: Seq[Double], accuracy: Int = 10000): DataFrame = {
+    require(cols.nonEmpty && ps.nonEmpty)
+    val pArr = ps.mkString("array(", ", ", ")")
+    val aggs = cols.map(c =>
+      expr(s"approx_percentile(CAST(`$c` AS DOUBLE), $pArr, $accuracy)")
+        .as(s"${c}__q"))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map(c => struct(lit(c).as("column"), col(s"${c}__q").as("quantiles")))
+    one.select(explode(array(rows: _*)).as("s")).select("s.*")
+  }
+
   /** Heavy-hitter / key-skew diagnostic: top-n keys by frequency with
     * their share of all rows — the profile you run on a join key
     * before deciding between plain, broadcast, and salted joins

@@ -260,6 +260,36 @@ class OperatorsSpec extends SparkSpec {
     assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty)
   }
 
+  test("approxPercentiles tracks the exact quantiles within rank-error bounds") {
+    val orders = Tables.orders(spark, sf())
+    val approx = operators.Profiler
+      .approxPercentiles(orders, Seq("o_totalprice"), Seq(0.25, 0.5, 0.9))
+      .select("quantiles").as[Seq[Double]].head()
+    val exact = orders.select(
+      expr("percentile(o_totalprice, array(0.25, 0.5, 0.9))"))
+      .as[Seq[Double]].head()
+    // accuracy=10000 → rank error <= n/10000; on a smooth value
+    // distribution that is far inside 1% relative here
+    approx.zip(exact).foreach { case (a, e) =>
+      assert(math.abs(a - e) / e < 0.01, s"approx=$approx exact=$exact")
+    }
+  }
+
+  test("Resample.gapFill emits explicit zero rows for every missing bucket") {
+    val df = Seq(
+      (1L, "2024-01-01 00:10:00", 2.0),
+      (1L, "2024-01-01 03:40:00", 3.0),   // gap: hours 01, 02
+      (2L, "2024-01-05 10:00:00", 1.0)    // single bucket, no gaps
+    ).toDF("k", "ts", "v").withColumn("ts", col("ts").cast("timestamp"))
+    val out = operators.Resample.gapFill(df, Seq("k"), "ts", "v", "hour")
+      .orderBy("k", "bucket")
+      .select(col("k"), date_format(col("bucket"), "HH").as("h"), col("n"), col("sum_value"))
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, "00", 1L, 2.0), (1L, "01", 0L, 0.0), (1L, "02", 0L, 0.0),
+      (1L, "03", 1L, 3.0), (2L, "10", 1L, 1.0)))
+  }
+
   test("FuzzyJoin finds within-block close pairs and drops hot blocks before pairing") {
     val df = Seq(
       (1L, "cold widget"), (2L, "cold widgets"),   // dist 1, same block
