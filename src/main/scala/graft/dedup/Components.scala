@@ -30,20 +30,25 @@ object Components {
 
   /** large-star: every node v in N⁺(u) = {v ∈ N(u) : v > u} re-attaches
     * to m(u) = min(N(u) ∪ {u}). Computed as one groupBy-min plus one
-    * join back onto the symmetric edge list.
+    * join back onto the symmetric edge list. The output is emitted as
+    * (v, m) with v > u ≥ m, so it is already oriented large→small with
+    * no self-loops — no canon/distinct shuffle here; duplicates (two
+    * u's emitting the same pair) are collapsed once by smallStar's
+    * closing canon.
     */
   private def largeStar(e: DataFrame): DataFrame = {
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
     val m = sym.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("m"))
-    canon(sym.filter(col("v") > col("u"))
+    sym.filter(col("v") > col("u"))
       .join(m, "u")
-      .select(col("v").as("u"), col("m").as("v")))
+      .select(col("v").as("u"), col("m").as("v"))
   }
 
   /** small-star: orient each edge large→small; every smaller neighbor
     * (and u itself) attaches to u's minimum smaller neighbor. Input
-    * must already be canonical (u > v, distinct) — largeStar's output
-    * is, which saves a distinct shuffle per round.
+    * must be oriented u > v (largeStar's output is); duplicates are
+    * tolerated — min-aggregation ignores them and the closing canon
+    * collapses them, so each round pays exactly one distinct.
     */
   private def smallStar(e: DataFrame): DataFrame = {
     val m = e.groupBy("u").agg(min(col("v")).as("m"))
