@@ -777,6 +777,20 @@ object SparkEntry {
 
     "q_sessionize" -> ((s, d) => Events.sessionizeBatch(Tables.events(s, d), 30)),
 
+    "q_sessionize_native" -> ((s, d) =>
+      // Spark's built-in session_window: overlapping [ts, ts+gap)
+      // windows merge, so the gap rule is strict-< and the reported
+      // end is last_event + gap (vs sessionizeBatch's max(ts) end and
+      // seconds-truncated >-gap rule — both forms offered, each with
+      // its exact oracle)
+      Tables.events(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("sum_value"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n_events"), col("sum_value"))),
+
     "q_sessionize_stream" -> ((s, d) => Events.sessionizeFileStream(s, d, 30)),
 
     "q_stream_join" -> ((s, d) => Events.attributionFileStream(s, d, 30))
@@ -1633,6 +1647,28 @@ object SparkEntry {
            count(*) AS n_events, round(sum(value), 2) AS sum_value,
            count(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1, 2""",
+
+    "q_sessionize_native" ->
+      """WITH e AS (
+           SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             lag(CAST(ts AS TIMESTAMP)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events
+         ), f AS (
+           SELECT *, CASE WHEN prev_ts IS NULL
+                            OR ts >= prev_ts + INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_session
+           FROM e
+         ), g AS (
+           SELECT *, sum(new_session) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS session_seq
+           FROM f
+         )
+         SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+         FROM g GROUP BY user_id, session_seq""",
 
     "q_sessionize" ->
       """WITH e AS (
