@@ -75,7 +75,9 @@ object Components {
     while (!converged && it < maxIter) {
       // lazy checkpoint: the stats job below is what materializes (and
       // persists) the round's edge set — one Spark job per round, and
-      // the carried `prev` stat means the old set is never re-scanned
+      // the carried `prev` stat means the old set is never re-scanned.
+      // (Measured: fusing TWO contractions per job is slower here —
+      // the doubled plan depth costs more than the saved round-trip.)
       val next = smallStar(largeStar(e)).localCheckpoint(false)
       val cur = stats(next)
       converged = cur == prev
