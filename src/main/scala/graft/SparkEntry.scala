@@ -574,6 +574,25 @@ object SparkEntry {
         Tables.part(s, d), "p_partkey", "p_name",
         substring_index(col("p_name"), " ", 1), maxDist = 3)),
 
+    "q_incremental_agg" -> ((s, d) => {
+      // materialized-view maintenance: state built from pre-1997
+      // history, then two append deltas merged in — result must equal
+      // the from-scratch aggregate (the oracle) without ever
+      // re-reading history
+      val orders = Tables.orders(s, d)
+      val cut = (y: Int) => year(col("o_orderdate")) < y
+      val state0 = graft.operators.IncrementalAgg.toState(
+        orders.filter(cut(1997)), Seq("o_orderstatus"), "o_totalprice")
+      val state1 = graft.operators.IncrementalAgg.merge(state0,
+        orders.filter(!cut(1997) && cut(1998)), Seq("o_orderstatus"), "o_totalprice")
+      val state2 = graft.operators.IncrementalAgg.merge(state1,
+        orders.filter(!cut(1998)), Seq("o_orderstatus"), "o_totalprice")
+      graft.operators.IncrementalAgg.withDerived(state2)
+        .select(col("o_orderstatus"), col("n"),
+          round(col("sum"), 2).as("sum"), col("min"), col("max"),
+          pround(col("mean"), 4).as("mean"))
+    }),
+
     "q_snapshot_diff" -> ((s, d) => {
       // CDC bootstrap: recover the insert/update/delete changelog two
       // snapshots imply (deterministic v2: delete %101, double-price
@@ -1238,6 +1257,14 @@ object SparkEntry {
                 CAST(levenshtein(a.s, x.s) AS BIGINT) AS dist
          FROM b a JOIN b x ON a.blk = x.blk AND a.id < x.id
          WHERE levenshtein(a.s, x.s) <= 3""",
+
+    "q_incremental_agg" ->
+      """SELECT o_orderstatus, count(o_totalprice) AS n,
+           round(sum(o_totalprice), 2) AS sum,
+           min(o_totalprice) AS min, max(o_totalprice) AS max,
+           floor(sum(o_totalprice) / count(o_totalprice) * 10000 + 0.5)
+             / 10000 AS mean
+         FROM orders GROUP BY o_orderstatus""",
 
     "q_snapshot_diff" ->
       """WITH base AS (

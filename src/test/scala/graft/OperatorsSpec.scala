@@ -260,6 +260,24 @@ class OperatorsSpec extends SparkSpec {
     assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty)
   }
 
+  test("IncrementalAgg merge equals from-scratch aggregation, history untouched") {
+    val all = Seq(("a", 1.0), ("a", 5.0), ("b", 2.0), ("a", 3.0), ("b", -4.0))
+      .toDF("k", "v")
+    val full = operators.IncrementalAgg.toState(all, Seq("k"), "v")
+    val incremental = operators.IncrementalAgg.merge(
+      operators.IncrementalAgg.merge(
+        operators.IncrementalAgg.toState(all.filter(col("v") >= 3), Seq("k"), "v"),
+        all.filter(col("v").between(0, 2)), Seq("k"), "v"),
+      all.filter(col("v") < 0), Seq("k"), "v")
+    val f = full.orderBy("k").collect().toSeq
+    val i = incremental.orderBy("k").collect().toSeq
+    assert(f == i, s"full=$f incremental=$i")
+    // a delta introducing a brand-new key must appear in merged state
+    val withNew = operators.IncrementalAgg.merge(full,
+      Seq(("c", 9.0)).toDF("k", "v"), Seq("k"), "v")
+    assert(withNew.filter(col("k") === "c").count() == 1)
+  }
+
   test("approxPercentiles tracks the exact quantiles within rank-error bounds") {
     val orders = Tables.orders(spark, sf())
     val approx = operators.Profiler
