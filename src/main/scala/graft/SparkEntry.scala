@@ -574,6 +574,30 @@ object SparkEntry {
         Tables.part(s, d), "p_partkey", "p_name",
         substring_index(col("p_name"), " ", 1), maxDist = 3)),
 
+    "q_entity_clusters" -> ((s, d) =>
+      // operator composition: fuzzy pairs → connected components =
+      // entity resolution (each part name group gets one canonical id)
+      graft.dedup.Components.clusters(
+        Tables.part(s, d), "p_partkey",
+        graft.operators.FuzzyJoin.pairs(Tables.part(s, d), "p_partkey",
+          "p_name", substring_index(col("p_name"), " ", 1), maxDist = 3),
+        "id_a", "id_b")
+        .select(col("p_partkey"), col("component"))),
+
+    "q_date_dim" -> ((s, d) =>
+      // generated calendar dimension (no source table): sequence +
+      // explode materializes the grid in-executor, never on the driver
+      s.range(1).select(explode(sequence(
+          lit("1995-01-01").cast("date"), lit("1997-12-31").cast("date"),
+          expr("INTERVAL 1 DAY"))).as("d"))
+        .select(
+          date_format(col("d"), "yyyy-MM-dd").as("day"),
+          year(col("d")).cast("long").as("year"),
+          quarter(col("d")).cast("long").as("quarter"),
+          month(col("d")).cast("long").as("month"),
+          dayofweek(col("d")).cast("long").as("dow"),
+          (dayofweek(col("d")).isin(1, 7)).as("is_weekend"))),
+
     "q_incremental_agg" -> ((s, d) => {
       // materialized-view maintenance: state built from pre-1997
       // history, then two append deltas merged in — result must equal
@@ -1257,6 +1281,42 @@ object SparkEntry {
                 CAST(levenshtein(a.s, x.s) AS BIGINT) AS dist
          FROM b a JOIN b x ON a.blk = x.blk AND a.id < x.id
          WHERE levenshtein(a.s, x.s) <= 3""",
+
+    "q_entity_clusters" ->
+      """WITH RECURSIVE t AS (
+           SELECT p_partkey AS id, p_name AS s,
+                  split_part(p_name, ' ', 1) AS blk
+           FROM part
+         ), ok AS (
+           SELECT blk FROM t GROUP BY blk HAVING count(*) <= 1000
+         ), b AS (
+           SELECT t.* FROM t JOIN ok USING (blk)
+         ), e AS (
+           SELECT a.id AS u, x.id AS v
+           FROM b a JOIN b x ON a.blk = x.blk AND a.id < x.id
+           WHERE levenshtein(a.s, x.s) <= 3
+         ), sym2 AS (
+           SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e
+         ), reach AS (
+           SELECT p_partkey AS a, p_partkey AS b FROM part
+           UNION
+           SELECT r.a, s2.v AS b FROM reach r JOIN sym2 s2 ON r.b = s2.u
+         )
+         SELECT a AS p_partkey, CAST(min(b) AS BIGINT) AS component
+         FROM reach GROUP BY a""",
+
+    "q_date_dim" ->
+      """WITH g AS (
+           SELECT CAST(unnest(generate_series(DATE '1995-01-01',
+                    DATE '1997-12-31', INTERVAL 1 DAY)) AS DATE) AS d
+         )
+         SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(year(d) AS BIGINT) AS year,
+           CAST(quarter(d) AS BIGINT) AS quarter,
+           CAST(month(d) AS BIGINT) AS month,
+           CAST(dayofweek(d) + 1 AS BIGINT) AS dow,
+           dayofweek(d) IN (0, 6) AS is_weekend
+         FROM g""",
 
     "q_incremental_agg" ->
       """SELECT o_orderstatus, count(o_totalprice) AS n,
