@@ -86,6 +86,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrdered"), p)
   }
 
+  test("window analytics: both windows share ONE exchange (same partition key)") {
+    val p = plan("q_window_analytics")
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles == 1, s"expected exactly one shuffle:\n$p")
+  }
+
+  test("rollup/cube/grouping sets: single Expand pass, one agg exchange") {
+    for (q <- Seq("q_rollup", "q_cube", "q_grouping_sets")) {
+      val p = plan(q)
+      assert(p.linesIterator.count(_.trim.startsWith("+- Expand")) +
+        p.linesIterator.count(_.trim.startsWith(":- Expand")) <= 1, s"$q:\n$p")
+      assert(p.contains("Expand"), s"$q must plan grouping sets via Expand:\n$p")
+      assert(p.contains("partial_count"), s"$q must partial-aggregate:\n$p")
+    }
+  }
+
+  test("snapshot diff / fuzzy match / gap fill: hash or merge joins only") {
+    for (q <- Seq("q_snapshot_diff", "q_fuzzy_match", "q_gap_fill")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoop") && !p.contains("Cartesian"),
+        s"$q:\n$p")
+    }
+  }
+
   test("metadata projections prune unused wide columns") {
     val p = plan("q_point_lookup")
     // lookup reads only the projected columns, with the key pushed down
