@@ -598,6 +598,18 @@ object SparkEntry {
           dayofweek(col("d")).cast("long").as("dow"),
           (dayofweek(col("d")).isin(1, 7)).as("is_weekend"))),
 
+    "q_pack_sequences" -> ((s, d) => {
+      // pretraining sample packing: docs → consecutive 2048-token
+      // bins via two-level distributed prefix sum (never a corpus-
+      // wide unpartitioned window)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), TF.bpeTokenCount(col("text")).as("n_tok"))
+      graft.operators.SequencePacker.summary(
+        graft.operators.SequencePacker.pack(docs, "doc_id", "n_tok",
+          budget = 2048, groupExpr = floor(col("doc_id") / 64)),
+        budget = 2048)
+    }),
+
     "q_incremental_agg" -> ((s, d) => {
       // materialized-view maintenance: state built from pre-1997
       // history, then two append deltas merged in — result must equal
@@ -1317,6 +1329,27 @@ object SparkEntry {
            CAST(dayofweek(d) + 1 AS BIGINT) AS dow,
            dayofweek(d) IN (0, 6) AS is_weekend
          FROM g""",
+
+    "q_pack_sequences" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CAST(len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tok
+           FROM documents
+         ), c AS (
+           SELECT doc_id, n_tok,
+             sum(n_tok) OVER (ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+           FROM t
+         ), p AS (
+           SELECT doc_id, n_tok,
+             CAST(floor(CAST(cum - n_tok AS DOUBLE) / 2048.0) AS BIGINT) AS bin
+           FROM c
+         )
+         SELECT bin, count(*) AS n_docs, sum(n_tok) AS total_tokens,
+           floor(CAST(sum(n_tok) AS DOUBLE) / 2048.0 * 10000.0 + 0.5) / 10000.0
+             AS fill_ratio
+         FROM p GROUP BY bin""",
 
     "q_incremental_agg" ->
       """SELECT o_orderstatus, count(o_totalprice) AS n,

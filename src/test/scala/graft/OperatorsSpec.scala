@@ -260,6 +260,23 @@ class OperatorsSpec extends SparkSpec {
     assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty)
   }
 
+  test("SequencePacker two-level prefix sum equals the naive global cumsum") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = (0L until 200L).map(i => (i, 10 + (i * 37) % 500)).toDF("id", "tok")
+    val packed = operators.SequencePacker
+      .pack(docs, "id", "tok", budget = 1000, groupExpr = floor(col("id") / 16))
+      .select(col("id"), col("cum_tokens"), col("bin"))
+      .as[(Long, Long, Long)].collect().map { case (i, c, b) => i -> (c, b) }.toMap
+    val naive = docs.withColumn("cum", sum(col("tok")).over(
+        Window.orderBy("id").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("bin", floor((col("cum") - col("tok")).cast("double") / 1000.0).cast("long"))
+      .select(col("id"), col("cum"), col("bin"))
+      .as[(Long, Long, Long)].collect().map { case (i, c, b) => i -> (c, b) }.toMap
+    assert(packed == naive)
+    // every doc lands in the bin where its START position falls
+    assert(packed.values.map(_._2).max > 1, "test must span several bins")
+  }
+
   test("IncrementalAgg merge equals from-scratch aggregation, history untouched") {
     val all = Seq(("a", 1.0), ("a", 5.0), ("b", 2.0), ("a", 3.0), ("b", -4.0))
       .toDF("k", "v")
