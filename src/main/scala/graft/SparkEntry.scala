@@ -751,6 +751,15 @@ object SparkEntry {
         pround(TF.meanTokenLen(col("text")), 2).as("mean_token_len"),
         pround(TF.alphaRatio(col("text")), 4).as("alpha_ratio"))),
 
+    "q_weighted_sample" -> ((s, d) =>
+      // quality-weighted importance sampling: keep each doc with
+      // probability = its quality score, via the portable md5 uniform
+      // draw — a pure narrow filter, reproducible under retries
+      graft.operators.Sampling.weightedSample(
+        Tables.documents(s, d).select(col("doc_id"),
+          TF.qualityScore(col("text"), stopwords).as("quality")),
+        "doc_id", "quality", salt = 7)),
+
     "q_lang_id" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         TF.langId(col("text"), langMarkers).as("lang_pred"))),
@@ -1539,6 +1548,28 @@ object SparkEntry {
            CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
              AS bpe_tokens
          FROM documents""",
+
+    "q_weighted_sample" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+             CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+           FROM documents
+         ), q AS (
+           SELECT doc_id,
+             floor((least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
+               + (CASE WHEN length(text) = 0 THEN 0.0
+                       ELSE CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text) END)
+               + least((CASE WHEN len(toks) = 0 THEN 0.0
+                             ELSE CAST(len(list_filter(toks,
+                                    x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE)
+                                  / len(toks) END) * 4.0, 1.0)
+               ) / 3.0 * 10000.0 + 0.5) / 10000.0 AS quality
+           FROM t
+         )
+         SELECT doc_id, quality FROM q
+         WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#7'), 1, 8))
+                 AS BIGINT) / 4294967296.0 < quality""",
 
     "q_quality_score" ->
       """WITH t AS (

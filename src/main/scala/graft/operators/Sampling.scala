@@ -50,4 +50,22 @@ object Sampling {
     */
   def portableOrdering(idCol: String, salt: Int = 0): Column =
     md5(concat(col(idCol).cast("string"), lit("#" + salt)))
+
+  /** Deterministic uniform [0,1) draw per row: first 8 md5 hex digits
+    * of `id '#' salt` scaled by 2^32 — no RNG state to ship, identical
+    * in any engine, stable under retries/re-partitioning (a `rand()`
+    * sample is NOT: task retries re-roll it).
+    */
+  def portableUniform(idCol: String, salt: Int = 0): Column =
+    conv(substring(portableOrdering(idCol, salt), 1, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+
+  /** Deterministic weighted (importance) sampling: keep each row with
+    * probability `weightCol` ∈ [0,1] — quality-weighted corpus
+    * subsampling (keep good docs more often) as a pure narrow filter:
+    * no shuffle, no RNG, reproducible row set at any scale.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     salt: Int = 0): DataFrame =
+    df.filter(portableUniform(idCol, salt) < col(weightCol))
 }
