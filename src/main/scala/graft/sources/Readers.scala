@@ -44,6 +44,33 @@ object Readers {
     withSchema.csv(path)
   }
 
+  /** CSV with corrupt-record QUARANTINE: rows that fail to parse
+    * against the typed schema land intact in `_corrupt_record`
+    * instead of silently becoming nulls or killing the job — the
+    * bronze-layer pattern for a raw landing zone (ingest everything,
+    * split good/bad downstream, never lose bytes). Returns the frame
+    * with the capture column appended; split with
+    * `col("_corrupt_record").isNull` / `.isNotNull`.
+    *
+    * Caveat encoded here: Spark only populates the capture column if
+    * it is present in the supplied schema, and a frame selecting ONLY
+    * the capture column must be materialized from the same scan as a
+    * data column (both handled by appending the field to the schema).
+    */
+  def csvWithCorruptCapture(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      header: Boolean = true): DataFrame = {
+    val withCapture = schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    spark.read
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCapture)
+      .csv(path)
+  }
+
   /** Parquet (columnar) — the bronze/silver/gold interchange format.
     * Filter pushdown + column pruning reach the scan automatically.
     */

@@ -260,6 +260,26 @@ class OperatorsSpec extends SparkSpec {
     assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty)
   }
 
+  test("csvWithCorruptCapture quarantines malformed rows without losing bytes") {
+    import org.apache.spark.sql.types._
+    val dir = new java.io.File("/tmp/graft_corrupt_csv")
+    org.apache.commons.io.FileUtils.deleteDirectory(dir); dir.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of("/tmp/graft_corrupt_csv/in.csv"),
+      "id,amount\n1,10.5\nnot_a_number,oops\n3,7.25\n")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("amount", DoubleType)))
+    val df = sources.Readers.csvWithCorruptCapture(
+      spark, "/tmp/graft_corrupt_csv/in.csv", schema).cache()
+    val good = df.filter(col("_corrupt_record").isNull)
+      .select("id", "amount").as[(Long, Double)].collect().toSet
+    assert(good == Set((1L, 10.5), (3L, 7.25)))
+    val bad = df.filter(col("_corrupt_record").isNotNull)
+      .select("_corrupt_record").as[String].collect().toSeq
+    assert(bad == Seq("not_a_number,oops"), s"raw bytes must survive: $bad")
+    df.unpersist()
+  }
+
   test("SequencePacker two-level prefix sum equals the naive global cumsum") {
     import org.apache.spark.sql.expressions.Window
     val docs = (0L until 200L).map(i => (i, 10 + (i * 37) % 500)).toDF("id", "tok")
