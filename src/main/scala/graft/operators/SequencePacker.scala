@@ -29,6 +29,7 @@ object SequencePacker {
     */
   def pack(docs: DataFrame, idCol: String, tokenCol: String,
            budget: Long, groupExpr: Column): DataFrame = {
+    require(budget > 0, s"token budget must be positive: $budget")
     val base = docs.select(col(idCol), col(tokenCol).cast("long").as("__tok"),
       groupExpr.cast("long").as("__g"))
     val local = base.withColumn("__local_cum",

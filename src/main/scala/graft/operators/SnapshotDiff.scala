@@ -25,6 +25,7 @@ object SnapshotDiff {
     */
   def diff(oldSnap: DataFrame, newSnap: DataFrame, keys: Seq[String],
            compareCols: Seq[String] = Nil): DataFrame = {
+    require(keys.nonEmpty, "snapshot diff needs at least one key column")
     val cmp =
       if (compareCols.nonEmpty) compareCols
       else oldSnap.columns.intersect(newSnap.columns).filterNot(keys.contains).toSeq
