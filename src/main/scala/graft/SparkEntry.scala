@@ -553,6 +553,21 @@ object SparkEntry {
       both.unionByName(openOnly).unionByName(either)
     }),
 
+    "q_zorder_write" -> ((s, d) => {
+      // multi-dimensional clustering write: content must survive the
+      // z-curve layout exactly (the skipping win is spec-asserted on
+      // per-file min/max spans)
+      val base = s"/tmp/graft_zorder_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.sources.ZOrder.zorderWrite(
+        Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"),
+        base, "o_custkey", "o_orderkey", numFiles = 8)
+      s.read.parquet(base)
+        .groupBy((col("o_custkey") % 7).cast("long").as("grp"))
+        .agg(count(lit(1)).as("n"),
+          round(sum("o_totalprice"), 2).as("sum_total"),
+          min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+    }),
+
     "q_compact" -> ((s, d) => {
       // small-file compaction: 64-sliver write → byte-targeted rewrite;
       // correctness = content identical through the rewrite
@@ -1282,6 +1297,12 @@ object SparkEntry {
          UNION ALL
          SELECT 'either', count(*)
            FROM (SELECT * FROM open_k UNION SELECT * FROM done_k)""",
+
+    "q_zorder_write" ->
+      """SELECT CAST(o_custkey % 7 AS BIGINT) AS grp, count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_total,
+           min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         FROM orders GROUP BY 1""",
 
     "q_compact" ->
       """SELECT o_orderstatus, count(*) AS n_orders,

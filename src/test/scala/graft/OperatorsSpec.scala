@@ -260,6 +260,43 @@ class OperatorsSpec extends SparkSpec {
     assert(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty)
   }
 
+  test("zorderWrite clusters BOTH dimensions; lead-sort clusters only one") {
+    val orders = Tables.orders(spark, sf())
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val base = "/tmp/graft_zorder_spec"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    sources.ZOrder.zorderWrite(orders, s"$base/z", "o_custkey", "o_orderkey", 16)
+    orders.repartitionByRange(16, col("o_custkey"))
+      .sortWithinPartitions("o_custkey")
+      .write.parquet(s"$base/lead")
+    // per-FILE normalized min/max span of a column: the fraction of
+    // files a uniformly-placed point predicate on it must read
+    def avgSpan(dir: String, c: String): Double = {
+      val files = new java.io.File(dir).listFiles
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+      val Seq(lo, hi) = orders.agg(min(col(c)).cast("double"),
+        max(col(c)).cast("double")).as[(Double, Double)].head() match {
+        case (a, b) => Seq(a, b)
+      }
+      files.map { f =>
+        val (flo, fhi) = spark.read.parquet(f)
+          .agg(min(col(c)).cast("double"), max(col(c)).cast("double"))
+          .as[(Double, Double)].head()
+        (fhi - flo) / (hi - lo)
+      }.sum / files.length
+    }
+    // z-order: BOTH dims clustered (each file covers a fraction of each)
+    assert(avgSpan(s"$base/z", "o_custkey") < 0.6, "z custkey span")
+    assert(avgSpan(s"$base/z", "o_orderkey") < 0.6, "z orderkey span")
+    // lead sort: first dim tight, second dim useless for skipping
+    assert(avgSpan(s"$base/lead", "o_custkey") < 0.25, "lead custkey span")
+    assert(avgSpan(s"$base/lead", "o_orderkey") > 0.7, "lead orderkey span")
+    // content identity through the layout
+    val back = spark.read.parquet(s"$base/z")
+    assert(back.count() == orders.count())
+    assert(back.exceptAll(orders).isEmpty)
+  }
+
   test("csvWithCorruptCapture quarantines malformed rows without losing bytes") {
     import org.apache.spark.sql.types._
     val dir = new java.io.File("/tmp/graft_corrupt_csv")
