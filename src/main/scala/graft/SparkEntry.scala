@@ -583,21 +583,34 @@ object SparkEntry {
     }),
 
     "q_fuzzy_match" -> ((s, d) =>
-      // entity resolution: first-token blocking + exact Levenshtein
-      // verify; hot blocks dropped by a count pre-pass, never collected
+      // fuzzy string join, DEDUP-FIRST: exact duplicates collapse to a
+      // min-key representative before any pairing, so the pair fanout
+      // is quadratic in DISTINCT values, never in rows (duplicate-
+      // heavy data otherwise explodes: row-level pairing on sf0.1
+      // parts is 3.1M pairs; name-level is 16). Blocking after the
+      // collapse is also what keeps block sizes bounded: the distinct-
+      // name pool does not grow with corpus size, so first-word blocks
+      // stay under the hot-block cap at any SF
       graft.operators.FuzzyJoin.pairs(
-        Tables.part(s, d), "p_partkey", "p_name",
-        substring_index(col("p_name"), " ", 1), maxDist = 3)),
+        Tables.part(s, d).groupBy("p_name")
+          .agg(min("p_partkey").as("rep")),
+        "rep", "p_name", substring_index(col("p_name"), " ", 1), maxDist = 3)),
 
-    "q_entity_clusters" -> ((s, d) =>
-      // operator composition: fuzzy pairs → connected components =
-      // entity resolution (each part name group gets one canonical id)
-      graft.dedup.Components.clusters(
-        Tables.part(s, d), "p_partkey",
-        graft.operators.FuzzyJoin.pairs(Tables.part(s, d), "p_partkey",
-          "p_name", substring_index(col("p_name"), " ", 1), maxDist = 3),
-        "id_a", "id_b")
-        .select(col("p_partkey"), col("component"))),
+    "q_entity_clusters" -> ((s, d) => {
+      // entity resolution, dedup-first: exact names collapse to a
+      // min-key representative; fuzzy pairs + connected components run
+      // at DISTINCT-name scale; membership expands back with one
+      // broadcastable join. Every part gets a canonical cluster id
+      val parts = Tables.part(s, d).select("p_partkey", "p_name")
+      val reps = parts.groupBy("p_name").agg(min("p_partkey").as("rep"))
+      val pairs = graft.operators.FuzzyJoin.pairs(reps, "rep", "p_name",
+        substring_index(col("p_name"), " ", 1), maxDist = 3)
+      val comp = graft.dedup.Components.connectedComponents(pairs, "id_a", "id_b")
+      parts.join(reps, "p_name")
+        .join(comp, col("rep") === col("id"), "left")
+        .select(col("p_partkey"),
+          coalesce(col("component"), col("rep")).as("component"))
+    }),
 
     "q_date_dim" -> ((s, d) =>
       // generated calendar dimension (no source table): sequence +
@@ -1311,9 +1324,9 @@ object SparkEntry {
 
     "q_fuzzy_match" ->
       """WITH t AS (
-           SELECT p_partkey AS id, p_name AS s,
+           SELECT min(p_partkey) AS id, p_name AS s,
                   split_part(p_name, ' ', 1) AS blk
-           FROM part
+           FROM part GROUP BY p_name
          ), ok AS (
            SELECT blk FROM t GROUP BY blk HAVING count(*) <= 1000
          ), b AS (
@@ -1326,9 +1339,9 @@ object SparkEntry {
 
     "q_entity_clusters" ->
       """WITH RECURSIVE t AS (
-           SELECT p_partkey AS id, p_name AS s,
+           SELECT min(p_partkey) AS id, p_name AS s,
                   split_part(p_name, ' ', 1) AS blk
-           FROM part
+           FROM part GROUP BY p_name
          ), ok AS (
            SELECT blk FROM t GROUP BY blk HAVING count(*) <= 1000
          ), b AS (
@@ -1340,12 +1353,16 @@ object SparkEntry {
          ), sym2 AS (
            SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e
          ), reach AS (
-           SELECT p_partkey AS a, p_partkey AS b FROM part
+           SELECT id AS a, id AS b FROM t
            UNION
            SELECT r.a, s2.v AS b FROM reach r JOIN sym2 s2 ON r.b = s2.u
+         ), comp AS (
+           SELECT a AS rep, min(b) AS component FROM reach GROUP BY a
          )
-         SELECT a AS p_partkey, CAST(min(b) AS BIGINT) AS component
-         FROM reach GROUP BY a""",
+         SELECT p.p_partkey, CAST(c.component AS BIGINT) AS component
+         FROM part p
+         JOIN t ON p.p_name = t.s
+         JOIN comp c ON t.id = c.rep""",
 
     "q_date_dim" ->
       """WITH g AS (
