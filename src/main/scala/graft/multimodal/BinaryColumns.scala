@@ -276,6 +276,29 @@ object BinaryColumns {
       .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
         col("frame"), length(col("frame")).cast("long").as("frame_bytes"))
 
+  /** Ingest a directory of media files through Spark's `binaryFile`
+    * source — the real on-ramp the synthetic tables stand in for.
+    * Each file becomes one row (path, length, payload); the id is the
+    * path hash so re-ingests are stable. `pathGlobFilter` prunes by
+    * extension at LISTING time (no payload read for skipped files),
+    * and `maxPartitionBytes` governs how many payloads a task holds —
+    * the two knobs that matter when the directory is 100 TB of media.
+    */
+  def readBinaryDir(spark: SparkSession, dir: String, mediaType: String,
+                    glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        xxhash64(col("path")).as("media_id"),
+        lit(mediaType).as("media_type"),
+        col("content").as("payload"),
+        struct(lit(null).cast("int").as("width"),
+          lit(null).cast("int").as("height"),
+          lit(null).cast("long").as("duration_ms"),
+          lit(null).cast("string").as("codec")).as("meta"),
+        col("path"), col("length"))
+
   /** Metadata-only projection — must not deserialize payloads
     * (verify with explain: ReadSchema excludes `payload`).
     */

@@ -102,6 +102,28 @@ class MultimodalSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("binaryFile ingest of real PNG files decodes end-to-end") {
+    import org.apache.spark.sql.functions._
+    val dir = new java.io.File("/tmp/graft_media_in")
+    org.apache.commons.io.FileUtils.deleteDirectory(dir); dir.mkdirs()
+    // write real PNGs to disk from the synthetic generator's payloads
+    BinaryColumns.syntheticImages(spark, 3, w = 20, h = 10).collect().foreach { r =>
+      java.nio.file.Files.write(
+        java.nio.file.Path.of(s"$dir/img_${r.getLong(0)}.png"),
+        r.getAs[Array[Byte]]("payload"))
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(s"$dir/ignore.txt"), "not media")
+    val media = BinaryColumns.readBinaryDir(spark, dir.getPath, "image", "*.png")
+    assert(media.count() == 3, "glob must prune the .txt at listing time")
+    val feats = BinaryColumns.extractFeatures(media).collect()
+    assert(feats.length == 3)
+    feats.foreach { f =>
+      assert(f.getAs[Int]("width") == 20 && f.getAs[Int]("height") == 10,
+        "true decoded dimensions from disk-ingested payloads")
+    }
+  }
+
   test("metadataSummary never reads the payload column (column pruning)") {
     val dir = s"/tmp/graft_media_spec"
     BinaryColumns.syntheticMedia(spark, 30).write.mode("overwrite").parquet(dir)
