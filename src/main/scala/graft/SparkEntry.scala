@@ -303,6 +303,29 @@ object SparkEntry {
         "status_filled" -> (upper(trim(col("o_orderstatus"))) === "F"),
         "high_value" -> (col("o_totalprice") > 200000)))),
 
+    "q_error_log" -> ((s, d) => {
+      // RN-007 end-to-end: consolidated validations → long-format
+      // error log → CSV export → read-back (the gate checks the
+      // whole export path, not just the in-memory frame)
+      val v = Profiler.validate(Tables.orders(s, d), Seq(
+        "null_orderdate" -> col("o_orderdate").isNull,
+        "negative_total" -> (col("o_totalprice") < 0),
+        "status_open" -> (upper(trim(col("o_orderstatus"))) === "O"),
+        "high_value" -> (col("o_totalprice") > 200000)))
+      val log = Profiler.errorLog(v, Map(
+        "null_orderdate" -> "fecha de matricula nula",
+        "negative_total" -> "monto negativo",
+        "status_open" -> "registro abierto",
+        "high_value" -> "monto inusualmente alto"))
+      val tmp = s"/tmp/graft_errlog_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.sources.Writers.errorLogCsv(log, tmp)
+      s.read.option("header", "true")
+        .schema("columna STRING, mensaje_error STRING, valor STRING")
+        .csv(tmp)
+        .select(col("columna"), col("mensaje_error"),
+          col("valor").cast("long").as("n_rows"))
+    }),
+
     "q_medallion_silver" -> ((s, d) => {
       // the full reference silver job as one operator chain:
       // RN-010 rename → RN-001 dates → RN-003 normalize → RN-002 dedup
@@ -1124,6 +1147,28 @@ object SparkEntry {
            count(CASE WHEN upper(trim(o_orderstatus)) = 'F' THEN 1 END) AS status_filled,
            count(CASE WHEN o_totalprice > 200000 THEN 1 END) AS high_value
          FROM orders""",
+
+    "q_error_log" ->
+      """WITH v AS (
+           SELECT
+             count(CASE WHEN o_orderdate IS NULL THEN 1 END) AS null_orderdate,
+             count(CASE WHEN o_totalprice < 0 THEN 1 END) AS negative_total,
+             count(CASE WHEN upper(trim(o_orderstatus)) = 'O' THEN 1 END) AS status_open,
+             count(CASE WHEN o_totalprice > 200000 THEN 1 END) AS high_value
+           FROM orders
+         ), log AS (
+           SELECT 'null_orderdate' AS columna,
+                  'fecha de matricula nula' AS mensaje_error,
+                  null_orderdate AS n_rows FROM v
+           UNION ALL
+           SELECT 'negative_total', 'monto negativo', negative_total FROM v
+           UNION ALL
+           SELECT 'status_open', 'registro abierto', status_open FROM v
+           UNION ALL
+           SELECT 'high_value', 'monto inusualmente alto', high_value FROM v
+         )
+         SELECT columna, mensaje_error, CAST(n_rows AS BIGINT) AS n_rows
+         FROM log WHERE n_rows > 0""",
 
     "q_medallion_silver" ->
       """SELECT o_orderkey AS matricula,
