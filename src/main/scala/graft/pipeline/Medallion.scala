@@ -50,6 +50,26 @@ object Medallion {
       .withColumn("id_unico", DerivedColumns.uniqueKey(
         Seq(col("clase_identificacion"), col("matricula"), col("id_titular"))))
 
+  /** Silver chain with in-flight pipeline metrics: `Dataset.observe`
+    * accumulates the counts DURING the job — zero extra passes, which
+    * is the only acceptable cost model for run-health metrics on a
+    * 100 TB pipeline (a `.count()` per stage would double the work).
+    * Read the metrics from the returned Observations after an action.
+    */
+  def silverObserved(raw: DataFrame, catalog: DataFrame, catalogKey: String,
+                     catalogValue: String, currentYear: Int)
+      : (DataFrame, org.apache.spark.sql.Observation, org.apache.spark.sql.Observation) = {
+    val inObs = new org.apache.spark.sql.Observation("silver_in")
+    val outObs = new org.apache.spark.sql.Observation("silver_out")
+    val observed = raw.observe(inObs, count(lit(1)).as("rows_in"))
+    val out = silver(observed, catalog, catalogKey, catalogValue, currentYear)
+      .observe(outObs,
+        count(lit(1)).as("rows_out"),
+        count(when(col("fecha_matricula").isNull, lit(1))).as("null_dates"),
+        count(when(col("titular_name").isNull, lit(1))).as("unenriched"))
+    (out, inObs, outObs)
+  }
+
   /** Gold star schema from a silver frame: dimension (distinct
     * projection), fact (vigencia arithmetic), and the referential
     * integrity orphan count — reference src/gold/job-gold-rues.py.

@@ -61,4 +61,16 @@ class MedallionSpec extends SparkSpec {
       .filter(col("a") =!= col("b")).count()
     assert(moved > 0)
   }
+
+  test("silverObserved: in-flight metrics match actual counts, zero extra jobs") {
+    val raw = Medallion.rawFromOrders(spark, sf())
+    val catalog = Tables.customer(spark, sf()).select(col("c_custkey"), col("c_name"))
+    val (out, inObs, outObs) =
+      Medallion.silverObserved(raw, catalog, "c_custkey", "c_name", 2026)
+    val actualOut = out.count() // the ONE action; observe piggybacks on it
+    assert(inObs.get("rows_in") == raw.count())
+    assert(outObs.get("rows_out") == actualOut)
+    val actualNullDates = out.filter(col("fecha_matricula").isNull).count()
+    assert(outObs.get("null_dates") == actualNullDates)
+  }
 }
