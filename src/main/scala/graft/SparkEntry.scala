@@ -182,6 +182,37 @@ object SparkEntry {
           round(sum("o_totalprice"), 2).as("sum_total"))
     }),
 
+    "q_vacuum" -> ((s, d) => {
+      // retention: expire old year-partitions as directory deletes
+      // (no scan, no rewrite), then aggregate what remains
+      val tmp = s"/tmp/graft_vacuum_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.sources.Writers.parquetByYear(Tables.orders(s, d), tmp, "o_orderdate")
+      graft.sources.Writers.dropPartitions(s, tmp, "year_partition",
+        keep = _.toInt >= 1996)
+      s.read.parquet(tmp)
+        .groupBy(col("year_partition").cast("long").as("yr"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_total"))
+    }),
+
+    "q_schema_evolution" -> ((s, d) => {
+      // schema drift across partition generations: v1 lacks the
+      // o_orderpriority column; mergeSchema read unifies, old rows
+      // null-fill — the append-only lake evolution path
+      val tmp = s"/tmp/graft_evo_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val o = Tables.orders(s, d)
+      o.filter(year(col("o_orderdate")) < 1996)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$tmp/gen=1")
+      o.filter(year(col("o_orderdate")) >= 1996)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$tmp/gen=2")
+      s.read.option("mergeSchema", "true").parquet(tmp)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          count(col("o_orderpriority")).as("n_with_priority"),
+          round(sum("o_totalprice"), 2).as("sum_total"))
+    }),
+
     "q_json_roundtrip" -> ((s, d) => {
       // JSON-lines sink + schema-supplied read-back (no inference pass).
       import org.apache.spark.sql.types._
@@ -1058,6 +1089,18 @@ object SparkEntry {
            round(sum(o_totalprice), 2) AS sum_total
          FROM orders WHERE year(o_orderdate) = 1996
          GROUP BY o_orderstatus""",
+
+    "q_vacuum" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_total
+         FROM orders WHERE year(o_orderdate) >= 1996
+         GROUP BY 1""",
+
+    "q_schema_evolution" ->
+      """SELECT o_orderstatus, count(*) AS n,
+           count(CASE WHEN year(o_orderdate) >= 1996 THEN 1 END) AS n_with_priority,
+           round(sum(o_totalprice), 2) AS sum_total
+         FROM orders GROUP BY o_orderstatus""",
 
     "q_json_roundtrip" ->
       """SELECT event_type, count(*) AS n,

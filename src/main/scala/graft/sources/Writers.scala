@@ -99,6 +99,25 @@ object Writers {
     nFiles
   }
 
+  /** Retention vacuum over a partitioned layout: drop whole partition
+    * directories whose partition VALUE fails `keep` — a pure
+    * metadata/filesystem operation (list + delete), no data scan, no
+    * rewrite. That is the entire point of partitioning by a retention
+    * key at 100 TB: expiring a year costs one directory delete.
+    * Returns the dropped partition values.
+    */
+  def dropPartitions(spark: org.apache.spark.sql.SparkSession, path: String,
+                     partitionName: String, keep: String => Boolean): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prefix = partitionName + "="
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .map(s => (s.getPath, s.getPath.getName.stripPrefix(prefix)))
+      .filterNot { case (_, v) => keep(v) }
+      .map { case (p, v) => fs.delete(p, true); v }
+  }
+
   /** Error-log sink (reference RN-007: src/silver/job-silver-rues.py:622-637).
     * Single CSV for operator consumption — coalesce(1) is acceptable
     * because error logs are tiny by construction (aggregated counts,
