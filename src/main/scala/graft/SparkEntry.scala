@@ -100,6 +100,14 @@ object SparkEntry {
         (lit(2026) - year(col("o_orderdate"))).cast("long").as("years_since_order"))
   }
 
+  // Shared between q_fuzzy_match and q_entity_clusters so the two
+  // queries (and their DuckDB oracles) can't silently desynchronize.
+  private def partNameReps(parts: DataFrame): DataFrame =
+    parts.groupBy("p_name").agg(min("p_partkey").as("rep"))
+  private def partNameFuzzyPairs(reps: DataFrame): DataFrame =
+    graft.operators.FuzzyJoin.pairs(reps, "rep", "p_name",
+      substring_index(col("p_name"), " ", 1), maxDist = 3)
+
   // ---------------------------------------------------------------
   // Query catalog
   // ---------------------------------------------------------------
@@ -600,7 +608,7 @@ object SparkEntry {
       val done = o.filter(col("o_orderstatus") === "F").select("o_custkey")
       val both = open.intersect(done).agg(count(lit(1)).as("n"))
         .select(lit("both").as("op"), col("n"))
-      val openOnly = open.distinct.except(done).agg(count(lit(1)).as("n"))
+      val openOnly = open.except(done).agg(count(lit(1)).as("n"))
         .select(lit("open_only").as("op"), col("n"))
       val either = open.union(done).distinct.agg(count(lit(1)).as("n"))
         .select(lit("either").as("op"), col("n"))
@@ -645,10 +653,7 @@ object SparkEntry {
       // collapse is also what keeps block sizes bounded: the distinct-
       // name pool does not grow with corpus size, so first-word blocks
       // stay under the hot-block cap at any SF
-      graft.operators.FuzzyJoin.pairs(
-        Tables.part(s, d).groupBy("p_name")
-          .agg(min("p_partkey").as("rep")),
-        "rep", "p_name", substring_index(col("p_name"), " ", 1), maxDist = 3)),
+      partNameFuzzyPairs(partNameReps(Tables.part(s, d)))),
 
     "q_entity_clusters" -> ((s, d) => {
       // entity resolution, dedup-first: exact names collapse to a
@@ -656,10 +661,9 @@ object SparkEntry {
       // at DISTINCT-name scale; membership expands back with one
       // broadcastable join. Every part gets a canonical cluster id
       val parts = Tables.part(s, d).select("p_partkey", "p_name")
-      val reps = parts.groupBy("p_name").agg(min("p_partkey").as("rep"))
-      val pairs = graft.operators.FuzzyJoin.pairs(reps, "rep", "p_name",
-        substring_index(col("p_name"), " ", 1), maxDist = 3)
-      val comp = graft.dedup.Components.connectedComponents(pairs, "id_a", "id_b")
+      val reps = partNameReps(parts)
+      val comp = graft.dedup.Components.connectedComponents(
+        partNameFuzzyPairs(reps), "id_a", "id_b")
       parts.join(reps, "p_name")
         .join(comp, col("rep") === col("id"), "left")
         .select(col("p_partkey"),

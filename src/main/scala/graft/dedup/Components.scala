@@ -95,9 +95,11 @@ object Components {
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 25): DataFrame = {
     val star = starEdges(edges, srcCol, dstCol, maxIter)
+    // no outer distinct: star rows all have id != component (canon
+    // drops self-loops) and the appended root rows all have id ==
+    // component, so the branches are disjoint and each duplicate-free
     star.unionByName(
-        star.select(col("component").as("id"), col("component")).distinct())
-      .distinct()
+      star.select(col("component").as("id"), col("component")).distinct())
   }
 
   /** Cluster assignment for a full corpus: every row of `docs` gets a

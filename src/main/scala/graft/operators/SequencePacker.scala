@@ -44,7 +44,12 @@ object SequencePacker {
             .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)),
           lit(0L)))
       .drop("__gtot")
-    local.join(broadcast(offsets), "__g")
+    // no forced broadcast: n_groups = n_docs / K, and a too-fine
+    // groupExpr would make a broadcast hint collect millions of
+    // offsets to the driver. AQE broadcasts when it is actually small;
+    // choose K so n_groups stays ~1e4-1e6 (the group-offset window
+    // above is the serial step and is sized by the same choice).
+    local.join(offsets, "__g")
       .withColumn("__cum", col("__local_cum") + col("__offset"))
       .select(col(idCol), col("__tok").as("n_tokens"),
         col("__cum").as("cum_tokens"),

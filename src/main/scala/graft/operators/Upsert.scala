@@ -21,8 +21,15 @@ import org.apache.spark.sql.functions._
   */
 object Upsert {
 
+  /** `keepTombstones = true` retains the winning tombstone ROW per
+    * deleted key instead of dropping the key — required when the
+    * result is itself the next snapshot in an incremental chain:
+    * without the tombstone, a late out-of-order change with a stale
+    * version would resurrect the key on the following merge.
+    */
   def apply(snapshot: DataFrame, changes: DataFrame, keyCols: Seq[String],
-            versionCol: String, tombstoneCol: Option[String] = None): DataFrame = {
+            versionCol: String, tombstoneCol: Option[String] = None,
+            keepTombstones: Boolean = false): DataFrame = {
     require(keyCols.nonEmpty)
     val dead: DataFrame => Column = df =>
       tombstoneCol.map(c => coalesce(df(c), lit(false))).getOrElse(lit(false))
@@ -32,9 +39,10 @@ object Upsert {
           changes.withColumn("__tomb", dead(changes)).withColumn("__src", lit(1)))
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(versionCol).desc, col("__src").desc)
+    val alive = if (keepTombstones) lit(true) else !col("__tomb")
     unioned
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 && !col("__tomb"))
+      .filter(col("__rn") === 1 && alive)
       .drop("__rn", "__tomb", "__src")
   }
 }

@@ -115,7 +115,12 @@ object Writers {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
       .map(s => (s.getPath, s.getPath.getName.stripPrefix(prefix)))
       .filterNot { case (_, v) => keep(v) }
-      .map { case (p, v) => fs.delete(p, true); v }
+      .map { case (p, v) =>
+        // a retention op that reports success while data remains is a
+        // compliance bug — surface non-exceptional delete failures
+        require(fs.delete(p, true), s"failed to drop partition $p")
+        v
+      }
   }
 
   /** Error-log sink (reference RN-007: src/silver/job-silver-rues.py:622-637).

@@ -46,6 +46,12 @@ object ZOrder {
     val stats = df.agg(
       min(col(colA).cast("double")), max(col(colA).cast("double")),
       min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
+    if (stats.isNullAt(0)) {
+      // empty input (e.g. a not-yet-populated partition): write the
+      // empty dataset rather than NPE on the null min/max
+      df.write.mode(SaveMode.Overwrite).parquet(path)
+      return
+    }
     val (aLo, aHi, bLo, bHi) =
       (stats.getDouble(0), stats.getDouble(1), stats.getDouble(2), stats.getDouble(3))
     df.withColumn("__z", morton2(

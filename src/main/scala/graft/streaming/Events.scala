@@ -246,6 +246,12 @@ object Events {
     * overwrite itself is not crash-atomic on plain parquet — a real
     * deployment points the same foreachBatch at a transactional table
     * format; the merge shape is unchanged.
+    *
+    * Tombstones are RETAINED in the stored snapshot (filter
+    * `tombstoneCol` on read, see [[upsertSinkView]]): dropping them
+    * would let a late out-of-order change with a stale version
+    * resurrect a deleted key on a later merge. Production adds a
+    * retention window that ages tombstones out.
     */
   def upsertSink(changes: DataFrame, keys: Seq[String], versionCol: String,
                  tombstoneCol: Option[String], tablePath: String,
@@ -254,12 +260,17 @@ object Events {
     changes.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // existence through the SAME filesystem Spark reads with —
+        // java.io.File would always say "no" on hdfs://, s3a://, or
+        // file:/ URIs and silently reset the table to one batch
+        val p = new org.apache.hadoop.fs.Path(tablePath)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val cur =
-          if (new java.io.File(tablePath).exists()) spark.read.parquet(tablePath)
+          if (fs.exists(p)) spark.read.parquet(tablePath)
           else spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
         val merged = graft.operators.Upsert(
-          cur, batch, keys, versionCol, tombstoneCol)
+          cur, batch, keys, versionCol, tombstoneCol, keepTombstones = true)
         // materialize BEFORE overwriting the directory being read
         merged.localCheckpoint(true)
           .write.mode("overwrite").parquet(tablePath)
@@ -267,6 +278,12 @@ object Events {
       }
       .start()
   }
+
+  /** Live view of an [[upsertSink]] table: deleted keys filtered. */
+  def upsertSinkView(spark: SparkSession, tablePath: String,
+                     tombstoneCol: String): DataFrame =
+    spark.read.parquet(tablePath)
+      .filter(!coalesce(col(tombstoneCol), lit(false)))
 
   /** Streaming exact dedup: drop events whose (event_id) was already
     * seen, with state bounded by the watermark —

@@ -167,8 +167,8 @@ class StreamingSpec extends SparkSpec {
       input.addData((1L, "a", 1L, false), (2L, "b", 1L, false))
       q.processAllAvailable()
       def state(): Map[Long, String] =
-        spark.read.parquet(s"$base/table").select("k", "v")
-          .as[(Long, String)].collect().toMap
+        Events.upsertSinkView(spark, s"$base/table", "deleted")
+          .select("k", "v").as[(Long, String)].collect().toMap
       assert(state() == Map(1L -> "a", 2L -> "b"))
       // batch 2: update 1, insert 3, tombstone 2
       input.addData((1L, "a2", 2L, false), (3L, "c", 2L, false), (2L, "b", 2L, true))
@@ -178,6 +178,11 @@ class StreamingSpec extends SparkSpec {
       input.addData((1L, "old", 1L, false))
       q.processAllAvailable()
       assert(state() == Map(1L -> "a2", 3L -> "c"))
+      // a late STALE change for a deleted key must NOT resurrect it —
+      // only works because the retained tombstone outranks it
+      input.addData((2L, "zombie", 1L, false))
+      q.processAllAvailable()
+      assert(state() == Map(1L -> "a2", 3L -> "c"), "deleted key resurrected")
     } finally q.stop()
   }
 
