@@ -1485,7 +1485,8 @@ object SparkEntry {
              CAST(floor(CAST(cum - n_tok AS DOUBLE) / 2048.0) AS BIGINT) AS bin
            FROM c
          )
-         SELECT bin, count(*) AS n_docs, sum(n_tok) AS total_tokens,
+         SELECT bin, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
            floor(CAST(sum(n_tok) AS DOUBLE) / 2048.0 * 10000.0 + 0.5) / 10000.0
              AS fill_ratio
          FROM p GROUP BY bin""",

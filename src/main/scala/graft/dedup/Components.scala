@@ -57,11 +57,56 @@ object Components {
     canon(reattach.union(self))
   }
 
+  /** Edge count below which the contracted graph is solved on the
+    * driver: 4M (u,v) longs ≈ 64 MB collected — trivially inside any
+    * driver heap, and orders of magnitude cheaper than paying another
+    * O(log n) rounds of 6-stage shuffle jobs on a nearly-empty graph.
+    */
+  val defaultLocalLimit = 4000000L
+
+  /** Driver-side union-find (path halving + min-label roots) over a
+    * collected edge list. Returns (node → component-min) star edges.
+    * Only called once the DISTRIBUTED contractions have shrunk the
+    * edge set under `localLimit` — the standard last-mile hybrid: the
+    * big-data rounds guarantee the residue fits, the local solve
+    * avoids burning per-job latency on it.
+    */
+  private def solveLocal(edges: Array[(Long, Long)]): Iterator[(Long, Long)] = {
+    val parent = new java.util.HashMap[Long, Long](edges.length * 2)
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) { // path halving
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp); x = gp; p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    edges.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) { // min-label union: root is always the smaller id
+        if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv)
+      }
+    }
+    val keys = parent.keySet().toArray(Array.empty[java.lang.Long])
+    keys.iterator.map(k => (k.longValue(), find(k.longValue())))
+  }
+
   /** Star-forest edges (node → component-min) for every non-isolated
     * node. `edges` is an undirected pair list in (srcCol, dstCol).
+    *
+    * Hybrid execution: alternating-star rounds run distributed while
+    * the edge set is large; once the per-round convergence stat shows
+    * ≤ `localLimit` edges remain, the residue is collected and solved
+    * with driver-side union-find (zero extra shuffle rounds). Set
+    * `localLimit = 0` to force pure-distributed execution — the spec
+    * asserts both paths produce identical components.
     */
   def starEdges(edges: DataFrame, srcCol: String, dstCol: String,
-                maxIter: Int = 25): DataFrame = {
+                maxIter: Int = 25,
+                localLimit: Long = defaultLocalLimit): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
     // fixpoint stat: count + order-free pair checksum, one tiny row
     // (bit_xor, not sum: ANSI mode makes a long sum overflow-fatal)
     def stats(df: DataFrame) =
@@ -72,7 +117,7 @@ object Components {
     var prev = stats(e)
     var converged = false
     var it = 0
-    while (!converged && it < maxIter) {
+    while (!converged && prev.getLong(0) > localLimit && it < maxIter) {
       // lazy checkpoint: the stats job below is what materializes (and
       // persists) the round's edge set — one Spark job per round, and
       // the carried `prev` stat means the old set is never re-scanned.
@@ -85,16 +130,23 @@ object Components {
       e = next
       it += 1
     }
-    require(converged, s"connected components did not converge in $maxIter rounds")
-    e.select(col("u").as("id"), col("v").as("component"))
+    if (converged)
+      e.select(col("u").as("id"), col("v").as("component"))
+    else if (prev.getLong(0) <= localLimit) {
+      val residue = e.select(col("u"), col("v")).as[(Long, Long)].collect()
+      solveLocal(residue).toSeq.toDF("id", "component")
+    } else
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds")
   }
 
   /** (id, component) for every node present in `edges`; component =
     * minimum node id. Roots map to themselves.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 25): DataFrame = {
-    val star = starEdges(edges, srcCol, dstCol, maxIter)
+                          maxIter: Int = 25,
+                          localLimit: Long = defaultLocalLimit): DataFrame = {
+    val star = starEdges(edges, srcCol, dstCol, maxIter, localLimit)
     // no outer distinct: star rows all have id != component (canon
     // drops self-loops) and the appended root rows all have id ==
     // component, so the branches are disjoint and each duplicate-free

@@ -103,8 +103,28 @@ class DedupSpec extends SparkSpec {
     // 64-node path — diameter 63; naive min propagation needs 63 rounds,
     // alternating star must finish well inside maxIter=25 (O(log² n))
     val path = (1L until 64L).map(i => (i, i + 1)).toDF("a", "b")
-    val comp = Components.connectedComponents(path, "a", "b")
+    // localLimit=0 forces the pure-distributed contraction loop — the
+    // default hybrid would solve a 63-edge graph locally and skip the
+    // convergence property this test exists to prove
+    val comp = Components.connectedComponents(path, "a", "b", localLimit = 0L)
       .as[(Long, Long)].collect().toMap
     assert(comp.size == 64 && comp.values.forall(_ == 1L), s"path: ${comp.toSeq.sorted}")
+  }
+
+  test("connected components: hybrid local finish matches pure-distributed") {
+    import graft.dedup.Components
+    // deterministic pseudo-random graph: chains, stars, and scattered
+    // components of varying shapes
+    val edges = ((1L until 40L).map(i => (i, i + 1)) ++          // long chain
+      (100L to 120L).map(i => (100L, i)) ++                      // star
+      (0L until 300L).map(i => (i * 7 % 200 + 500, i * i % 190 + 500)))
+      .filter { case (a, b) => a != b }.toDF("a", "b")
+    val hybrid = Components.starEdges(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val distributed = Components.starEdges(edges, "a", "b", localLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(hybrid == distributed,
+      s"paths diverge: only-hybrid=${hybrid.toSet -- distributed.toSet} " +
+        s"only-dist=${distributed.toSet -- hybrid.toSet}")
   }
 }
