@@ -909,6 +909,17 @@ object SparkEntry {
     "q_dedup_embedding" -> ((s, d) =>
       Knn.nearDupByEmbedding(Tables.embeddings(s, d), threshold = 0.95)),
 
+    "q_decontaminate" -> ((s, d) => {
+      // benchmark decontamination: every 10th doc plays the eval set,
+      // the rest are the training corpus (the 100 TB side — only the
+      // tiny eval shingle dim is broadcast, the corpus is not shuffled)
+      val docs = Tables.documents(s, d)
+      graft.pipeline.Decontaminate.stats(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", k = 3, threshold = 0.5)
+    }),
+
     "q_text_clean" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         length(TF.cleanText(col("text"))).cast("long").as("clean_len"),
@@ -1909,6 +1920,60 @@ object SparkEntry {
          )
          SELECT query_id, CAST(rnk AS BIGINT) AS rank, nbr_id, sim
          FROM ranked WHERE rnk <= 5""",
+
+    // exact mirror of Decontaminate.stats(k=3, threshold=0.5): same
+    // shingle CTE as the ngram oracles, eval = every 10th doc, train =
+    // the rest; hit counts via inner join on distinct shingles
+    "q_decontaminate" ->
+      """WITH train AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0
+         ), ev AS (
+           SELECT text FROM documents WHERE doc_id % 10 = 0
+         ), toks_t AS (
+           SELECT doc_id,
+             CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS ts
+           FROM train
+         ), sh_t AS (
+           SELECT doc_id,
+             CASE WHEN len(ts) = 0 THEN CAST([] AS VARCHAR[])
+                  WHEN len(ts) <= 3 THEN [array_to_string(ts, ' ')]
+                  ELSE list_distinct(list_transform(range(1, len(ts) - 1),
+                         i -> array_to_string(ts[i:i+2], ' ')))
+             END AS shs
+           FROM toks_t
+         ), toks_e AS (
+           SELECT CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+                       ELSE string_split_regex(trim(lower(text)), '\s+') END AS ts
+           FROM ev
+         ), evsh AS (
+           SELECT DISTINCT unnest(
+             CASE WHEN len(ts) = 0 THEN CAST([] AS VARCHAR[])
+                  WHEN len(ts) <= 3 THEN [array_to_string(ts, ' ')]
+                  ELSE list_distinct(list_transform(range(1, len(ts) - 1),
+                         i -> array_to_string(ts[i:i+2], ' ')))
+             END) AS shingle
+           FROM toks_e
+         ), idx AS (
+           SELECT doc_id, unnest(shs) AS shingle FROM sh_t
+         ), hits AS (
+           SELECT i.doc_id, count(*) AS n_hit
+           FROM idx i JOIN evsh e USING (shingle) GROUP BY 1
+         ), stats AS (
+           SELECT s.doc_id, CAST(len(s.shs) AS BIGINT) AS n_shingles,
+                  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit
+           FROM sh_t s LEFT JOIN hits h USING (doc_id)
+         ), fin AS (
+           SELECT doc_id, n_shingles, n_hit,
+             CASE WHEN n_shingles = 0 THEN 0.0
+                  ELSE floor(CAST(n_hit AS DOUBLE) / n_shingles * 10000.0 + 0.5)
+                       / 10000.0 END AS contamination
+           FROM stats
+         )
+         SELECT doc_id, n_shingles, n_hit, contamination,
+           CAST(CASE WHEN contamination >= 0.5 THEN 1 ELSE 0 END AS BIGINT)
+             AS contaminated
+         FROM fin""",
 
     "q_text_clean" ->
       """WITH c AS (

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Decontaminate
+
+/** Specs for the round-4 pipeline operators (decontamination, PII,
+  * repetition stats, domain mixing, incremental dedup).
+  */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val train = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river"),
+    (2L, "columnar storage engines use vectorized execution for speed"),
+    (3L, ""),                                  // zero-shingle doc
+    (4L, "short doc")                          // < k words: whole-text shingle
+  ).toDF("doc_id", "text")
+
+  private lazy val eval = Seq(
+    // shares the full leading 3-grams of doc 1, nothing of doc 2
+    (100L, "the quick brown fox jumps over a fence"),
+    (101L, "short doc")
+  ).toDF("doc_id", "text")
+
+  test("Decontaminate.stats flags overlapping docs, preserves all rows") {
+    val s = Decontaminate.stats(train, eval, "doc_id", "text", k = 3, threshold = 0.3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_shingles", "n_hit", "contaminated")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(s.map(_._1) == Seq(1L, 2L, 3L, 4L))          // every train row present
+    val byId = s.map(r => r._1 -> r).toMap
+    assert(byId(1L)._3 >= 4L && byId(1L)._4 == 1L)      // doc 1 contaminated
+    assert(byId(2L)._3 == 0L && byId(2L)._4 == 0L)      // doc 2 clean
+    assert(byId(3L)._2 == 0L && byId(3L)._3 == 0L && byId(3L)._4 == 0L) // empty doc
+    assert(byId(4L)._3 == 1L && byId(4L)._4 == 1L)      // exact short-doc leak
+  }
+
+  test("Decontaminate.clean drops exactly the contaminated ids") {
+    val kept = Decontaminate.clean(train, eval, "doc_id", "text", k = 3, threshold = 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L))
+  }
+
+  test("Decontaminate plan broadcasts the eval side, never the corpus") {
+    val plan = Decontaminate.stats(train, eval, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
+  }
+}
