@@ -931,6 +931,31 @@ object SparkEntry {
       Tables.documents(s, d).select(col("doc_id"),
         TF.fingerprint(col("text")).as("rolling_fp"))),
 
+    "q_pii_redact" -> ((s, d) => {
+      // the synthetic corpus carries no PII, so the gate plants a
+      // deterministic specimen of each type (derived from doc_id) and
+      // the oracle plants the identical one — the regexes and the
+      // full redacted text are then compared byte-for-byte
+      import graft.functions.{PiiFunctions => P}
+      val planted = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+        lit(" ip 10.0."), pmod(col("doc_id"), lit(256L)).cast("string"),
+        lit("."), pmod(col("doc_id") * 7, lit(256L)).cast("string"),
+        lit(" ssn 123-45-"),
+        lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"),
+        lit(" call 555-867-"),
+        lpad(pmod(col("doc_id") * 13, lit(10000L)).cast("string"), 4, "0"),
+        lit(" card 4111-1111-1111-"),
+        lpad(pmod(col("doc_id") * 31, lit(10000L)).cast("string"), 4, "0"))
+      Tables.documents(s, d).select(col("doc_id"),
+        P.countEmails(planted).as("n_email"),
+        P.countCards(planted).as("n_card"),
+        P.countSsns(planted).as("n_ssn"),
+        P.countPhones(planted).as("n_phone"),
+        P.countIps(planted).as("n_ip"),
+        P.redactPii(planted).as("redacted"))
+    }),
+
     // ===== H. Streaming (batch-equivalent forms) ========================
     "q_event_windows" -> ((s, d) => Events.windowedAggBatch(Tables.events(s, d))),
 
@@ -1920,6 +1945,39 @@ object SparkEntry {
          )
          SELECT query_id, CAST(rnk AS BIGINT) AS rank, nbr_id, sim
          FROM ranked WHERE rnk <= 5""",
+
+    // exact mirror of q_pii_redact: identical planted PII, identical
+    // regexes (RE2/java.util.regex-common subset), identical rewrite
+    // order email → card → ssn → phone → ip
+    "q_pii_redact" ->
+      """WITH aug AS (
+           SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                  || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                  || ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' call 555-867-' || lpad(CAST((doc_id * 13) % 10000 AS VARCHAR), 4, '0')
+                  || ' card 4111-1111-1111-' || lpad(CAST((doc_id * 31) % 10000 AS VARCHAR), 4, '0')
+               AS planted
+           FROM documents
+         )
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(planted, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(planted, '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b')) AS BIGINT) AS n_card,
+           CAST(len(regexp_extract_all(planted, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+           CAST(len(regexp_extract_all(planted, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(planted, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(planted,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                   '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b', '[CARD]', 'g'),
+                 '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+               '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS redacted
+         FROM aug""",
 
     // exact mirror of Decontaminate.stats(k=3, threshold=0.5): same
     // shingle CTE as the ngram oracles, eval = every 10th doc, train =
