@@ -27,25 +27,33 @@ object Decontaminate {
 
   /** Per-training-doc contamination stats: shingle count, eval-shingle
     * hits, hit fraction, and a boolean flag at `threshold`. Every
-    * training row is preserved (zero-shingle docs report 0.0).
+    * training row is preserved (zero-shingle docs report 0.0 via the
+    * `explode_outer` null row).
+    *
+    * Exactly ONE shingling pass over the corpus: `n_shingles` rides the
+    * exploded rows and is recovered with `first()` in the same per-doc
+    * aggregation that counts hits, so the text is never rescanned.
     */
   def stats(train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
             k: Int = 3, threshold: Double = 0.5): DataFrame = {
     val n = train.sparkSession.sparkContext.defaultParallelism
-    // repartition the RAW text before the shingle expression so the
-    // per-row regex work parallelizes even off a few-task scan
-    val idx = train.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
-      .repartition(n)
+    val raw = train.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+    // widen ONLY a scan that is narrower than the cluster (a local test
+    // file, a single-task source): a well-partitioned 100 TB scan must
+    // not pay a round-robin exchange of the full raw text
+    val spread = if (raw.rdd.getNumPartitions < n) raw.repartition(n) else raw
+    val idx = spread
       .select(col("doc_id"), TextFunctions.shingles(col("__text"), k).as("sh"))
       .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
-        explode(col("sh")).as("shingle"))
-    val hits = idx
-      .join(broadcast(evalShingles(eval, textCol, k)), Seq("shingle"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-    train.select(col(idCol).as("doc_id"),
-        size(TextFunctions.shingles(col(textCol), k)).cast("long").as("n_shingles"))
-      .join(hits, Seq("doc_id"), "left")
-      .na.fill(Map("n_hit" -> 0L))
+        explode_outer(col("sh")).as("shingle"))
+    idx
+      .join(broadcast(evalShingles(eval, textCol, k).withColumn("__hit", lit(1))),
+        Seq("shingle"), "left")
+      // count(__hit) skips nulls: non-matching shingles and the
+      // explode_outer placeholder of zero-shingle docs both count 0
+      .groupBy("doc_id")
+      .agg(first(col("n_shingles")).as("n_shingles"),
+        count(col("__hit")).as("n_hit"))
       .withColumn("contamination",
         when(col("n_shingles") === 0, lit(0.0)).otherwise(
           // floor(x*1e4+0.5)/1e4: bit-identical across engines (vs round)
@@ -58,8 +66,9 @@ object Decontaminate {
   }
 
   /** The cleaned training corpus: rows whose contamination stays under
-    * `threshold`. One extra broadcastable join against the flagged-id
-    * list would also work; filtering the stats output keeps it one plan.
+    * `threshold`. The stats plan's surviving ids drive a semi-join back
+    * against the raw rows — the text is shingled once (inside `stats`)
+    * and never re-derived here.
     */
   def clean(train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
             k: Int = 3, threshold: Double = 0.5): DataFrame =

@@ -42,8 +42,35 @@ class PipelineOpsSpec extends SparkSpec {
   }
 
   test("Decontaminate plan broadcasts the eval side, never the corpus") {
+    // disable auto-broadcast so ONLY the explicit broadcast() hint can
+    // produce a BroadcastExchange — with it on, Spark could broadcast
+    // the tiny TRAIN side here and mask a regression
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val df = Decontaminate.stats(train, eval, "doc_id", "text")
+      df.collect()
+      val exchanges = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
+        def all = collect(df.queryExecution.executedPlan) {
+          case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+        }
+      }.all
+      assert(exchanges.nonEmpty, "expected the hinted broadcast of eval shingles")
+      // the broadcast subtree is the eval-shingle plan (it aggregates
+      // distinct shingles), never the train relation
+      assert(exchanges.forall(_.child.toString.contains("shingle")))
+      assert(!exchanges.exists(_.child.toString.contains("n_shingles")))
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("Decontaminate shingles the corpus exactly once") {
     val plan = Decontaminate.stats(train, eval, "doc_id", "text")
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"))
+      .queryExecution.optimizedPlan.toString
+    // one Generate over the train side (explode_outer of the shingle
+    // array) + the eval-side explode: never a second pass re-deriving
+    // n_shingles from the raw text
+    assert(plan.sliding("explode".length).count(_ == "explode") <= 2,
+      s"extra shingling pass in:\n$plan")
   }
 }
