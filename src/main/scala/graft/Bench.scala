@@ -36,14 +36,16 @@ object Bench {
       }
     else spark.read.parquet(s"$sfDir/nation.parquet").count()
 
-    // min of 2 runs per query: this box shares CPU with other tenants
-    // and single-shot timings swing 2x; the minimum is the standard
-    // low-noise estimator of the query's actual cost
+    // median of 3 runs per query: this box shares CPU with other
+    // tenants and single-shot timings swing 2x; the median discards
+    // one contended run AND one anomalously fast one, where min-of-2
+    // (used through r4) still reported pure noise when both samples
+    // landed in a loaded window
     val results = headliners.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
-        val runs = (1 to 2).map { _ =>
+        val runs = (1 to 3).map { _ =>
           // drop plan-level caches so each run pays the query's full
-          // cost (some pipelines cache internally); min-of-2 then
+          // cost (some pipelines cache internally); the median then
           // controls for CPU noise only, not for cached reuse
           spark.sharedState.cacheManager.clearCache()
           val t0 = System.nanoTime()
@@ -53,7 +55,7 @@ object Bench {
         }
         // a query that threw must not report its (near-zero) elapsed
         // time as a success — sentinel -1 and a `failed` list instead
-        name -> (if (runs.forall(_._1)) runs.map(_._2).min else -1.0)
+        name -> (if (runs.forall(_._1)) runs.map(_._2).sorted.apply(1) else -1.0)
       }
     }
     val failed = results.collect { case (k, v) if v < 0 => k }
