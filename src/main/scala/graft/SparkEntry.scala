@@ -846,6 +846,30 @@ object SparkEntry {
           TF.qualityScore(col("text"), stopwords).as("quality")),
         "doc_id", "quality", salt = 7)),
 
+    "q_repetition_stats" -> ((s, d) => {
+      // Gopher-style repetition filters (Rae et al. 2021 §A1.1):
+      // duplicate-token fraction, most-frequent unigram/bigram share,
+      // mean word length. All narrow per-row HOFs — the mode counts
+      // come from a sorted-run pass inside the projection, never an
+      // explode+groupBy (which would shuffle every token at 100 TB).
+      val ts = TF.tokens(col("text"))
+      val bs = TF.bigrams(col("text"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(ts).cast("long").as("n_words"),
+        pround(TF.dupTokenFrac(col("text")), 4).as("dup_word_frac"),
+        pround(when(size(ts) === 0, lit(0.0)).otherwise(
+          TF.maxMultiplicity(ts).cast("double") / size(ts)), 4)
+          .as("top_unigram_frac"),
+        pround(when(size(bs) === 0, lit(0.0)).otherwise(
+          TF.maxMultiplicity(bs).cast("double") / size(bs)), 4)
+          .as("top_bigram_frac"),
+        pround(TF.meanTokenLen(col("text")), 4).as("mean_word_len"))
+        .withColumn("flagged",
+          when(col("dup_word_frac") > 0.5 || col("top_bigram_frac") > 0.2
+            || col("mean_word_len") < 2.0, lit(1L)).otherwise(lit(0L)))
+    }),
+
     "q_lang_id" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         TF.langId(col("text"), langMarkers).as("lang_pred"))),
@@ -1715,6 +1739,52 @@ object SparkEntry {
            CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
              AS bpe_tokens
          FROM documents""",
+
+    "q_repetition_stats" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+           FROM documents
+         ), tb AS (
+           SELECT doc_id, toks,
+             CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+                  ELSE list_transform(range(1, len(toks)),
+                         i -> toks[i] || ' ' || toks[i + 1]) END AS bigs
+           FROM t
+         ), unimx AS (
+           SELECT doc_id, max(c) AS mx FROM (
+             SELECT doc_id, tok, count(*) AS c
+             FROM t, unnest(toks) AS u(tok) GROUP BY doc_id, tok
+           ) GROUP BY doc_id
+         ), bigmx AS (
+           SELECT doc_id, max(c) AS mx FROM (
+             SELECT doc_id, bg, count(*) AS c
+             FROM tb, unnest(bigs) AS u(bg) GROUP BY doc_id, bg
+           ) GROUP BY doc_id
+         ), r AS (
+           SELECT tb.doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             floor((CASE WHEN len(toks) = 0 THEN 0.0
+                    ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) END)
+               * 10000.0 + 0.5) / 10000.0 AS dup_word_frac,
+             floor((CASE WHEN len(toks) = 0 THEN 0.0
+                    ELSE CAST(coalesce(unimx.mx, 0) AS DOUBLE) / len(toks) END)
+               * 10000.0 + 0.5) / 10000.0 AS top_unigram_frac,
+             floor((CASE WHEN len(bigs) = 0 THEN 0.0
+                    ELSE CAST(coalesce(bigmx.mx, 0) AS DOUBLE) / len(bigs) END)
+               * 10000.0 + 0.5) / 10000.0 AS top_bigram_frac,
+             floor((CASE WHEN len(toks) = 0 THEN 0.0
+                    ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                         / len(toks) END)
+               * 10000.0 + 0.5) / 10000.0 AS mean_word_len
+           FROM tb
+           LEFT JOIN unimx USING (doc_id) LEFT JOIN bigmx USING (doc_id)
+         )
+         SELECT *, CAST(CASE WHEN dup_word_frac > 0.5 OR top_bigram_frac > 0.2
+                              OR mean_word_len < 2.0 THEN 1 ELSE 0 END AS BIGINT)
+           AS flagged
+         FROM r""",
 
     "q_weighted_sample" ->
       """WITH t AS (

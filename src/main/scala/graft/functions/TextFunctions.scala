@@ -117,6 +117,43 @@ object TextFunctions {
             i => concat_ws(" ", slice(ts, i + 1, lit(k)))))))
     })
 
+  /** Adjacent word bigrams ("w1 w2"); docs with < 2 tokens yield []. */
+  def bigrams(text: Column): Column =
+    bindOnce(tokens(text), ts => {
+      val n = size(ts)
+      when(n < 2, array().cast("array<string>"))
+        .otherwise(transform(slice(ts, lit(1), n - 1),
+          // transform's index is 0-based, element_at is 1-based: the
+          // successor of sliced element i is original element i + 2
+          (x, i) => concat_ws(" ", x, element_at(ts, i + lit(2)))))
+    })
+
+  /** Highest multiplicity of any element in `arr` (0 for empty):
+    * sort, then the longest equal-run in one aggregate pass —
+    * O(n log n) per row inside the projection, no explode, no
+    * shuffle. The narrow form of "mode count" that survives a
+    * 100 TB corpus scan (the explode+groupBy form shuffles every
+    * token of every document).
+    */
+  def maxMultiplicity(arr: Column): Column =
+    bindOnce(array_sort(arr), sorted =>
+      aggregate(sorted,
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (acc, x) => {
+          val run = when(x === acc("prev"), acc("run") + lit(1L)).otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(acc("best"), run).as("best"))
+        },
+        acc => acc("best")))
+
+  /** Fraction of tokens that repeat an earlier token
+    * (1 - distinct/total; 0.0 for empty docs).
+    */
+  def dupTokenFrac(text: Column): Column =
+    bindOnce(tokens(text), ts =>
+      when(size(ts) === 0, lit(0.0)).otherwise(
+        lit(1.0) - size(array_distinct(ts)).cast("double") / size(ts)))
+
   /** Polynomial rolling-hash fingerprint of the full text: the
     * classic `h = h*31 + c`, reduced mod 1e9+7 each step so the
     * accumulator stays < 2^30 and the multiply can never overflow a

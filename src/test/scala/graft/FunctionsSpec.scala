@@ -28,6 +28,28 @@ class FunctionsSpec extends SparkSpec {
     assert(r(1) == ((0.0, 0.0)))
   }
 
+  test("bigrams are adjacent token pairs; short docs yield empty") {
+    val df = Seq("a b c d", "solo", "").toDF("text")
+    val r = df.select(TF.bigrams(col("text"))).as[Seq[String]].collect().toSeq
+    assert(r.head == Seq("a b", "b c", "c d"))
+    assert(r(1) == Seq.empty)
+    assert(r(2) == Seq.empty)
+  }
+
+  test("maxMultiplicity is the mode count; dupTokenFrac the repeat share") {
+    val df = Seq("a b a c a b", "x y z", "").toDF("text")
+    val m = df.select(TF.maxMultiplicity(TF.tokens(col("text"))))
+      .as[Long].collect().toSeq
+    assert(m == Seq(3L, 1L, 0L)) // "a" ×3; all distinct; empty
+    val f = df.select(TF.dupTokenFrac(col("text"))).as[Double].collect().toSeq
+    assert(math.abs(f.head - 0.5) < 1e-9) // 6 tokens, 3 distinct
+    assert(f(1) == 0.0 && f(2) == 0.0)
+    // bigram mode: "a b" appears twice of 5 bigrams
+    val bm = df.select(TF.maxMultiplicity(TF.bigrams(col("text"))))
+      .as[Long].collect().toSeq
+    assert(bm == Seq(2L, 1L, 0L))
+  }
+
   test("stopwordRatio") {
     val df = Seq("the cat and the hat").toDF("text")
     val r = df.select(TF.stopwordRatio(col("text"), Seq("the", "and")))
