@@ -247,6 +247,25 @@ object SparkEntry {
           round(sum("o_totalprice"), 2).as("sum_total"))
     }),
 
+    "q_xml_roundtrip" -> ((s, d) => {
+      // XML interchange roundtrip (Spark 4 built-in source): write one
+      // element per row, read back with a SUPPLIED schema (inference =
+      // an extra full parse pass at scale), aggregate to prove content
+      import org.apache.spark.sql.types._
+      val tmp = s"/tmp/graft_xml_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.sources.Writers.xml(
+        Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey"),
+        tmp, rowTag = "nation")
+      val schema = StructType(Seq(
+        StructField("n_nationkey", LongType), StructField("n_name", StringType),
+        StructField("n_regionkey", LongType)))
+      Readers.xml(s, tmp, rowTag = "nation", Some(schema))
+        .groupBy("n_regionkey")
+        .agg(count(lit(1)).as("n_nations"),
+          sum("n_nationkey").as("sum_key"),
+          min("n_name").as("first_name"))
+    }),
+
     "q_json_extract" -> ((s, d) =>
       // Typed JSON field extraction from the events.props payload.
       Tables.events(s, d)
@@ -846,6 +865,45 @@ object SparkEntry {
           TF.qualityScore(col("text"), stopwords).as("quality")),
         "doc_id", "quality", salt = 7)),
 
+    "q_mix_report" -> ((s, d) => {
+      // data-mixture report: per (source-bucket, lang) doc counts,
+      // token totals, mean quality, and corpus token share — the
+      // one-page summary a pretraining run is steered by. One partial
+      // agg over narrow per-row stats; the share divides by a 1-row
+      // global total joined back onto the tiny aggregate (never a
+      // second corpus pass)
+      val docs = Tables.documents(s, d).select(
+        regexp_replace(col("source"), "[0-9]+$", "").as("src_family"),
+        col("lang"),
+        TF.tokenCount(col("text")).as("n_tok"),
+        TF.qualityScore(col("text"), stopwords).as("quality"))
+      // quality is 4dp-floored, so sum it as exact 1e4-scaled longs:
+      // float summation order (engine-dependent) can never bend the mean
+      val per = docs.groupBy("src_family", "lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("sum_tokens"),
+        sum(floor(col("quality") * lit(10000.0) + lit(0.5)).cast("long")).as("qsum"))
+        .withColumn("mean_quality",
+          pround(col("qsum").cast("double") / (col("n_docs") * lit(10000.0)), 4))
+        .drop("qsum")
+      val total = per.agg(sum("sum_tokens").as("total_tokens"))
+      per.crossJoin(broadcast(total))
+        .withColumn("token_share",
+          pround(col("sum_tokens").cast("double") / col("total_tokens"), 4))
+        .drop("total_tokens")
+        .orderBy(col("src_family").asc, col("lang").asc)
+    }),
+
+    "q_stratified_sample" -> ((s, d) =>
+      // stratified corpus mixing: keep 60% of en, 30% of es/de, default
+      // 10% — a pure narrow filter (portable per-row uniform vs a
+      // literal fraction map), no per-stratum pass, no shuffle
+      graft.operators.Sampling.stratifiedSample(
+        Tables.documents(s, d).select("doc_id", "lang", "n_chars"),
+        "doc_id", "lang",
+        Map("en" -> 0.6, "es" -> 0.3, "de" -> 0.3), default = 0.1,
+        salt = 11)),
+
     "q_repetition_stats" -> ((s, d) => {
       // Gopher-style repetition filters (Rae et al. 2021 §A1.1):
       // duplicate-token fraction, most-frequent unigram/bigram share,
@@ -907,6 +965,12 @@ object SparkEntry {
       graft.ann.Ivf.topKIndexed(tmp, emb.filter(col("vec_id") < 8), k = 5, nprobe = 6)
     }),
 
+    "q_sq8_quantize" -> ((s, d) =>
+      // SQ8 vector compression report: per-dim min/max (posexplode +
+      // partial agg → dims rows), broadcast stats arrays, narrow HOF
+      // encode; all-integer outputs (code checksum + ppb error bounds)
+      graft.ann.Quantize.sq8Report(Tables.embeddings(s, d), "vec_id", "embedding")),
+
     "q_dedup_minhash" -> ((s, d) =>
       MinHashLSH.nearDupSummary(Tables.documents(s, d), "doc_id", "text")),
 
@@ -932,6 +996,26 @@ object SparkEntry {
 
     "q_dedup_embedding" -> ((s, d) =>
       Knn.nearDupByEmbedding(Tables.embeddings(s, d), threshold = 0.95)),
+
+    "q_passage_dedup" -> ((s, d) =>
+      // passage-level (exact-substring-style) dedup stats, Lee et al.
+      // 2021: 8-word chunk grid, shared = hash in >=2 distinct docs.
+      // md5 keys here for the cross-engine oracle; production default
+      // is xxhash64 (8-byte shuffle keys)
+      graft.dedup.PassageDedup.stats(Tables.documents(s, d), "doc_id", "text",
+        w = 8, hash = c => md5(c.cast("binary")))),
+
+    "q_passage_clean" -> ((s, d) =>
+      // the corpus with cross-doc-shared passages removed, reassembled
+      // in chunk order (docs whose every passage is shared drop out)
+      graft.dedup.PassageDedup.dropShared(Tables.documents(s, d), "doc_id", "text",
+        w = 8, hash = c => md5(c.cast("binary")))),
+
+    "q_tfidf" -> ((s, d) =>
+      // top-3 TF-IDF terms per doc: tf and df from ONE tokenize pass,
+      // vocabulary join keyed by term (not broadcast — vocab is big at
+      // corpus scale), WindowGroupLimit top-k on the 4dp-rounded score
+      graft.operators.TfIdf.topTerms(Tables.documents(s, d), "doc_id", "text", k = 3)),
 
     "q_decontaminate" -> ((s, d) => {
       // benchmark decontamination: every 10th doc plays the eval set,
@@ -980,6 +1064,16 @@ object SparkEntry {
         P.redactPii(planted).as("redacted"))
     }),
 
+    "q_rolling_agg" -> ((s, d) =>
+      // rolling 1-hour per-user features (trailing count + sum): one
+      // shuffle on user_id, sorted RANGE-frame scan in-partition, sum
+      // carried as exact cent-longs (float frame-summation order is
+      // engine-internal)
+      Resample.rolling(
+        Tables.events(s, d).select("event_id", "user_id", "ts", "value"),
+        Seq("user_id"), "ts", "value", windowSec = 3600)
+        .select(col("event_id"), col("user_id"), col("n_window"), col("sum_window"))),
+
     // ===== H. Streaming (batch-equivalent forms) ========================
     "q_event_windows" -> ((s, d) => Events.windowedAggBatch(Tables.events(s, d))),
 
@@ -1003,7 +1097,9 @@ object SparkEntry {
 
     "q_sessionize_stream" -> ((s, d) => Events.sessionizeFileStream(s, d, 30)),
 
-    "q_stream_join" -> ((s, d) => Events.attributionFileStream(s, d, 30))
+    "q_stream_join" -> ((s, d) => Events.attributionFileStream(s, d, 30)),
+
+    "q_stream_dedup" -> ((s, d) => Events.dedupFileStream(s, d))
   )
 
   // ---------------------------------------------------------------
@@ -1807,6 +1903,174 @@ object SparkEntry {
          SELECT doc_id, quality FROM q
          WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#7'), 1, 8))
                  AS BIGINT) / 4294967296.0 < quality""",
+
+    "q_mix_report" ->
+      """WITH t AS (
+           SELECT regexp_replace(source, '[0-9]+$', '') AS src_family, lang,
+             CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks,
+             text
+           FROM documents
+         ), q AS (
+           SELECT src_family, lang, CAST(len(toks) AS BIGINT) AS n_tok,
+             floor((least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
+               + (CASE WHEN length(text) = 0 THEN 0.0
+                       ELSE CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text) END)
+               + least((CASE WHEN len(toks) = 0 THEN 0.0
+                             ELSE CAST(len(list_filter(toks,
+                                    x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE)
+                                  / len(toks) END) * 4.0, 1.0)
+               ) / 3.0 * 10000.0 + 0.5) / 10000.0 AS quality
+           FROM t
+         ), per AS (
+           SELECT src_family, lang, count(*) AS n_docs,
+             sum(n_tok) AS sum_tokens,
+             sum(CAST(floor(quality * 10000.0 + 0.5) AS BIGINT)) AS qsum
+           FROM q GROUP BY src_family, lang
+         )
+         SELECT src_family, lang, n_docs, sum_tokens,
+           floor(CAST(qsum AS DOUBLE) / (n_docs * 10000.0) * 10000.0 + 0.5) / 10000.0
+             AS mean_quality,
+           floor(CAST(sum_tokens AS DOUBLE)
+             / (SELECT sum(sum_tokens) FROM per) * 10000.0 + 0.5) / 10000.0
+             AS token_share
+         FROM per
+         ORDER BY src_family ASC, lang ASC""",
+
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#11'), 1, 8))
+                 AS BIGINT) / 4294967296.0
+               < (CASE WHEN lang = 'en' THEN 0.6
+                       WHEN lang IN ('es', 'de') THEN 0.3
+                       ELSE 0.1 END)""",
+
+    "q_xml_roundtrip" ->
+      """SELECT n_regionkey, count(*) AS n_nations,
+           sum(n_nationkey) AS sum_key, min(n_name) AS first_name
+         FROM nation GROUP BY n_regionkey""",
+
+    "q_stream_dedup" ->
+      """SELECT event_type, count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+             AS sum_value
+         FROM events GROUP BY event_type""",
+
+    "q_sq8_quantize" ->
+      """WITH ex AS (
+           SELECT generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+           FROM embeddings
+         ), s AS (
+           SELECT pos, min(x) AS mn, max(x) AS mx FROM ex GROUP BY pos
+         ), arrs AS (
+           SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM s
+         ), enc AS (
+           SELECT vec_id, embedding,
+             list_transform(range(1, len(embedding) + 1), i ->
+               CASE WHEN mxs[i] = mns[i] THEN 0
+                    ELSE CAST(floor((CAST(embedding[i] AS DOUBLE) - mns[i])
+                           / (mxs[i] - mns[i]) * 255.0 + 0.5) AS BIGINT) END) AS codes,
+             list_transform(range(1, len(embedding) + 1), i ->
+               CASE WHEN mxs[i] = mns[i] THEN 0
+                    ELSE CAST(floor(abs(CAST(embedding[i] AS DOUBLE)
+                           - (mns[i] + floor((CAST(embedding[i] AS DOUBLE) - mns[i])
+                                / (mxs[i] - mns[i]) * 255.0 + 0.5)
+                              * (mxs[i] - mns[i]) / 255.0)) * 1000000000.0 + 0.5)
+                         AS BIGINT) END) AS errs
+           FROM embeddings, arrs
+         )
+         SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims,
+           CAST(list_sum(codes) AS BIGINT) AS code_sum,
+           CAST(list_max(errs) AS BIGINT) AS max_err_ppb,
+           CAST(list_sum(errs) AS BIGINT) AS sum_err_ppb
+         FROM enc""",
+
+    "q_rolling_agg" ->
+      """WITH e AS (
+           SELECT event_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc
+           FROM events
+         )
+         SELECT event_id, user_id,
+           count(*) OVER w AS n_window,
+           CAST(sum(vc) OVER w AS DOUBLE) / 100.0 AS sum_window
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY es
+                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""",
+
+    "q_passage_dedup" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+           FROM documents
+         ), ch AS (
+           SELECT doc_id, list_transform(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT)),
+                    i -> array_to_string(toks[(i*8+1):(i*8+8)], ' ')) AS ps
+           FROM t
+         ), occ AS (
+           SELECT doc_id, unnest(ps) AS p FROM ch
+         ), hot AS (
+           SELECT p FROM occ GROUP BY p HAVING count(DISTINCT doc_id) >= 2
+         ), spd AS (
+           SELECT doc_id, count(*) AS n_shared FROM occ
+           WHERE p IN (SELECT p FROM hot) GROUP BY doc_id
+         )
+         SELECT ch.doc_id, CAST(len(ps) AS BIGINT) AS n_passages,
+           coalesce(n_shared, 0) AS n_shared,
+           CASE WHEN len(ps) = 0 THEN 0.0
+                ELSE floor(CAST(coalesce(n_shared, 0) AS DOUBLE) / len(ps)
+                       * 10000.0 + 0.5) / 10000.0 END AS shared_frac
+         FROM ch LEFT JOIN spd USING (doc_id)""",
+
+    "q_passage_clean" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+           FROM documents
+         ), ch AS (
+           SELECT doc_id, list_transform(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT)),
+                    i -> array_to_string(toks[(i*8+1):(i*8+8)], ' ')) AS ps
+           FROM t
+         ), occ AS (
+           SELECT doc_id, unnest(ps) AS p, generate_subscripts(ps, 1) AS pos FROM ch
+         ), hot AS (
+           SELECT p FROM occ GROUP BY p HAVING count(DISTINCT doc_id) >= 2
+         )
+         SELECT doc_id, string_agg(p, ' ' ORDER BY pos) AS clean_text
+         FROM occ WHERE p NOT IN (SELECT p FROM hot)
+         GROUP BY doc_id""",
+
+    "q_tfidf" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+           FROM documents
+         ), tok AS (
+           SELECT doc_id, unnest(toks) AS term FROM t
+         ), tf AS (
+           SELECT doc_id, term, count(*) AS tf FROM tok
+           WHERE length(term) > 0 GROUP BY doc_id, term
+         ), df AS (
+           SELECT term, count(*) AS df FROM tf GROUP BY term
+         ), n AS (
+           SELECT count(*) AS n_docs FROM documents
+         ), sc AS (
+           SELECT doc_id, term, tf,
+             floor(CAST(tf AS DOUBLE) * (ln((1.0 + n_docs) / (1.0 + df)) + 1.0)
+               * 10000.0 + 0.5) / 10000.0 AS tfidf
+           FROM tf JOIN df USING (term), n
+         ), r AS (
+           SELECT *, row_number() OVER (
+             PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
+           FROM sc
+         )
+         SELECT doc_id, term, tf, tfidf, CAST(rk AS BIGINT) AS rk
+         FROM r WHERE rk <= 3""",
 
     "q_quality_score" ->
       """WITH t AS (

@@ -117,6 +117,20 @@ object TextFunctions {
             i => concat_ws(" ", slice(ts, i + 1, lit(k)))))))
     })
 
+  /** Consecutive non-overlapping `w`-word passages ("w1 … w8"), the
+    * last one possibly shorter. The chunk grid for passage-level
+    * (exact-substring-style) dedup — all HOFs, narrow, one tokenize
+    * per row.
+    */
+  def passages(text: Column, w: Int): Column =
+    bindOnce(tokens(text), ts => {
+      val n = size(ts)
+      when(n === 0, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0), ceil(n.cast("double") / lit(w.toDouble)).cast("int") - 1),
+          i => concat_ws(" ", slice(ts, i * lit(w) + 1, lit(w)))))
+    })
+
   /** Adjacent word bigrams ("w1 w2"); docs with < 2 tokens yield []. */
   def bigrams(text: Column): Column =
     bindOnce(tokens(text), ts => {

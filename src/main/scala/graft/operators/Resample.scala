@@ -38,4 +38,28 @@ object Resample {
         coalesce(col("n"), lit(0L)).as("n"),
         coalesce(col("sum_value"), lit(0.0)).as("sum_value")): _*)
   }
+
+  /** Per-key rolling time-RANGE aggregates: for every event, the count
+    * and sum of the key's events in the trailing `windowSec` seconds
+    * (inclusive both ends — RANGE frame peers included, so ties at the
+    * same second agree in any engine).
+    *
+    * One shuffle on the key, then a sorted in-partition frame scan —
+    * the streaming-feature backbone ("events per user in the last
+    * hour") with no self-join and no explode. The sum is carried as
+    * exact `scale`-shifted longs: a RANGE frame's float summation
+    * order is engine-internal (segment trees vs running sums), so
+    * doubles here would be a cross-engine coin flip.
+    */
+  def rolling(df: DataFrame, keyCols: Seq[String], tsCol: String,
+              valueCol: String, windowSec: Long, scale: Int = 100): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(unix_timestamp(col(tsCol)))
+      .rangeBetween(-windowSec, 0)
+    df.withColumn("__v", floor(col(valueCol) * lit(scale.toDouble) + lit(0.5)).cast("long"))
+      .withColumn("n_window", count(lit(1)).over(w))
+      .withColumn("sum_window", sum(col("__v")).over(w).cast("double") / lit(scale.toDouble))
+      .drop("__v")
+  }
 }

@@ -68,4 +68,23 @@ object Sampling {
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
                      salt: Int = 0): DataFrame =
     df.filter(portableUniform(idCol, salt) < col(weightCol))
+
+  /** Deterministic stratified sampling: keep each row with the
+    * probability assigned to its stratum (language, source, quality
+    * band…), default rate for unlisted strata. This is the data-mixing
+    * primitive — "keep 50% of English, 10% of everything else" — and
+    * like [[weightedSample]] it is a pure narrow filter: the per-row
+    * uniform draw is a portable hash of the id, so there is no
+    * per-stratum pass, no shuffle, and no RNG state, at any corpus
+    * size. The fraction lookup is a literal map (broadcast-free:
+    * baked into the plan).
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       fractions: Map[String, Double], default: Double,
+                       salt: Int = 0): DataFrame = {
+    val lookup = map(fractions.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val frac = coalesce(element_at(lookup, col(stratumCol)), lit(default))
+    df.filter(portableUniform(idCol, salt) < frac)
+  }
 }

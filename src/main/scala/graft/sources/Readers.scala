@@ -88,4 +88,15 @@ object Readers {
     */
   def orc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
+
+  /** XML (Spark 4 built-in source): one row per `rowTag` element.
+    * Schema should be supplied at scale — XML inference is a full
+    * extra parse pass, and XML itself is a row-oriented interchange
+    * format (feeds land in it; analytics storage should not).
+    */
+  def xml(spark: SparkSession, path: String, rowTag: String,
+          schema: Option[StructType] = None): DataFrame = {
+    val base = spark.read.option("rowTag", rowTag).format("xml")
+    schema.fold(base)(s => base.schema(s)).load(path)
+  }
 }

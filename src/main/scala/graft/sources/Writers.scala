@@ -63,6 +63,14 @@ object Writers {
   def jsonLines(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).json(path)
 
+  /** XML export (Spark 4 built-in source): one `rowTag` element per
+    * row. Interchange-only — land XML, convert to parquet, never
+    * analyze over it.
+    */
+  def xml(df: DataFrame, path: String, rowTag: String,
+          mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).option("rowTag", rowTag).format("xml").save(path)
+
   /** Bucketed managed table: pre-shuffles data into `numBuckets` by
     * `bucketCols` at WRITE time so every later equi-join/aggregation
     * on those keys is exchange-free — the canonical way to pay a

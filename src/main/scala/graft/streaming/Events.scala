@@ -295,6 +295,55 @@ object Events {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming dedup as a REAL file-source query with a REAL
+    * re-delivery: the events file is staged TWICE (at-least-once
+    * delivery of the whole feed), streamed one file per micro-batch
+    * through [[dedupStream]], and the surviving rows are aggregated
+    * per type. Batch 2's rows die one of the two ways a late duplicate
+    * dies in production: still in state (dropped as duplicate) or
+    * behind the watermark (dropped as late) — either way the result
+    * equals one clean copy, which is what the DuckDB oracle asserts.
+    * Sums are carried as exact cent-longs (the per-type groups are
+    * thousands of doubles; float summation order is not portable).
+    */
+  def dedupFileStream(spark: SparkSession, sfDir: String,
+                      watermark: String = "1 hour"): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stage = Files.createTempDirectory("graft_dedup_stream")
+    try {
+      Files.copy(Paths.get(s"$sfDir/events.parquet"),
+        stage.resolve("00_events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      Files.copy(Paths.get(s"$sfDir/events.parquet"),
+        stage.resolve("01_redelivered.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(stage.resolve("01_redelivered.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 60000L))
+      // watermarks require LTZ event time (session TZ is UTC, so the
+      // values match the batch NTZ form; ts is dropped by the rollup)
+      val stream = spark.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(stage.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val name = "graft_stream_dedup"
+      val q = dedupStream(stream, watermark).writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      spark.table(name)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          (sum(floor(col("value") * lit(100.0) + lit(0.5)).cast("long"))
+            .cast("double") / lit(100.0)).as("sum_value"))
+        .localCheckpoint(eager = true)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(stage).iterator().asScala.toSeq.reverse.foreach(p => Files.deleteIfExists(p))
+    }
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   /** start/last are epoch MICROseconds — java.sql.Timestamp.getTime is

@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => TF}
+import graft.dedup.PassageDedup
+import graft.operators.{Resample, Sampling, TfIdf}
+import graft.ann.Quantize
+
+/** Specs for the round-5 operators: passage-level dedup, TF-IDF,
+  * stratified sampling, SQ8 quantization, rolling range windows,
+  * XML interchange.
+  */
+class Round5OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ----------------------------------------------------------- passages
+  test("TF.passages chunks to consecutive w-word spans, last short") {
+    val r = Seq(("a b c d e f g h i j", 1)).toDF("text", "i")
+      .select(TF.passages(col("text"), 4).as("p"))
+      .as[Seq[String]].head()
+    assert(r == Seq("a b c d", "e f g h", "i j"))
+    val empty = Seq(("  ", 1)).toDF("text", "i")
+      .select(TF.passages(col("text"), 4).as("p")).as[Seq[String]].head()
+    assert(empty.isEmpty)
+    val exact = Seq(("a b c d", 1)).toDF("text", "i")
+      .select(TF.passages(col("text"), 4).as("p")).as[Seq[String]].head()
+    assert(exact == Seq("a b c d"))
+  }
+
+  private lazy val passageDocs = Seq(
+    // docs 1 and 2 share their first 4-word passage (boilerplate);
+    // doc 3 is fully unique; doc 4 duplicates doc 1 entirely
+    (1L, "all rights reserved inc alpha beta gamma delta"),
+    (2L, "all rights reserved inc epsilon zeta eta theta"),
+    (3L, "completely unique content with no shared spans here"),
+    (4L, "all rights reserved inc alpha beta gamma delta")
+  ).toDF("doc_id", "text")
+
+  test("PassageDedup.stats counts cross-doc shared passages") {
+    val s = PassageDedup.stats(passageDocs, "doc_id", "text", w = 4)
+      .orderBy("doc_id")
+      .select("doc_id", "n_passages", "n_shared")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(s == Seq((1L, 2L, 2L), (2L, 2L, 1L), (3L, 2L, 0L), (4L, 2L, 2L)))
+  }
+
+  test("PassageDedup.dropShared removes shared spans, keeps order") {
+    val m = PassageDedup.dropShared(passageDocs, "doc_id", "text", w = 4)
+      .as[(Long, String)].collect().toMap
+    assert(m(2L) == "epsilon zeta eta theta")
+    assert(m(3L) == "completely unique content with no shared spans here")
+    // docs 1 and 4 are full duplicates of each other: every passage
+    // shared, so both drop out entirely
+    assert(!m.contains(1L) && !m.contains(4L))
+  }
+
+  // ------------------------------------------------------------- tf-idf
+  test("TfIdf ranks rare terms above ubiquitous ones") {
+    val docs = Seq(
+      (1L, "common rare rare"),
+      (2L, "common other"),
+      (3L, "common thing")
+    ).toDF("doc_id", "text")
+    val top = TfIdf.topTerms(docs, "doc_id", "text", k = 1)
+      .select("doc_id", "term").as[(Long, String)].collect().toMap
+    // 'common' is in every doc: idf = ln(4/4)+1 = 1.0; the doc-specific
+    // terms carry idf ln(4/2)+1 ≈ 1.69 (and tf=2 in doc 1) and win
+    assert(top == Map(1L -> "rare", 2L -> "other", 3L -> "thing"))
+    val d1 = TfIdf.topTerms(docs, "doc_id", "text", k = 2)
+      .filter(col("doc_id") === 1L).select("term").as[String].collect().toSet
+    assert(d1 == Set("rare", "common"))
+  }
+
+  test("TfIdf top-k plans as WindowGroupLimit (no full sort of the corpus)") {
+    val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+    val plan = TfIdf.topTerms(docs, "doc_id", "text", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"))
+  }
+
+  // ------------------------------------------------- stratified sampling
+  test("stratifiedSample keeps ~fraction per stratum, deterministic, subset") {
+    val rows = (0L until 4000L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
+    val df = rows.toDF("id", "lang")
+    val kept = Sampling.stratifiedSample(df, "id", "lang",
+      Map("en" -> 0.5), default = 0.1, salt = 3)
+    val byLang = kept.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(math.abs(byLang("en") - 1000.0) < 150)   // 2000 * 0.5
+    assert(math.abs(byLang("zh") - 200.0) < 80)     // 2000 * 0.1
+    // deterministic: rerun is identical
+    val again = Sampling.stratifiedSample(df, "id", "lang",
+      Map("en" -> 0.5), default = 0.1, salt = 3)
+    assert(kept.select("id").as[Long].collect().toSet ==
+      again.select("id").as[Long].collect().toSet)
+    // monotone: raising a stratum's rate only ADDS rows (nested samples,
+    // the property that makes staged corpus scaling reproducible)
+    val more = Sampling.stratifiedSample(df, "id", "lang",
+      Map("en" -> 0.8), default = 0.1, salt = 3)
+    assert(kept.filter(col("lang") === "en").select("id").as[Long].collect().toSet
+      .subsetOf(more.filter(col("lang") === "en").select("id").as[Long].collect().toSet))
+  }
+
+  // ------------------------------------------------------------- sq8
+  test("Quantize.sq8Report codes bounded, error within half-step") {
+    val vecs = Seq(
+      (1L, Array(0.0f, 10.0f, -5.0f)),
+      (2L, Array(1.0f, 20.0f, -5.0f)),   // dim 3 constant -> mx == mn
+      (3L, Array(0.5f, 15.0f, -5.0f))
+    ).toDF("vec_id", "embedding")
+    val r = Quantize.sq8Report(vecs, "vec_id", "embedding")
+      .orderBy("vec_id")
+      .select("vec_id", "n_dims", "max_err_ppb")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(r.map(_._2).forall(_ == 3L))
+    // max reconstruction error <= (mx-mn)/(2*255): widest dim spans 10
+    // -> half-step 10/510 = 0.0196... = 19_607_843 ppb (+1 for the floor)
+    assert(r.map(_._3).forall(_ <= 19607844L))
+    // constant dimension must contribute zero error and code 0
+    val codesSum = Quantize.sq8Report(
+      Seq((1L, Array(2.0f)), (2L, Array(2.0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+      .agg(sum("code_sum"), sum("max_err_ppb")).as[(Long, Long)].head()
+    assert(codesSum == ((0L, 0L)))
+  }
+
+  test("Quantize dim stats shuffle dims rows, not the corpus (partial agg)") {
+    val vecs = Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val plan = Quantize.dimStats(vecs, "embedding").queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"))   // partial agg before exchange
+  }
+
+  // ------------------------------------------------------ rolling window
+  test("Resample.rolling trailing range window, ties included") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000)
+    val ev = Seq(
+      (1L, 7L, t(0), 10.0),
+      (2L, 7L, t(1800), 20.0),
+      (3L, 7L, t(3600), 30.0),    // exactly 1h after row 1: still in range
+      (4L, 7L, t(7300), 40.0),    // all prior out of range
+      (5L, 8L, t(0), 5.0)         // other key untouched
+    ).toDF("event_id", "user_id", "ts", "value")
+    val r = Resample.rolling(ev, Seq("user_id"), "ts", "value", windowSec = 3600)
+      .orderBy("event_id")
+      .select("event_id", "n_window", "sum_window")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(r == Seq(
+      (1L, 1L, 10.0), (2L, 2L, 30.0), (3L, 3L, 60.0), (4L, 1L, 40.0),
+      (5L, 1L, 5.0)))
+  }
+
+  // ---------------------------------------------------------------- xml
+  test("XML write/read roundtrip preserves rows with supplied schema") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_xml_spec").toString
+    val df = Seq((1L, "alpha", 10L), (2L, "beta & <gamma>", 20L))
+      .toDF("id", "name", "v")
+    graft.sources.Writers.xml(df, dir, rowTag = "row")
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType), StructField("v", LongType)))
+    val back = graft.sources.Readers.xml(spark, dir, rowTag = "row", Some(schema))
+      .as[(Long, String, Long)].collect().toSet
+    // XML escaping of &/< must roundtrip byte-identically
+    assert(back == Set((1L, "alpha", 10L), (2L, "beta & <gamma>", 20L)))
+  }
+}
