@@ -886,11 +886,15 @@ object SparkEntry {
         .withColumn("mean_quality",
           pround(col("qsum").cast("double") / (col("n_docs") * lit(10000.0)), 4))
         .drop("qsum")
-      val total = per.agg(sum("sum_tokens").as("total_tokens"))
-      per.crossJoin(broadcast(total))
-        .withColumn("token_share",
-          pround(col("sum_tokens").cast("double") / col("total_tokens"), 4))
-        .drop("total_tokens")
+      // the share's global total is a window over the ALREADY-AGGREGATED
+      // frame (mixture-cell cardinality, ~tens of rows) — an unpartitioned
+      // window is forbidden over corpus-sized data, not over aggregates;
+      // the cross-join-a-reaggregated-total alternative scans the corpus
+      // twice (no subplan reuse across aggregation branches)
+      per.withColumn("token_share",
+          pround(col("sum_tokens").cast("double") /
+            sum("sum_tokens").over(org.apache.spark.sql.expressions.Window
+              .partitionBy()), 4))
         .orderBy(col("src_family").asc, col("lang").asc)
     }),
 

@@ -45,15 +45,30 @@ object PassageDedup {
 
   /** Per-doc contamination report: total passages, passages shared
     * with another doc, and the shared fraction (4 dp).
+    *
+    * ONE pass over the text: the (pk, doc) occurrence pairs partial-agg
+    * to per-(pk, doc) multiplicities, the distinct-doc count per pk is
+    * a count window over that already-deduplicated frame (two-level
+    * count-distinct — never a second shingling scan, never a
+    * collect'd bucket; a degenerate passage shared by millions of
+    * docs is a large-but-spillable window partition of tiny rows),
+    * and both per-doc rollups fall out of the same frame. Only the
+    * doc-id spine is re-read (column-pruned) to restore zero-passage
+    * docs.
     */
   def stats(docs: DataFrame, idCol: String, textCol: String,
             w: Int = 8, hash: Column => Column = xxhash64(_)): DataFrame = {
-    val occ = occurrences(docs, idCol, textCol, w, hash).select(col(idCol), col("pk"))
-    val shared = sharedKeys(docs, idCol, textCol, w, hash)
-    val sharedPerDoc = occ.join(shared, Seq("pk"), "left_semi")
-      .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
-    docs.select(col(idCol), size(TF.passages(col(textCol), w)).cast("long").as("n_passages"))
-      .join(sharedPerDoc, Seq(idCol), "left")
+    val perPkDoc = occurrences(docs, idCol, textCol, w, hash)
+      .groupBy(col("pk"), col(idCol))
+      .agg(count(lit(1)).as("cnt"))
+    val withNd = perPkDoc.withColumn("nd",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("pk"))))
+    val perDoc = withNd.groupBy(idCol).agg(
+      sum(col("cnt")).as("n_passages"),
+      sum(when(col("nd") >= 2, col("cnt")).otherwise(lit(0L))).as("n_shared"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .withColumn("n_passages", coalesce(col("n_passages"), lit(0L)))
       .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
       .withColumn("shared_frac", when(col("n_passages") === 0, lit(0.0))
         .otherwise(pround(col("n_shared").cast("double") / col("n_passages"), 4)))

@@ -10,16 +10,22 @@ import graft.functions.{TextFunctions => TF}
   * feature-extraction pass; cf. the reference's text-profiling
   * intent, generalized for LLM-corpus analytics).
   *
-  * Shape at scale:
+  * Shape at scale — ONE corpus pass, ONE shuffle:
   *  - tokenization is a narrow codegen'd projection (no UDF);
-  *  - per-(doc, term) tf is one explode + partial-aggregated count —
-  *    the shuffle carries (doc_id, term) pairs once;
-  *  - document frequency reuses the tf relation (`groupBy(term)`), so
-  *    the corpus is tokenized exactly once;
-  *  - the vocabulary join is keyed by term and deliberately NOT
-  *    broadcast (a 100 TB corpus has a multi-GB vocabulary; AQE may
-  *    still elect a broadcast at small SF);
-  *  - the corpus size joins back as a broadcast 1-row aggregate;
+  *  - the exploded (doc_id, term) pairs are repartitioned BY TERM
+  *    once; everything downstream is term-clustered, so the tf
+  *    aggregate (term partitioning satisfies a (term, doc) clustering
+  *    requirement), the df aggregate, and the tf⋈df join all run with
+  *    ZERO further exchanges — and because the tf and df branches
+  *    share the identical Exchange subtree, Spark plans the second as
+  *    a ReusedExchange: the corpus is scanned and tokenized exactly
+  *    once (plan-asserted in Round5OpsSpec);
+  *  - the trade encoded here: repartitioning raw pairs gives up
+  *    map-side tf combining, but the alternative (partial-agg to
+  *    (doc, term) first) costs a second full shuffle to re-cluster by
+  *    term AND loses the scan reuse — strictly more bytes end to end;
+  *  - the corpus size joins back as a broadcast 1-row aggregate (its
+  *    count-only scan prunes every column);
   *  - top-k per doc is a rank-filter window that Spark 4 plans as
   *    WindowGroupLimit: each mapper forwards at most k candidates per
   *    doc before the exchange.
@@ -36,11 +42,11 @@ object TfIdf {
 
   /** (doc, term, tf) with smooth-idf TF-IDF score: tf * (ln((1+N)/(1+df)) + 1). */
   def scores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tf = docs
+    val pairs = docs
       .select(col(idCol), explode(TF.tokens(col(textCol))).as("term"))
       .filter(length(col("term")) > 0)
-      .groupBy(idCol, "term")
-      .agg(count(lit(1)).as("tf"))
+      .repartition(col("term"))
+    val tf = pairs.groupBy("term", idCol).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     tf.join(df, "term")

@@ -78,6 +78,26 @@ class Round5OpsSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"))
   }
 
+  test("TfIdf tokenizes the corpus ONCE: tf/df share one reused exchange") {
+    val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+    val q = TfIdf.topTerms(docs, "doc_id", "text", k = 3)
+    q.collect()   // AQE materializes exchange reuse at runtime
+    // inspect only the executed (final) adaptive plan, not the
+    // "== Initial Plan ==" echo that follows it in toString
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the tf and df branches must consume the SAME term-keyed shuffle
+    assert(plan.contains("ReusedExchange"))
+    // one Generate = one explode = one tokenize pass over the text
+    assert("Generate explode".r.findAllIn(plan).size == 1)
+  }
+
+  test("PassageDedup.stats shingles the corpus once (single Generate)") {
+    val plan = PassageDedup.stats(passageDocs, "doc_id", "text", w = 4)
+      .queryExecution.executedPlan.toString
+    assert("Generate posexplode".r.findAllIn(plan).size == 1)
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   // ------------------------------------------------- stratified sampling
   test("stratifiedSample keeps ~fraction per stratum, deterministic, subset") {
     val rows = (0L until 4000L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
