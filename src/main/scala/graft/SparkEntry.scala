@@ -908,6 +908,41 @@ object SparkEntry {
         Map("en" -> 0.6, "es" -> 0.3, "de" -> 0.3), default = 0.1,
         salt = 11)),
 
+    "q_mix_rebalance" -> ((s, d) =>
+      // downsample over-represented languages to a target token
+      // mixture: stats pass → per-stratum keep rates (min(1,
+      // target·total/actual)) → broadcast-rate narrow filter. Never
+      // upsamples; unlisted strata drop
+      graft.operators.Sampling.rebalanceToTargets(
+        Tables.documents(s, d).select(col("doc_id"), col("lang"),
+          TF.tokenCount(col("text")).as("n_tok")),
+        "doc_id", "lang", "n_tok",
+        Map("en" -> 0.3, "es" -> 0.2, "de" -> 0.2, "fr" -> 0.15, "zh" -> 0.15),
+        salt = 13)
+        .select(col("doc_id"), col("lang"), pround(col("keep_rate"), 6).as("keep_rate"))),
+
+    "q_split_by_cluster" -> ((s, d) => {
+      // leakage-safe train/test split: near-duplicate docs share a
+      // connected-component id, and the split draw hashes the CLUSTER
+      // id — near-dups can never straddle the boundary (a doc-id split
+      // leaks eval content whenever a near-copy lands in train)
+      val docs = Tables.documents(s, d)
+      graft.dedup.Components.clusters(
+          docs, "doc_id",
+          NgramJaccard.pairs(docs, "doc_id", "text", k = 3, threshold = 0.5, maxDf = 20),
+          "id_a", "id_b")
+        .withColumn("split",
+          when(graft.operators.Sampling.portableUniform("component", 5) < 0.9, "train")
+            .otherwise("test"))
+    }),
+
+    "q_unigram_logprob" -> ((s, d) =>
+      // CCNet-style LM-quality proxy: mean unigram log-prob per doc
+      // under the corpus's own distribution; one term-keyed shuffle
+      // (freq, total, and the join all reuse it), integerized
+      // per-token log-probs so the mean is order-independent
+      graft.operators.UnigramLm.scores(Tables.documents(s, d), "doc_id", "text")),
+
     "q_repetition_stats" -> ((s, d) => {
       // Gopher-style repetition filters (Rae et al. 2021 §A1.1):
       // duplicate-token fraction, most-frequent unigram/bigram share,
@@ -2237,6 +2272,101 @@ object SparkEntry {
          )
          SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS component
          FROM reach GROUP BY a""",
+
+    "q_mix_rebalance" ->
+      """WITH t AS (
+           SELECT doc_id, lang,
+             CAST(CASE WHEN length(trim(lower(text))) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS BIGINT)
+               AS n_tok
+           FROM documents
+         ), w AS (
+           SELECT lang, sum(n_tok) AS wt FROM t GROUP BY lang
+         ), r AS (
+           SELECT lang, least(1.0,
+             (CASE lang WHEN 'en' THEN 0.3 WHEN 'es' THEN 0.2 WHEN 'de' THEN 0.2
+                        WHEN 'fr' THEN 0.15 WHEN 'zh' THEN 0.15 ELSE 0.0 END)
+             * (SELECT sum(wt) FROM w) / wt) AS keep_rate
+           FROM w
+         )
+         SELECT doc_id, t.lang,
+           floor(keep_rate * 1000000.0 + 0.5) / 1000000.0 AS keep_rate
+         FROM t JOIN r USING (lang)
+         WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#13'), 1, 8))
+                 AS BIGINT) / 4294967296.0 < keep_rate""",
+
+    "q_split_by_cluster" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id,
+             CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS ts
+           FROM documents
+         ), sh AS (
+           SELECT doc_id,
+             CASE WHEN len(ts) = 0 THEN CAST([] AS VARCHAR[])
+                  WHEN len(ts) <= 3 THEN [array_to_string(ts, ' ')]
+                  ELSE list_distinct(list_transform(range(1, len(ts) - 1),
+                         i -> array_to_string(ts[i:i+2], ' ')))
+             END AS shs
+           FROM toks
+         ), idx AS (
+           SELECT doc_id, CAST(len(shs) AS BIGINT) AS set_size, unnest(shs) AS shingle
+           FROM sh
+         ), rare AS (
+           SELECT shingle FROM idx GROUP BY shingle HAVING count(*) BETWEEN 2 AND 20
+         ), p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.set_size AS size_a, b.set_size AS size_b, count(*) AS inter
+           FROM idx a JOIN rare r ON a.shingle = r.shingle
+                      JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4
+         ), e AS (
+           SELECT id_a AS u, id_b AS v FROM p
+           WHERE floor(CAST(inter AS DOUBLE) / (size_a + size_b - inter)
+                   * 10000.0 + 0.5) / 10000.0 >= 0.5
+         ), sym2 AS (
+           SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e
+         ), reach AS (
+           SELECT doc_id AS a, doc_id AS b FROM documents
+           UNION
+           SELECT r.a, s.v AS b FROM reach r JOIN sym2 s ON r.b = s.u
+         ), comp AS (
+           SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS component
+           FROM reach GROUP BY a
+         )
+         SELECT doc_id, component,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(component AS VARCHAR) || '#5'), 1, 8))
+                  AS BIGINT) / 4294967296.0 < 0.9
+                THEN 'train' ELSE 'test' END AS split
+         FROM comp""",
+
+    "q_unigram_logprob" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+           FROM documents
+         ), tok AS (
+           SELECT doc_id, unnest(toks) AS term FROM t
+         ), tok2 AS (
+           SELECT doc_id, term FROM tok WHERE length(term) > 0
+         ), f AS (
+           SELECT term, count(*) AS freq FROM tok2 GROUP BY term
+         ), tot AS (
+           SELECT sum(freq) AS total FROM f
+         ), lp AS (
+           SELECT doc_id,
+             CAST(floor(ln(CAST(freq AS DOUBLE) / total) * 1000000.0 + 0.5) AS BIGINT)
+               AS lps
+           FROM tok2 JOIN f USING (term), tot
+         ), d AS (
+           SELECT doc_id, count(*) AS n_tok, sum(lps) AS s FROM lp GROUP BY doc_id
+         )
+         SELECT dd.doc_id, coalesce(n_tok, 0) AS n_tok,
+           CASE WHEN n_tok IS NULL THEN 0.0
+                ELSE floor(CAST(s AS DOUBLE) / (n_tok * 1000000.0)
+                       * 10000.0 + 0.5) / 10000.0 END AS logprob_mean
+         FROM documents dd LEFT JOIN d USING (doc_id)""",
 
     "q_fingerprint" ->
       """SELECT doc_id,

@@ -87,4 +87,35 @@ object Sampling {
     val frac = coalesce(element_at(lookup, col(stratumCol)), lit(default))
     df.filter(portableUniform(idCol, salt) < frac)
   }
+
+  /** Rebalance the corpus to a TARGET mixture: given each stratum's
+    * desired share of total `weightCol` (tokens, usually), compute the
+    * per-stratum keep rate `min(1, target_share · total / actual)` and
+    * downsample the over-represented strata to it — the standard
+    * pretraining-mix correction ("web is 80% of tokens but should be
+    * 50%"). Strata absent from `targets` are dropped (rate 0).
+    *
+    * Two passes by construction (the rate depends on a global
+    * aggregate): a stats pass that partial-aggregates stratum weights
+    * to a stratum-cardinality frame, and a narrow filter pass joining
+    * the broadcast rate table. Under-represented strata keep rate 1 —
+    * this operator never upsamples, so the result is a strict,
+    * deterministic, retry-stable subset.
+    */
+  def rebalanceToTargets(df: DataFrame, idCol: String, stratumCol: String,
+                         weightCol: String, targets: Map[String, Double],
+                         salt: Int = 0): DataFrame = {
+    val tlookup = map(targets.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val stats = df.groupBy(stratumCol).agg(sum(col(weightCol)).as("__w"))
+    // total via a window over the aggregated (stratum-cardinality) frame
+    val rates = stats
+      .withColumn("__total", sum(col("__w")).over(Window.partitionBy()))
+      .withColumn("keep_rate", least(lit(1.0),
+        coalesce(element_at(tlookup, col(stratumCol)), lit(0.0))
+          * col("__total") / col("__w")))
+      .select(col(stratumCol), col("keep_rate"))
+    df.join(broadcast(rates), Seq(stratumCol))
+      .filter(portableUniform(idCol, salt) < col("keep_rate"))
+  }
 }

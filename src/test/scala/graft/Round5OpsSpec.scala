@@ -120,6 +120,73 @@ class Round5OpsSpec extends SparkSpec {
       .subsetOf(more.filter(col("lang") === "en").select("id").as[Long].collect().toSet))
   }
 
+  // ------------------------------------------------------- rebalancing
+  test("rebalanceToTargets caps over-represented strata, keeps rare at 1.0") {
+    val docs = (0L until 3000L).map { i =>
+      val lang = if (i % 10 < 8) "en" else "zh"   // en carries ~80% of weight
+      (i, lang, 10L)
+    }.toDF("id", "lang", "w")
+    val out = graft.operators.Sampling.rebalanceToTargets(
+      docs, "id", "lang", "w", Map("en" -> 0.5, "zh" -> 0.5), salt = 1)
+    val rates = out.groupBy("lang").agg(
+      min("keep_rate").as("mn"), max("keep_rate").as("mx"), count(lit(1)).as("n"))
+      .as[(String, Double, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // en: target 0.5 of total vs actual 0.8 -> rate 0.625; zh under target -> 1.0
+    assert(math.abs(rates("en")._2 - 0.625) < 1e-9 && rates("en")._2 == rates("en")._3)
+    assert(rates("zh")._2 == 1.0)
+    assert(rates("zh")._4 == 600L)                        // rate-1 stratum intact
+    assert(math.abs(rates("en")._4 - 1500.0) < 150)       // 2400 * 0.625
+    // unlisted strata drop entirely
+    val dropped = graft.operators.Sampling.rebalanceToTargets(
+      docs, "id", "lang", "w", Map("zh" -> 1.0), salt = 1)
+    assert(dropped.filter(col("lang") === "en").count() == 0)
+  }
+
+  test("split-by-cluster puts every member of a component in ONE split") {
+    // near-identical docs (>=0.5 trigram jaccard) must co-travel
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),   // near-dup of 1
+      (3L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    val clusters = graft.dedup.Components.clusters(docs, "doc_id",
+      graft.dedup.NgramJaccard.pairs(docs, "doc_id", "text", k = 3,
+        threshold = 0.5, maxDf = 20), "id_a", "id_b")
+      .withColumn("split",
+        when(graft.operators.Sampling.portableUniform("component", 5) < 0.9, "train")
+          .otherwise("test"))
+    val rows = clusters.select("doc_id", "component", "split")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(rows.map(r => r._1 -> r._2).toMap == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+    // one split value per component, by construction AND observed
+    assert(rows.groupBy(_._2).forall(_._2.map(_._3).distinct.size == 1))
+  }
+
+  // -------------------------------------------------------- unigram lm
+  test("UnigramLm mean log-prob matches hand computation") {
+    val docs = Seq((1L, "a a b"), (2L, "b"), (3L, " ")).toDF("doc_id", "text")
+    val r = graft.operators.UnigramLm.scores(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    // corpus: a=2, b=2, total=4 -> p(a)=p(b)=0.5, ln=~-0.693147
+    // integerized per token: floor(-693147.18*1e0... ) = -693147
+    val lp = math.floor(math.log(0.5) * 1e6 + 0.5) / 1e6
+    def m(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    assert(r.map(_._1) == Seq(1L, 2L, 3L))
+    assert(r(0)._2 == 3L && r(0)._3 == m(lp))
+    assert(r(1)._2 == 1L && r(1)._3 == m(lp))
+    assert(r(2)._2 == 0L && r(2)._3 == 0.0)   // empty doc present, zeroed
+  }
+
+  test("UnigramLm single tokenize pass (reused term exchange)") {
+    val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+    val q = graft.operators.UnigramLm.scores(docs, "doc_id", "text")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(plan.contains("ReusedExchange"))
+    assert("Generate explode".r.findAllIn(plan).size == 1)
+  }
+
   // ------------------------------------------------------------- sq8
   test("Quantize.sq8Report codes bounded, error within half-step") {
     val vecs = Seq(
