@@ -15,7 +15,10 @@ object Bench {
     "q_dedup_minhash", "q_ann_bruteforce", "q_token_count",
     "q_quality_score", "q_event_windows", "q_sessionize",
     "q_medallion_silver", "q_corpus_prep", "q_asof_join", "q_range_join",
-    "q_window_analytics", "q_dedup_clusters")
+    "q_window_analytics", "q_dedup_clusters",
+    // round-5 additions: token-shuffle analytics (tf-idf, unigram LM),
+    // passage-grid dedup, rolling range-frame windows
+    "q_tfidf", "q_unigram_logprob", "q_passage_dedup", "q_rolling_agg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
