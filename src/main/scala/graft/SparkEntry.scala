@@ -1004,6 +1004,14 @@ object SparkEntry {
       graft.ann.Ivf.topKIndexed(tmp, emb.filter(col("vec_id") < 8), k = 5, nprobe = 6)
     }),
 
+    "q_ann_sq8" -> ((s, d) => {
+      // IVF over SQ8-quantized cells + exact rerank (rows-only;
+      // GroundTruthSpec measures recall vs brute force)
+      val emb = Tables.embeddings(s, d)
+      graft.ann.Ivf.topKSq8(emb, emb.filter(col("vec_id") < 8), k = 5,
+        c = 16, nprobe = 6)
+    }),
+
     "q_sq8_quantize" -> ((s, d) =>
       // SQ8 vector compression report: per-dim min/max (posexplode +
       // partial agg → dims rows), broadcast stats arrays, narrow HOF

@@ -103,6 +103,20 @@ class GroundTruthSpec extends SparkSpec {
     assert(ivfRecall >= 0.6, s"IVF recall $ivfRecall below measured floor")
   }
 
+  test("IVF+SQ8 with exact rerank: recall meets the plain-IVF floor") {
+    val emb = Tables.embeddings(spark, sf()).select("vec_id", "embedding").cache()
+    val q = emb.filter(col("vec_id") < 8)
+    val exact = Knn.bruteForceTopK(emb, q, k = 5)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val sq8 = graft.ann.Ivf.topKSq8(emb, q, k = 5, c = 16, nprobe = 6)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect sq8).size.toDouble / exact.size
+    // quantization noise is bounded by the refine-then-exact-rerank
+    // pass: the measured recall equals plain IVF's (cell assignment,
+    // not 8-bit rounding, is what loses neighbors)
+    assert(recall >= 0.6, s"IVF+SQ8 recall $recall below measured floor")
+  }
+
   test("IVF written index: identical results to inline form, partition-pruned scan") {
     val emb = Tables.embeddings(spark, sf()).select("vec_id", "embedding")
     val q = emb.filter(col("vec_id") < 8)
