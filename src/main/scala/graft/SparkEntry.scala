@@ -330,6 +330,21 @@ object SparkEntry {
     "q_profile_approx" -> ((s, d) =>
       Profiler.dupProfileApprox(Tables.events(s, d), Seq("user_id", "event_type"))),
 
+    "q_profile_approx_check" -> ((s, d) => {
+      // the HLL profile under a cross-engine harness: the exact
+      // distinct matches DuckDB row-for-row, and the sketch estimate
+      // is ASSERTED within its 10% envelope Spark-side (the oracle
+      // pins the boolean TRUE) — upgrades the approx path from
+      // rows-only to a driver-checked property
+      val ev = Tables.events(s, d)
+      Profiler.dupProfileApprox(ev, Seq("user_id", "event_type"))
+        .crossJoin(Profiler.dupProfile(ev, Seq("user_id", "event_type"))
+          .select(col("distinct_keys")))
+        .select(col("total_rows"), col("distinct_keys"),
+          (abs(col("approx_distinct_keys") - col("distinct_keys")).cast("double")
+            / col("distinct_keys") <= 0.1).as("within_10pct"))
+    }),
+
     "q_catalog_enrich" -> ((s, d) => {
       val natPlus = CatalogEnricher.enrich(Tables.nation(s, d), Tables.region(s, d),
         "n_regionkey", "r_regionkey", "r_name", "region_name", normalizeKeys = false)
@@ -2280,6 +2295,12 @@ object SparkEntry {
          )
          SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS component
          FROM reach GROUP BY a""",
+
+    "q_profile_approx_check" ->
+      """SELECT count(*) AS total_rows,
+           count(DISTINCT (user_id, event_type)) AS distinct_keys,
+           TRUE AS within_10pct
+         FROM events""",
 
     "q_mix_rebalance" ->
       """WITH t AS (
