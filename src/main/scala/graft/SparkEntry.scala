@@ -1126,6 +1126,18 @@ object SparkEntry {
         P.redactPii(planted).as("redacted"))
     }),
 
+    "q_funnel" -> ((s, d) =>
+      // strictly-ordered conversion funnel: earliest view, earliest
+      // click AFTER it, earliest purchase after that — per-stage
+      // min(ts) aggregations with fixed-size state (never a collected
+      // per-user event array)
+      graft.operators.Funnel.funnel(Tables.events(s, d),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"))),
+
+    "q_cohort_retention" -> ((s, d) =>
+      // weekly cohorts by first-seen week x activity-week offset
+      graft.operators.Funnel.cohortRetention(Tables.events(s, d), "user_id", "ts")),
+
     "q_rolling_agg" -> ((s, d) =>
       // rolling 1-hour per-user features (trailing count + sum): one
       // shuffle on user_id, sorted RANGE-frame scan in-partition, sum
@@ -2047,6 +2059,45 @@ object SparkEntry {
            CAST(list_max(errs) AS BIGINT) AS max_err_ppb,
            CAST(list_sum(errs) AS BIGINT) AS sum_err_ppb
          FROM enc""",
+
+    "q_funnel" ->
+      """WITH v AS (
+           SELECT user_id, min(ts) AS t FROM events
+           WHERE event_type = 'view' GROUP BY user_id
+         ), c AS (
+           SELECT e.user_id, min(e.ts) AS t FROM events e JOIN v USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > v.t GROUP BY e.user_id
+         ), p AS (
+           SELECT e.user_id, min(e.ts) AS t FROM events e JOIN c USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > c.t GROUP BY e.user_id
+         ), s AS (
+           SELECT 'view' AS step, (SELECT count(*) FROM v) AS n_users
+           UNION ALL
+           SELECT 'view>click', (SELECT count(*) FROM c)
+           UNION ALL
+           SELECT 'view>click>purchase', (SELECT count(*) FROM p)
+         )
+         SELECT step, n_users,
+           CASE WHEN (SELECT count(*) FROM v) = 0 THEN 0.0
+                ELSE floor(n_users * 100.0 / (SELECT count(*) FROM v)
+                       * 10000.0 + 0.5) / 10000.0 END AS conv_pct
+         FROM s""",
+
+    "q_cohort_retention" ->
+      """WITH f AS (
+           SELECT user_id,
+             CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+           FROM events GROUP BY user_id
+         ), a AS (
+           SELECT e.user_id, f.cohort_week,
+             CAST(date_trunc('week', e.ts) AS DATE) AS activity_week
+           FROM events e JOIN f USING (user_id)
+         )
+         SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', cohort_week, activity_week) / 7 AS BIGINT)
+             AS week_offset,
+           count(DISTINCT user_id) AS n_users
+         FROM a GROUP BY 1, 2""",
 
     "q_rolling_agg" ->
       """WITH e AS (

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordered-event analytics: conversion funnels and cohort retention —
+  * the behavioral queries an events table exists to answer.
+  *
+  * Shape at scale:
+  *  - each funnel stage is `min(ts)` per user over a type-filtered
+  *    scan (pushed predicate) joined to the previous stage — all
+  *    partial-aggregated, FIXED-SIZE state per user. The tempting
+  *    single-pass form (collect each user's event array, walk it with
+  *    HOFs) buffers a power user's full history in one aggregation
+  *    buffer — the same unbounded-reducer trap as uncapped
+  *    `collect_list` buckets, so it is deliberately not used here;
+  *  - each stage's frame shrinks (only converting users survive), so
+  *    later joins are cheaper and AQE broadcasts them;
+  *  - cohort retention is one `min`-per-user pass (first-seen week)
+  *    joined back to the events and re-aggregated on
+  *    (cohort_week, offset) — two shuffles total, both partial-agg'd.
+  */
+object Funnel {
+
+  private def pround(c: org.apache.spark.sql.Column, dp: Int): org.apache.spark.sql.Column = {
+    val f = math.pow(10, dp)
+    floor(c * lit(f) + lit(0.5)) / lit(f)
+  }
+
+  /** Strictly-ordered funnel: for each step i, the user's earliest
+    * step-i event AFTER their step-(i-1) time. Returns one row per
+    * step: (step, n_users, conv_pct from step 1, 4 dp).
+    */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+             tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val spark = events.sparkSession
+    var stage = events.filter(col(typeCol) === steps.head)
+      .groupBy(userCol).agg(min(col(tsCol)).as("t_prev"))
+    var rows = Vector((steps.head, stage.count()))
+    for (s <- steps.tail) {
+      stage = events.filter(col(typeCol) === s)
+        .join(stage, Seq(userCol))
+        .filter(col(tsCol) > col("t_prev"))
+        .groupBy(userCol).agg(min(col(tsCol)).as("t_prev"))
+      rows :+= (rows.last._1 + ">" + s, stage.count())
+    }
+    val base = rows.head._2
+    import spark.implicits._
+    rows.toDF("step", "n_users")
+      .withColumn("conv_pct", when(lit(base) === 0, lit(0.0)).otherwise(
+        pround(col("n_users") * lit(100.0) / lit(base), 4)))
+  }
+
+  /** Weekly cohort retention: users grouped by first-seen week; one
+    * row per (cohort_week, week_offset) with the distinct users active
+    * that week. Weeks are Monday-truncated (ISO) in every engine.
+    */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val firstSeen = events.groupBy(userCol)
+      .agg(date_trunc("week", min(col(tsCol))).cast("date").as("cohort_week"))
+    events
+      .select(col(userCol), date_trunc("week", col(tsCol)).cast("date").as("activity_week"))
+      .join(firstSeen, Seq(userCol))
+      // both weeks are Monday-truncated, so the day gap is an exact
+      // multiple of 7 and the double division casts back losslessly
+      .groupBy(col("cohort_week"),
+        (datediff(col("activity_week"), col("cohort_week")) / 7).cast("long")
+          .as("week_offset"))
+      .agg(count_distinct(col(userCol)).as("n_users"))
+      .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("n_users"))
+  }
+}

@@ -236,6 +236,40 @@ class Round5OpsSpec extends SparkSpec {
       (5L, 1L, 5.0)))
   }
 
+  // --------------------------------------------------------- behavioral
+  test("Funnel counts only strictly-ordered step completions") {
+    def t(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000)
+    val ev = Seq(
+      // user 1: view -> click -> purchase, in order
+      (1L, "view", t(0)), (1L, "click", t(10)), (1L, "purchase", t(20)),
+      // user 2: view then purchase but NO click: stops at step 1
+      (2L, "view", t(0)), (2L, "purchase", t(5)),
+      // user 3: click BEFORE view: the click must not count
+      (3L, "click", t(0)), (3L, "view", t(10)),
+      // user 4: never views: not even step 1
+      (4L, "click", t(0)), (4L, "purchase", t(1))
+    ).toDF("user_id", "event_type", "ts")
+    val r = graft.operators.Funnel.funnel(ev, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"))
+      .select("step", "n_users").as[(String, Long)].collect().toMap
+    assert(r == Map("view" -> 3L, "view>click" -> 1L, "view>click>purchase" -> 1L))
+  }
+
+  test("cohortRetention groups by first-seen week and week offset") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")),   // Mon w0 cohort
+      (1L, ts("2024-01-10 10:00:00")),   // w0 + offset 1
+      (2L, ts("2024-01-03 10:00:00")),   // same cohort week
+      (2L, ts("2024-01-04 10:00:00")),   // still offset 0
+      (3L, ts("2024-01-08 10:00:00"))    // next week's cohort, offset 0
+    ).toDF("user_id", "ts")
+    val r = graft.operators.Funnel.cohortRetention(ev, "user_id", "ts")
+      .as[(String, Long, Long)].collect().toSet
+    assert(r == Set(
+      ("2024-01-01", 0L, 2L), ("2024-01-01", 1L, 1L), ("2024-01-08", 0L, 1L)))
+  }
+
   // ---------------------------------------------------------------- xml
   test("XML write/read roundtrip preserves rows with supplied schema") {
     import org.apache.spark.sql.types._
