@@ -1126,6 +1126,34 @@ object SparkEntry {
         P.redactPii(planted).as("redacted"))
     }),
 
+    "q_winsorize" -> ((s, d) =>
+      // quantile clipping of lineitem prices at [p01, p99]: 1-row
+      // bounds broadcast + narrow clamp; report aggregates (clip
+      // counts, exact cent-sum, extremes) prove bounds AND clamped
+      // values cross-engine
+      Normalizer.winsorize(
+        Tables.lineitem(s, d).select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        "l_extendedprice", 0.01, 0.99)
+        .agg(
+          sum(when(col("__clipped") === -1L, 1L).otherwise(0L)).as("n_clip_lo"),
+          sum(when(col("__clipped") === 1L, 1L).otherwise(0L)).as("n_clip_hi"),
+          (sum(floor(col("l_extendedprice_w") * lit(100.0) + lit(0.5)).cast("long"))
+            .cast("double") / 100.0).as("sum_w"),
+          round(min("l_extendedprice_w"), 2).as("min_w"),
+          round(max("l_extendedprice_w"), 2).as("max_w"))),
+
+    "q_hopping_windows" -> ((s, d) =>
+      // overlapping (hopping) event-time windows: 1h length, 30min
+      // slide — every event lands in exactly two windows; cent-long
+      // sums keep the totals portable
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          (sum(floor(col("value") * lit(100.0) + lit(0.5)).cast("long"))
+            .cast("double") / 100.0).as("sum_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n_events"), col("sum_value"))),
+
     "q_funnel" -> ((s, d) =>
       // strictly-ordered conversion funnel: earliest view, earliest
       // click AFTER it, earliest purchase after that — per-stage
@@ -2059,6 +2087,40 @@ object SparkEntry {
            CAST(list_max(errs) AS BIGINT) AS max_err_ppb,
            CAST(list_sum(errs) AS BIGINT) AS sum_err_ppb
          FROM enc""",
+
+    "q_winsorize" ->
+      """WITH b AS (
+           SELECT floor(quantile_cont(l_extendedprice, 0.01) * 100.0 + 0.5) / 100.0 AS lo,
+                  floor(quantile_cont(l_extendedprice, 0.99) * 100.0 + 0.5) / 100.0 AS hi
+           FROM lineitem
+         ), w AS (
+           SELECT least(greatest(l_extendedprice, lo), hi) AS v,
+                  CASE WHEN l_extendedprice < lo THEN -1
+                       WHEN l_extendedprice > hi THEN 1 ELSE 0 END AS clip
+           FROM lineitem, b
+         )
+         SELECT sum(CASE WHEN clip = -1 THEN 1 ELSE 0 END) AS n_clip_lo,
+           sum(CASE WHEN clip = 1 THEN 1 ELSE 0 END) AS n_clip_hi,
+           CAST(sum(CAST(floor(v * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_w,
+           round(min(v), 2) AS min_w,
+           round(max(v), 2) AS max_w
+         FROM w""",
+
+    "q_hopping_windows" ->
+      """WITH e AS (
+           SELECT event_type,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc,
+             CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 AS slot
+           FROM events
+         ), w AS (
+           SELECT event_type, vc,
+             TIMESTAMP '1970-01-01 00:00:00' + (slot - h * 1800) * INTERVAL 1 SECOND
+               AS window_start
+           FROM e, unnest([0, 1]) AS t(h)
+         )
+         SELECT window_start, event_type, count(*) AS n_events,
+           CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value
+         FROM w GROUP BY window_start, event_type""",
 
     "q_funnel" ->
       """WITH v AS (
