@@ -1126,6 +1126,36 @@ object SparkEntry {
         P.redactPii(planted).as("redacted"))
     }),
 
+    "q_chunk_overlap" -> ((s, d) =>
+      // RAG-style overlapping chunking: 8-word windows every 4 words;
+      // one narrow tokenize+HOF pass, posexplode carries the ordinal
+      Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(TF.chunks(col("text"), w = 8, stride = 4))
+          .as(Seq("chunk_id", "chunk")))
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          col("chunk"))),
+
+    "q_group_percentiles" -> ((s, d) => {
+      // exact per-group percentiles by RANK SELECTION (the value at
+      // floor(p·(n−1)) in sorted order) — no interpolation, so the
+      // result is an actual data element and engine-portable where
+      // interpolated quantiles differ in final-ulp arithmetic. At
+      // 100 TB swap for approx_percentile (fixed-size mergeable
+      // sketch); this is the exact-oracle form
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("value")
+      val ranked = Tables.events(s, d)
+        .select(col("event_type"), col("value"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
+      val ps = Seq(0.5, 0.95, 0.99)
+      ps.map(p => ranked
+          .filter(col("rn") - 1 === floor(lit(p) * (col("n") - 1)))
+          .select(col("event_type"), lit(p).as("p"), col("value")))
+        .reduce(_ unionAll _)
+    }),
+
     "q_winsorize" -> ((s, d) =>
       // quantile clipping of lineitem prices at [p01, p99]: 1-row
       // bounds broadcast + narrow clamp; report aggregates (clip
@@ -2087,6 +2117,37 @@ object SparkEntry {
            CAST(list_max(errs) AS BIGINT) AS max_err_ppb,
            CAST(list_sum(errs) AS BIGINT) AS sum_err_ppb
          FROM enc""",
+
+    "q_chunk_overlap" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+           FROM documents
+         ), ch AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE list_transform(
+                    range(0, greatest(CAST(ceil((len(toks) - 8) / 4.0) AS BIGINT), 0) + 1),
+                    i -> array_to_string(toks[(i*4+1):(i*4+8)], ' '))
+             END AS cs
+           FROM t
+         )
+         SELECT doc_id,
+           CAST(generate_subscripts(cs, 1) - 1 AS BIGINT) AS chunk_id,
+           unnest(cs) AS chunk
+         FROM ch""",
+
+    "q_group_percentiles" ->
+      """WITH r AS (
+           SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM events
+         )
+         SELECT event_type, p, value
+         FROM r, unnest([0.5, 0.95, 0.99]) AS t(p)
+         WHERE rn - 1 = floor(p * (n - 1))""",
 
     "q_winsorize" ->
       """WITH b AS (

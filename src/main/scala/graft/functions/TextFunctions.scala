@@ -131,6 +131,25 @@ object TextFunctions {
           i => concat_ws(" ", slice(ts, i * lit(w) + 1, lit(w)))))
     })
 
+  /** Overlapping word chunks: `w`-word windows every `stride` words
+    * (stride < w ⇒ overlap) — RAG/context-window chunking, where a
+    * retrieval unit must not cut facts at hard boundaries. Non-empty
+    * docs yield ceil((n-w)/stride)+1 chunks (≥ 1); the final chunk may
+    * be short. Narrow HOFs, one tokenize per row.
+    */
+  def chunks(text: Column, w: Int, stride: Int): Column = {
+    require(stride > 0 && w > 0, "chunk width and stride must be positive")
+    bindOnce(tokens(text), ts => {
+      val n = size(ts)
+      when(n === 0, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0),
+            greatest(ceil((n - lit(w)).cast("double") / lit(stride.toDouble)).cast("int"),
+              lit(0))),
+          i => concat_ws(" ", slice(ts, i * lit(stride) + 1, lit(w)))))
+    })
+  }
+
   /** Adjacent word bigrams ("w1 w2"); docs with < 2 tokens yield []. */
   def bigrams(text: Column): Column =
     bindOnce(tokens(text), ts => {

@@ -236,6 +236,23 @@ class Round5OpsSpec extends SparkSpec {
       (5L, 1L, 5.0)))
   }
 
+  test("TF.chunks overlapping windows cover all tokens, short tail kept") {
+    val r = Seq(("a b c d e f g h i j", 1)).toDF("text", "i")
+      .select(TF.chunks(col("text"), w = 4, stride = 2).as("c"))
+      .as[Seq[String]].head()
+    assert(r == Seq("a b c d", "c d e f", "e f g h", "g h i j"))
+    // n not on the stride grid: final short chunk still emitted
+    val odd = Seq(("a b c d e", 1)).toDF("text", "i")
+      .select(TF.chunks(col("text"), w = 4, stride = 2).as("c"))
+      .as[Seq[String]].head()
+    assert(odd == Seq("a b c d", "c d e"))
+    // short doc: exactly one whole-text chunk
+    val short = Seq(("a b", 1)).toDF("text", "i")
+      .select(TF.chunks(col("text"), w = 4, stride = 2).as("c"))
+      .as[Seq[String]].head()
+    assert(short == Seq("a b"))
+  }
+
   // ---------------------------------------------------------- winsorize
   test("winsorize clamps outliers to rounded percentile bounds") {
     // 1..100 plus two wild outliers; p05/p95 of the 102 values
