@@ -1126,6 +1126,28 @@ object SparkEntry {
         P.redactPii(planted).as("redacted"))
     }),
 
+    "q_multimodal" -> ((s, d) => {
+      // REAL decode in the gate: synthetic-but-genuine PNGs (imageio)
+      // and WAVs (javax.sound) through the mapPartitions feature
+      // extractor; the oracle pins the A-PRIORI properties — known
+      // encode dimensions/duration and feature invariants (luminance
+      // histogram sums to 1; RMS envelope within [0,1] and non-silent)
+      // — never golden bytes, which would track the encoder version
+      import graft.multimodal.BinaryColumns
+      val media = BinaryColumns.syntheticImages(s, 8)
+        .unionByName(BinaryColumns.syntheticAudio(s, 4)
+          .withColumn("media_id", col("media_id") + lit(100L)))
+      BinaryColumns.extractFeatures(media).select(
+        col("media_id"), col("media_type"), col("width"), col("height"),
+        col("duration_ms"),
+        when(col("media_type") === "image",
+          abs(aggregate(col("feature"), lit(0.0), (a, x) => a + x) - lit(1.0)) < 0.001)
+          .otherwise(
+            aggregate(col("feature"), lit(0.0), (a, x) => a + x) > lit(0.0) &&
+              !exists(col("feature"), x => x < lit(0.0f) || x > lit(1.0f)))
+          .as("feat_ok"))
+    }),
+
     "q_chunk_overlap" -> ((s, d) =>
       // RAG-style overlapping chunking: 8-word windows every 4 words;
       // one narrow tokenize+HOF pass, posexplode carries the ordinal
@@ -2117,6 +2139,20 @@ object SparkEntry {
            CAST(list_max(errs) AS BIGINT) AS max_err_ppb,
            CAST(list_sum(errs) AS BIGINT) AS sum_err_ppb
          FROM enc""",
+
+    "q_multimodal" ->
+      """SELECT CAST(media_id AS BIGINT) AS media_id, media_type,
+           CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+           CAST(duration_ms AS BIGINT) AS duration_ms,
+           CAST(feat_ok AS BOOLEAN) AS feat_ok
+         FROM (VALUES
+           (0, 'image', 32, 24, NULL, TRUE), (1, 'image', 32, 24, NULL, TRUE),
+           (2, 'image', 32, 24, NULL, TRUE), (3, 'image', 32, 24, NULL, TRUE),
+           (4, 'image', 32, 24, NULL, TRUE), (5, 'image', 32, 24, NULL, TRUE),
+           (6, 'image', 32, 24, NULL, TRUE), (7, 'image', 32, 24, NULL, TRUE),
+           (100, 'audio', NULL, NULL, 250, TRUE), (101, 'audio', NULL, NULL, 250, TRUE),
+           (102, 'audio', NULL, NULL, 250, TRUE), (103, 'audio', NULL, NULL, 250, TRUE)
+         ) AS t(media_id, media_type, width, height, duration_ms, feat_ok)""",
 
     "q_chunk_overlap" ->
       """WITH t AS (
