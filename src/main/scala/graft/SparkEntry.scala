@@ -951,6 +951,13 @@ object SparkEntry {
             .otherwise("test"))
     }),
 
+    "q_bpe_train" -> ((s, d) =>
+      // BPE vocabulary induction on the compressed word-frequency
+      // table: one corpus pass, then |vocab|-sized merge rounds with a
+      // 1-row TakeOrdered argmax each (rows-only: iterative argmax is
+      // not SQL-expressible; BpeSpec hand-verifies the merge order)
+      graft.operators.Bpe.train(Tables.documents(s, d), "text", nMerges = 12)),
+
     "q_unigram_logprob" -> ((s, d) =>
       // CCNet-style LM-quality proxy: mean unigram log-prob per doc
       // under the corpus's own distribution; one term-keyed shuffle

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Bpe
+
+/** BPE trainer: merge order against a hand-computed example, greedy
+  * merge semantics, and the vocab-encode apply path.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mergeOnce merges greedy left-to-right, non-overlapping") {
+    def run(syms: Seq[String], a: String, b: String): Seq[String] =
+      Seq(Tuple1(syms)).toDF("s")
+        .select(Bpe.mergeOnce(col("s"), lit(a), lit(b), lit(a + b)).as("m"))
+        .as[Seq[String]].head()
+    assert(run(Seq("a", "b", "c"), "a", "b") == Seq("ab", "c"))
+    assert(run(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))   // no overlap reuse
+    assert(run(Seq("x", "y"), "a", "b") == Seq("x", "y"))         // no-op
+    assert(run(Seq("a", "b", "a", "b"), "a", "b") == Seq("ab", "ab"))
+    assert(run(Seq.empty[String], "a", "b") == Seq.empty[String])
+  }
+
+  test("train reproduces the hand-computed merge order") {
+    // corpus: "aa ab" x3 and "ab" x2 → word freqs: aa→3, ab→5
+    // symbols: aa = [a,a,</w>], ab = [a,b,</w>]
+    // pair counts r0: (a,a)=3, (a,</w>)=3, (a,b)=5, (b,</w>)=5
+    //   → top = (a,b) 5 (count desc, then lex)
+    // r1: aa=[a,a,</w>] ab=[ab,</w>] → (a,a)=3, (a,</w>)=3, (ab,</w>)=5
+    //   → top = (ab,</w>) 5
+    // r2: (a,a)=3 vs (a,</w>)=3 → lex: (a,</w>)... compare r: "</w>" < "a"
+    //   → top = (a,</w>) 3
+    val docs = (Seq.fill(3)("aa ab") ++ Seq.fill(2)("ab")).map(Tuple1(_)).toDF("text")
+    val m = Bpe.train(docs, "text", nMerges = 3)
+      .select("rank", "left", "right", "pair_count")
+      .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(m == Seq(
+      (0L, "a", "b", 5L),
+      (1L, "ab", "</w>", 5L),
+      (2L, "a", "</w>", 3L)))
+  }
+
+  test("train stops early when no pair reaches minCount") {
+    val docs = Seq("x y", "z w").map(Tuple1(_)).toDF("text")
+    // every word unique, freq 1 each: no pair reaches minCount=2
+    assert(Bpe.train(docs, "text", nMerges = 5).count() == 0)
+  }
+
+  test("encodeWords applies the merge table; more merges = fewer tokens") {
+    val words = Seq("aab", "ab", "ba").map(Tuple1(_)).toDF("w")
+    val enc = Bpe.encodeWords(words, "w", Seq(("a", "b"), ("ab", "</w>")))
+      .select("w", "bpe_sym").as[(String, Seq[String])].collect().toMap
+    assert(enc("aab") == Seq("a", "ab</w>"))
+    assert(enc("ab") == Seq("ab</w>"))
+    assert(enc("ba") == Seq("b", "a", "</w>"))
+    val n0 = Bpe.encodeWords(words, "w", Nil)
+      .agg(sum("n_bpe_tokens")).as[Long].head()
+    val n2 = Bpe.encodeWords(words, "w", Seq(("a", "b"), ("ab", "</w>")))
+      .agg(sum("n_bpe_tokens")).as[Long].head()
+    assert(n2 < n0)
+  }
+}
