@@ -253,6 +253,21 @@ class Round5OpsSpec extends SparkSpec {
     assert(short == Seq("a b"))
   }
 
+  test("q_mix_report scans the corpus once (window total, no re-agg branch)") {
+    val q = SparkEntry.queries("q_mix_report")(spark, sf())
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("q_rolling_agg plans one keyed exchange, no join, no cartesian") {
+    val q = SparkEntry.queries("q_rolling_agg")(spark, sf())
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"), plan)
+  }
+
   // ---------------------------------------------------------- winsorize
   test("winsorize clamps outliers to rounded percentile bounds") {
     // 1..100 plus two wild outliers; p05/p95 of the 102 values
