@@ -345,6 +345,21 @@ object SparkEntry {
             / col("distinct_keys") <= 0.1).as("within_10pct"))
     }),
 
+    "q_expectations" -> ((s, d) => {
+      // declarative data-quality expectations: every row rule + the
+      // uniqueness rule in ONE aggregation pass, long-format verdicts
+      import graft.operators.Expectations._
+      check(Tables.events(s, d),
+        rules = Seq(
+          NotNull("user_id"),
+          InRange("value", 0.0, 500.0),
+          OneOf("event_type", Seq("click", "view", "purchase", "signup")),
+          MatchesRegex("props", "^\\{.*\\}$"),
+          Satisfies("value_set_when_purchase",
+            "event_type <> 'purchase' OR value IS NOT NULL")),
+        unique = Seq(Unique(Seq("event_id"))))
+    }),
+
     "q_catalog_enrich" -> ((s, d) => {
       val natPlus = CatalogEnricher.enrich(Tables.nation(s, d), Tables.region(s, d),
         "n_regionkey", "r_regionkey", "r_name", "region_name", normalizeKeys = false)
@@ -2512,6 +2527,35 @@ object SparkEntry {
          )
          SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS component
          FROM reach GROUP BY a""",
+
+    "q_expectations" ->
+      """WITH s AS (
+           SELECT count(*) AS n_rows,
+             sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS v1,
+             sum(CASE WHEN value IS NOT NULL AND (value < 0.0 OR value > 500.0)
+                      THEN 1 ELSE 0 END) AS v2,
+             sum(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+                        ('click', 'view', 'purchase', 'signup')
+                      THEN 1 ELSE 0 END) AS v3,
+             sum(CASE WHEN props IS NOT NULL AND NOT regexp_matches(props, '^\{.*\}$')
+                      THEN 1 ELSE 0 END) AS v4,
+             sum(CASE WHEN NOT coalesce(event_type <> 'purchase' OR value IS NOT NULL,
+                        FALSE) THEN 1 ELSE 0 END) AS v5,
+             count(*) - count(DISTINCT event_id) AS v6
+           FROM events
+         ), t AS (
+           SELECT 'not_null(user_id)' AS rule, v1 AS v FROM s
+           UNION ALL SELECT 'in_range(value,0.0,500.0)', v2 FROM s
+           UNION ALL SELECT 'one_of(event_type)', v3 FROM s
+           UNION ALL SELECT 'matches_regex(props)', v4 FROM s
+           UNION ALL SELECT 'value_set_when_purchase', v5 FROM s
+           UNION ALL SELECT 'unique(event_id)', v6 FROM s
+         )
+         SELECT t.rule, s.n_rows, t.v AS n_violations,
+           CASE WHEN s.n_rows = 0 THEN 0.0
+                ELSE floor(CAST(t.v AS DOUBLE) / s.n_rows * 1000000.0 + 0.5)
+                     / 1000000.0 END AS violation_rate
+         FROM t, s""",
 
     "q_profile_approx_check" ->
       """SELECT count(*) AS total_rows,

@@ -283,6 +283,35 @@ class Round5OpsSpec extends SparkSpec {
     assert(w.filter(col("v") === 50.0 && col("v_w") === 50.0).count() == 1)
   }
 
+  // ------------------------------------------------------- expectations
+  test("Expectations: all rules in one pass, null-safe, exact counts") {
+    import graft.operators.Expectations._
+    val df = Seq(
+      (1L, Some(5.0), Some("a"), "ok"),
+      (2L, Some(-1.0), Some("b"), "ok"),     // range violation
+      (3L, None, Some("zz"), "bad"),          // one_of violation (zz)
+      (3L, Some(2.0), None, "ok")             // dup id; null cat not a one_of violation
+    ).toDF("id", "v", "cat", "status")
+    val r = check(df,
+      rules = Seq(
+        NotNull("v"),
+        InRange("v", 0.0, 10.0),
+        OneOf("cat", Seq("a", "b")),
+        Satisfies("ok_status", "status = 'ok'")),
+      unique = Seq(Unique(Seq("id"))))
+      .select("rule", "n_violations").as[(String, Long)].collect().toMap
+    assert(r == Map(
+      "not_null(v)" -> 1L,
+      "in_range(v,0.0,10.0)" -> 1L,        // null v does NOT violate range
+      "one_of(cat)" -> 1L,                 // null cat does NOT violate one_of
+      "ok_status" -> 1L,
+      "unique(id)" -> 1L))
+    // single aggregation job: no join, no second scan
+    val plan = check(df, Seq(NotNull("v")), Seq(Unique(Seq("id"))))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+  }
+
   // --------------------------------------------------------- behavioral
   test("Funnel counts only strictly-ordered step completions") {
     def t(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000)
