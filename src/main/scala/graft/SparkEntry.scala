@@ -664,6 +664,21 @@ object SparkEntry {
       both.unionByName(openOnly).unionByName(either)
     }),
 
+    "q_range_sorted_write" -> ((s, d) => {
+      // single-key clustered layout: range-partitioned + sorted files,
+      // content identity proven by the oracle; file-range disjointness
+      // is spec-asserted
+      val base = s"/tmp/graft_rangesort_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.sources.ZOrder.rangeSortedWrite(
+        Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"),
+        base, "o_orderkey", numFiles = 8)
+      s.read.parquet(base)
+        .groupBy((col("o_orderkey") % 5).cast("long").as("grp"))
+        .agg(count(lit(1)).as("n"),
+          round(sum("o_totalprice"), 2).as("sum_total"),
+          min("o_custkey").as("min_cust"), max("o_custkey").as("max_cust"))
+    }),
+
     "q_zorder_write" -> ((s, d) => {
       // multi-dimensional clustering write: content must survive the
       // z-curve layout exactly (the skipping win is spec-asserted on
@@ -1734,6 +1749,12 @@ object SparkEntry {
          UNION ALL
          SELECT 'either', count(*)
            FROM (SELECT * FROM open_k UNION SELECT * FROM done_k)""",
+
+    "q_range_sorted_write" ->
+      """SELECT CAST(o_orderkey % 5 AS BIGINT) AS grp, count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_total,
+           min(o_custkey) AS min_cust, max(o_custkey) AS max_cust
+         FROM orders GROUP BY 1""",
 
     "q_zorder_write" ->
       """SELECT CAST(o_custkey % 7 AS BIGINT) AS grp, count(*) AS n,

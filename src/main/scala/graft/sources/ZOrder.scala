@@ -19,6 +19,23 @@ import org.apache.spark.sql.functions._
   */
 object ZOrder {
 
+  /** Range-partitioned SORTED write — the single-key layout
+    * counterpart to the z-order form: `repartitionByRange` gives
+    * files globally disjoint key ranges and the in-partition sort
+    * tightens row-group stats, so footer min/max prune both files and
+    * row groups for range predicates on THAT key. (One key clustered
+    * perfectly vs z-order's several keys clustered adequately — pick
+    * per table's dominant predicate.) Range partitioning samples the
+    * key distribution, so skewed keys still yield balanced files.
+    */
+  def rangeSortedWrite(df: DataFrame, path: String, key: String,
+                       numFiles: Int): Unit = {
+    require(numFiles > 0)
+    df.repartitionByRange(numFiles, col(key))
+      .sortWithinPartitions(key)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Morton code interleaving `bits`-wide bucket ranks of two columns
     * (bit i of x → bit 2i, bit i of y → bit 2i+1).
     */

@@ -346,6 +346,25 @@ class Round5OpsSpec extends SparkSpec {
       ("2024-01-01", 0L, 2L), ("2024-01-01", 1L, 1L), ("2024-01-08", 0L, 1L)))
   }
 
+  // ------------------------------------------------------- range layout
+  test("rangeSortedWrite: files carry globally DISJOINT key ranges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rangesort_spec").toString
+    graft.sources.ZOrder.rangeSortedWrite(
+      Tables.orders(spark, sf()).select("o_orderkey", "o_custkey"),
+      dir, "o_orderkey", numFiles = 4)
+    val spans = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("o_orderkey").as("mn"), max("o_orderkey").as("mx"))
+      .select("mn", "mx").as[(Long, Long)].collect().sortBy(_._1)
+    assert(spans.length > 1)
+    spans.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(hi < lo, s"file ranges overlap: $spans")
+    }
+    // content identity: nothing lost or duplicated by the layout
+    assert(spark.read.parquet(dir).count() ==
+      Tables.orders(spark, sf()).count())
+  }
+
   // ---------------------------------------------------------------- xml
   test("XML write/read roundtrip preserves rows with supplied schema") {
     import org.apache.spark.sql.types._
