@@ -848,6 +848,26 @@ object SparkEntry {
         .select(col("o_custkey").as("custkey"), col("o_orderstatus").as("status"),
           col("valid_from"), col("valid_to"), col("is_current"))),
 
+    "q_scd2_lookup" -> ((s, d) => {
+      // point-in-time dimension lookup: each shipment reads its
+      // customer's SCD2 status AS OF the ship date — history build +
+      // as-of join composed, the canonical fact-to-versioned-dimension
+      // pattern. Same-date changes collapse latest-wins first so the
+      // as-of pick is total-ordered (a tie at valid_from would be an
+      // arbitrary pick in ANY engine)
+      val hist = graft.operators.Scd2.build(Tables.orders(s, d), Seq("o_custkey"),
+          "o_orderdate", Seq("o_orderstatus"), tieBreak = Some("o_orderkey"))
+        .groupBy(col("o_custkey").as("custkey"), col("o_orderdate").as("valid_from"))
+        .agg(max_by(col("o_orderstatus"), col("o_orderkey")).as("status"))
+      val facts = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("o_custkey").as("custkey"), col("l_shipdate"))
+      AsOfJoin.asOf(facts, hist, "custkey", "custkey",
+        "l_shipdate", "valid_from", Seq("status"))
+    }),
+
     "q_bm25_search" -> ((s, d) =>
       // ranked retrieval for corpus curation; query-term-only postings
       graft.operators.Bm25.topK(Tables.documents(s, d), "doc_id", "text",
@@ -1957,6 +1977,28 @@ object SparkEntry {
            lead(o_orderdate) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) IS NULL AS is_current
          FROM chg""",
+
+    "q_scd2_lookup" ->
+      """WITH ordered AS (
+           SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             lag(o_orderstatus) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_status
+           FROM orders
+         ), chg AS (
+           SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+           FROM ordered
+           WHERE prev_status IS DISTINCT FROM o_orderstatus
+         ), hist AS (
+           SELECT o_custkey AS custkey, o_orderdate AS valid_from,
+             max_by(o_orderstatus, o_orderkey) AS status
+           FROM chg GROUP BY 1, 2
+         ), f AS (
+           SELECT l_orderkey, l_linenumber, o_custkey AS custkey, l_shipdate
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         )
+         SELECT f.l_orderkey, f.l_linenumber, f.custkey, f.l_shipdate, h.status
+         FROM f ASOF LEFT JOIN hist h
+           ON f.custkey = h.custkey AND f.l_shipdate >= h.valid_from""",
 
     // exact mirror of Bm25.topK(k1=1.5, b=0.75, terms=[join,hash,stream]):
     // same tokenization, Lucene-style idf, identical operation order and
