@@ -1263,6 +1263,15 @@ object SparkEntry {
         .select(col("window.start").as("window_start"), col("event_type"),
           col("n_events"), col("sum_value"))),
 
+    "q_rolling_zscore" -> ((s, d) =>
+      // trailing-window anomaly scores per user: exact integer moment
+      // sums (Σv, Σv²) make the variance replay/engine-identical
+      Resample.rollingZscore(
+        Tables.events(s, d).select("event_id", "user_id", "ts", "value"),
+        Seq("user_id"), "ts", "value", windowSec = 7200)
+        .select(col("event_id"), col("user_id"), col("n_window"),
+          col("zscore"), col("is_anomaly"))),
+
     "q_funnel" -> ((s, d) =>
       // strictly-ordered conversion funnel: earliest view, earliest
       // click AFTER it, earliest purchase after that — per-stage
@@ -2303,6 +2312,38 @@ object SparkEntry {
          SELECT window_start, event_type, count(*) AS n_events,
            CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value
          FROM w GROUP BY window_start, event_type""",
+
+    "q_rolling_zscore" ->
+      """WITH e AS (
+           SELECT event_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc
+           FROM events
+         ), m AS (
+           SELECT event_id, user_id, vc,
+             count(*) OVER w AS n_window,
+             sum(vc) OVER w AS s1,
+             sum(vc * vc) OVER w AS s2
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY es
+                        RANGE BETWEEN 7200 PRECEDING AND CURRENT ROW)
+         ), v AS (
+           SELECT event_id, user_id, vc, n_window,
+             CAST(s1 AS DOUBLE) / n_window AS mean,
+             CASE WHEN n_window < 2 THEN 0.0
+                  ELSE greatest((CAST(s2 AS DOUBLE)
+                         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_window)
+                         / (n_window - 1), 0.0) END AS var
+           FROM m
+         )
+         SELECT event_id, user_id, n_window,
+           CASE WHEN var = 0.0 THEN 0.0
+                ELSE floor((CAST(vc AS DOUBLE) - mean) / sqrt(var)
+                       * 10000.0 + 0.5) / 10000.0 END AS zscore,
+           (abs(CASE WHEN var = 0.0 THEN 0.0
+                ELSE floor((CAST(vc AS DOUBLE) - mean) / sqrt(var)
+                       * 10000.0 + 0.5) / 10000.0 END) > 3.0) AS is_anomaly
+         FROM v""",
 
     "q_funnel" ->
       """WITH v AS (

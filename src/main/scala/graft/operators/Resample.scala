@@ -62,4 +62,41 @@ object Resample {
       .withColumn("sum_window", sum(col("__v")).over(w).cast("double") / lit(scale.toDouble))
       .drop("__v")
   }
+
+  /** Rolling z-score anomaly detection: each event scored against its
+    * key's TRAILING-window mean/stddev (the event itself included —
+    * self-inclusive frames are replay-safe; exclusive ones re-score
+    * history on late data). Both moments are carried as EXACT
+    * `scale`-shifted integer sums (Σv, Σv²), so the variance —
+    * (Σv² − (Σv)²/n) / (n−1) — is a pure function of exact longs and
+    * replays identically in any engine; sample stddev, n = 1 ⇒ z = 0.
+    * One shuffle on the key, one sorted frame scan, no self-join.
+    */
+  def rollingZscore(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                    valueCol: String, windowSec: Long,
+                    scale: Int = 100, zClip: Double = 3.0): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(unix_timestamp(col(tsCol)))
+      .rangeBetween(-windowSec, 0)
+    val s = lit(scale.toDouble)
+    val v = floor(col(valueCol) * s + lit(0.5)).cast("long")
+    df.withColumn("__v", v)
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("__s1", sum(col("__v")).over(w))
+      .withColumn("__s2", sum(col("__v") * col("__v")).over(w))
+      .withColumn("__mean", col("__s1").cast("double") / col("__n"))
+      .withColumn("__var",
+        when(col("__n") < 2, lit(0.0)).otherwise(
+          greatest((col("__s2").cast("double")
+            - col("__s1").cast("double") * col("__s1").cast("double") / col("__n"))
+            / (col("__n") - 1), lit(0.0))))
+      .withColumn("zscore",
+        when(col("__var") === 0.0, lit(0.0)).otherwise(
+          floor((col("__v").cast("double") - col("__mean")) / sqrt(col("__var"))
+            * lit(10000.0) + lit(0.5)) / lit(10000.0)))
+      .withColumn("is_anomaly", abs(col("zscore")) > zClip)
+      .drop("__v", "__s1", "__s2", "__mean", "__var")
+      .withColumnRenamed("__n", "n_window")
+  }
 }

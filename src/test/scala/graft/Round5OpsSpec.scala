@@ -365,6 +365,26 @@ class Round5OpsSpec extends SparkSpec {
       Tables.orders(spark, sf()).count())
   }
 
+  test("rollingZscore flags the spike, zero-variance windows score 0") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000)
+    val ev = Seq(
+      (1L, 7L, t(0), 10.0), (2L, 7L, t(60), 10.0), (3L, 7L, t(120), 10.0),
+      (4L, 7L, t(180), 10.0), (5L, 7L, t(240), 10.0),
+      (6L, 7L, t(300), 500.0)    // spike vs flat history
+    ).toDF("event_id", "user_id", "ts", "value")
+    val r = graft.operators.Resample.rollingZscore(ev, Seq("user_id"), "ts", "value",
+        windowSec = 3600)
+      .orderBy("event_id")
+      .select("event_id", "zscore", "is_anomaly")
+      .as[(Long, Double, Boolean)].collect().toSeq
+    // flat prefix: variance 0 -> z 0, not anomalous
+    assert(r.take(5).forall(x => x._2 == 0.0 && !x._3))
+    // self-inclusive frame dilutes a lone spike: n=6, mean 91.67,
+    // sample sd 200.04 -> z = (500-91.67)/200.04, 4dp-floored 2.0412
+    assert(r.last._2 == 2.0412 && r.last._2 == r.map(_._2).max)
+  }
+
   // ---------------------------------------------------------------- xml
   test("XML write/read roundtrip preserves rows with supplied schema") {
     import org.apache.spark.sql.types._
