@@ -1001,6 +1001,34 @@ object SparkEntry {
             .otherwise("test"))
     }),
 
+    "q_vocab_coverage" -> ((s, d) => {
+      // tokenizer-vocab coverage: what fraction of corpus tokens a
+      // top-k word vocabulary covers (the go/no-go metric before
+      // committing to a vocab size). One explode pass; the top-k and
+      // both totals derive from the same frequency aggregate
+      val freq = Tables.documents(s, d)
+        .select(explode(TF.tokens(col("text"))).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+      val top = freq.orderBy(col("freq").desc, col("token").asc).limit(20)
+      top.agg(count(lit(1)).as("vocab_size"), sum("freq").as("covered_tokens"))
+        .crossJoin(broadcast(freq.agg(sum("freq").as("total_tokens"))))
+        .select(col("vocab_size"), col("covered_tokens"), col("total_tokens"),
+          pround(col("covered_tokens").cast("double") / col("total_tokens"), 6)
+            .as("coverage"))
+    }),
+
+    "q_dup_rate_by_source" -> ((s, d) =>
+      // data-quality panel: exact-duplicate rate per source family —
+      // which feeds are rebroadcasting content. Shuffles a 16-byte
+      // hash + the group key, never the text
+      Tables.documents(s, d)
+        .groupBy(regexp_replace(col("source"), "[0-9]+$", "").as("src_family"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(md5(col("text").cast("binary"))).as("n_unique"))
+        .withColumn("dup_rate", pround(
+          (col("n_docs") - col("n_unique")).cast("double") / col("n_docs"), 6))),
+
     "q_bpe_train" -> ((s, d) =>
       // BPE vocabulary induction on the compressed word-frequency
       // table: one corpus pass, then |vocab|-sized merge rounds with a
@@ -2666,6 +2694,32 @@ object SparkEntry {
            count(DISTINCT (user_id, event_type)) AS distinct_keys,
            TRUE AS within_10pct
          FROM events""",
+
+    "q_vocab_coverage" ->
+      """WITH tok AS (
+           SELECT unnest(CASE WHEN length(trim(lower(text))) = 0
+                    THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(trim(lower(text)), '\s+') END) AS token
+           FROM documents
+         ), f AS (
+           SELECT token, count(*) AS freq FROM tok
+           WHERE length(token) > 0 GROUP BY token
+         ), top AS (
+           SELECT freq FROM f ORDER BY freq DESC, token ASC LIMIT 20
+         )
+         SELECT (SELECT count(*) FROM top) AS vocab_size,
+           (SELECT sum(freq) FROM top) AS covered_tokens,
+           (SELECT sum(freq) FROM f) AS total_tokens,
+           floor(CAST((SELECT sum(freq) FROM top) AS DOUBLE)
+             / (SELECT sum(freq) FROM f) * 1000000.0 + 0.5) / 1000000.0 AS coverage""",
+
+    "q_dup_rate_by_source" ->
+      """SELECT regexp_replace(source, '[0-9]+$', '') AS src_family,
+           count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_unique,
+           floor(CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE)
+             / count(*) * 1000000.0 + 0.5) / 1000000.0 AS dup_rate
+         FROM documents GROUP BY 1""",
 
     "q_mix_rebalance" ->
       """WITH t AS (
