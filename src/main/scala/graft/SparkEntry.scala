@@ -460,6 +460,22 @@ object SparkEntry {
         .select("event_id", "user_id", "o_orderkey", "o_totalprice")
     }),
 
+    "q_asof_forward" -> ((s, d) => {
+      // FORWARD as-of: each event picks the user's NEXT order at or
+      // after the event time (same tie-free right-side reduction)
+      val orders = Tables.orders(s, d)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"),
+          max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+      AsOfJoin.asOfForward(
+        Tables.events(s, d).select("event_id", "user_id", "ts"),
+        orders,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        rightPayload = Seq("o_orderkey", "o_totalprice"))
+        .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+    }),
+
     "q_range_join" -> ((s, d) => {
       // events landing inside a 30-day window after each order of the
       // same user — inequality join made equi via time bins
@@ -792,6 +808,27 @@ object SparkEntry {
         .unionByName(base.filter(pmod(col("o_orderkey"), lit(89)) === 0)
           .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L)))
       graft.operators.SnapshotDiff.diff(base, v2, Seq("o_orderkey"))
+    }),
+
+    "q_equidepth_histogram" -> ((s, d) => {
+      // equi-DEPTH histogram: decile edges from one exact-percentile
+      // aggregate (approx_percentile at 100 TB — same call shape),
+      // rounded to cents for engine portability, then a narrow
+      // bucket-assignment pass (count of edges below the value) + one
+      // partial-agg'd groupBy — never a global sort/ntile, which
+      // would funnel the corpus through one task
+      val ev = Tables.events(s, d).select(col("value"))
+      val edges = ev
+        .agg(expr("percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("es"))
+        .select(transform(col("es"),
+          e => floor(e * lit(100.0) + lit(0.5)) / lit(100.0)).as("es"))
+      ev.crossJoin(broadcast(edges))
+        .withColumn("bucket",
+          size(filter(col("es"), e => col("value") > e)).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          (floor(min("value") * lit(100.0) + lit(0.5)) / lit(100.0)).as("min_v"),
+          (floor(max("value") * lit(100.0) + lit(0.5)) / lit(100.0)).as("max_v"))
     }),
 
     "q_histogram" -> ((s, d) =>
@@ -1671,6 +1708,18 @@ object SparkEntry {
          FROM events ASOF LEFT JOIN o
            ON events.user_id = o.o_custkey
           AND CAST(events.ts AS TIMESTAMP) >= o.o_orderdate""",
+
+    "q_asof_forward" ->
+      """WITH o AS (
+           SELECT o_custkey, o_orderdate,
+             max(o_orderkey) AS o_orderkey,
+             max_by(o_totalprice, o_orderkey) AS o_totalprice
+           FROM orders GROUP BY o_custkey, o_orderdate
+         )
+         SELECT event_id, user_id, o_orderkey, o_totalprice
+         FROM events ASOF LEFT JOIN o
+           ON events.user_id = o.o_custkey
+          AND CAST(events.ts AS TIMESTAMP) <= o.o_orderdate""",
 
     "q_salted_join" ->
       """SELECT s_nationkey, count(*) AS n_items,
@@ -2659,6 +2708,26 @@ object SparkEntry {
          )
          SELECT a AS doc_id, CAST(min(b) AS BIGINT) AS component
          FROM reach GROUP BY a""",
+
+    "q_equidepth_histogram" ->
+      """WITH es AS (
+           SELECT [
+             floor(quantile_cont(value, 0.1) * 100.0 + 0.5) / 100.0,
+             floor(quantile_cont(value, 0.2) * 100.0 + 0.5) / 100.0,
+             floor(quantile_cont(value, 0.3) * 100.0 + 0.5) / 100.0,
+             floor(quantile_cont(value, 0.4) * 100.0 + 0.5) / 100.0,
+             floor(quantile_cont(value, 0.5) * 100.0 + 0.5) / 100.0,
+             floor(quantile_cont(value, 0.6) * 100.0 + 0.5) / 100.0,
+             floor(quantile_cont(value, 0.7) * 100.0 + 0.5) / 100.0,
+             floor(quantile_cont(value, 0.8) * 100.0 + 0.5) / 100.0,
+             floor(quantile_cont(value, 0.9) * 100.0 + 0.5) / 100.0] AS es
+           FROM events
+         )
+         SELECT CAST(len(list_filter(es, e -> value > e)) AS BIGINT) AS bucket,
+           count(*) AS n,
+           floor(min(value) * 100.0 + 0.5) / 100.0 AS min_v,
+           floor(max(value) * 100.0 + 0.5) / 100.0 AS max_v
+         FROM events, es GROUP BY 1""",
 
     "q_expectations" ->
       """WITH s AS (

@@ -283,6 +283,22 @@ class Round5OpsSpec extends SparkSpec {
     assert(w.filter(col("v") === 50.0 && col("v_w") === 50.0).count() == 1)
   }
 
+  // ------------------------------------------------------ forward as-of
+  test("asOfForward picks the EARLIEST right row at/after left time") {
+    def t(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000)
+    val readings = Seq((1L, 7L, t(0)), (2L, 7L, t(50)), (3L, 7L, t(200)),
+      (4L, 8L, t(0))).toDF("reading_id", "key", "rts")
+    val services = Seq((7L, t(50), "a"), (7L, t(100), "b"))
+      .toDF("skey", "sts", "tag")
+    val r = graft.operators.AsOfJoin.asOfForward(readings, services,
+      "key", "skey", "rts", "sts", Seq("tag"))
+      .select("reading_id", "tag").as[(Long, Option[String])].collect().toMap
+    assert(r(1L).contains("a"))     // next service after t0 is t50
+    assert(r(2L).contains("a"))     // tie at t50 matches (>= semantics)
+    assert(r(3L).isEmpty)           // nothing after t200
+    assert(r(4L).isEmpty)           // other key: no services at all
+  }
+
   // ------------------------------------------------------- expectations
   test("Expectations: all rules in one pass, null-safe, exact counts") {
     import graft.operators.Expectations._
