@@ -1328,6 +1328,27 @@ object SparkEntry {
         .select(col("window.start").as("window_start"), col("event_type"),
           col("n_events"), col("sum_value"))),
 
+    "q_active_users_7d" -> ((s, d) => {
+      // trailing-7-day active users (WAU): per-(day,user) distinct
+      // first (events collapse to at most days×users rows), then each
+      // activity day contributes to the 7 windows it trails into —
+      // a ×7 fanout of the COLLAPSED table, never the raw events; a
+      // distinct-count over a RANGE window isn't supported in any
+      // engine, and this is the standard scalable rewrite
+      val daily = Tables.events(s, d)
+        .select(date_trunc("day", col("ts")).cast("date").as("day"), col("user_id"))
+        .distinct()
+      val days = daily.select(col("day").as("window_day")).distinct()
+      daily
+        .select(explode(sequence(lit(0), lit(6))).as("off"), col("day"), col("user_id"))
+        .select(date_add(col("day"), col("off")).as("window_day"), col("user_id"))
+        .join(days, Seq("window_day"), "left_semi")
+        .groupBy("window_day")
+        .agg(count_distinct(col("user_id")).as("active_users"))
+        .select(date_format(col("window_day"), "yyyy-MM-dd").as("window_day"),
+          col("active_users"))
+    }),
+
     "q_rolling_zscore" -> ((s, d) =>
       // trailing-window anomaly scores per user: exact integer moment
       // sums (Σv, Σv²) make the variance replay/engine-identical
@@ -2389,6 +2410,20 @@ object SparkEntry {
          SELECT window_start, event_type, count(*) AS n_events,
            CAST(sum(vc) AS DOUBLE) / 100.0 AS sum_value
          FROM w GROUP BY window_start, event_type""",
+
+    "q_active_users_7d" ->
+      """WITH daily AS (
+           SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+           FROM events
+         ), contrib AS (
+           SELECT day + off AS window_day, user_id
+           FROM daily, unnest([0, 1, 2, 3, 4, 5, 6]) AS t(off)
+         )
+         SELECT strftime(window_day, '%Y-%m-%d') AS window_day,
+           count(DISTINCT user_id) AS active_users
+         FROM contrib
+         WHERE window_day IN (SELECT day FROM daily)
+         GROUP BY 1""",
 
     "q_rolling_zscore" ->
       """WITH e AS (
