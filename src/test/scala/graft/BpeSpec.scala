@@ -40,6 +40,14 @@ class BpeSpec extends SparkSpec {
       (2L, "a", "</w>", 3L)))
   }
 
+  test("train is deterministic: identical merge table on rerun") {
+    val docs = Tables.documents(spark, sf()).limit(100)
+    val a = Bpe.train(docs, "text", nMerges = 5).collect().map(_.toString).sorted
+    val b = Bpe.train(docs, "text", nMerges = 5).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+    assert(a.length == 5)
+  }
+
   test("train stops early when no pair reaches minCount") {
     val docs = Seq("x y", "z w").map(Tuple1(_)).toDF("text")
     // every word unique, freq 1 each: no pair reaches minCount=2
