@@ -811,17 +811,25 @@ object SparkEntry {
     }),
 
     "q_equidepth_histogram" -> ((s, d) => {
-      // equi-DEPTH histogram: decile edges from one exact-percentile
-      // aggregate (approx_percentile at 100 TB — same call shape),
-      // rounded to cents for engine portability, then a narrow
-      // bucket-assignment pass (count of edges below the value) + one
-      // partial-agg'd groupBy — never a global sort/ntile, which
-      // would funnel the corpus through one task
-      val ev = Tables.events(s, d).select(col("value"))
-      val edges = ev
-        .agg(expr("percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("es"))
-        .select(transform(col("es"),
-          e => floor(e * lit(100.0) + lit(0.5)) / lit(100.0)).as("es"))
+      // equi-DEPTH histogram: decile edges by RANK SELECTION on the
+      // cent-value histogram (value at 0-indexed rank floor(p*(n-1)) —
+      // no quantile interpolation, so edges are bit-identical in any
+      // engine; approx_percentile is the 100 TB call shape), then a
+      // narrow bucket-assignment pass (count of edges below the value)
+      // + one partial-agg'd groupBy — never a global sort/ntile, which
+      // would funnel the corpus through one task. The rank window runs
+      // over the DISTINCT-cent histogram, not the corpus.
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d).select(col("value"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("vc"))
+      val cum = ev.groupBy("vc").agg(count(lit(1)).as("cnt"))
+        .select(col("vc"),
+          sum("cnt").over(Window.orderBy("vc")).as("cum"),
+          sum("cnt").over(Window.partitionBy()).as("tot"))
+      val ps = (1 to 9).map(_ / 10.0)
+      val edges = cum.agg(array(ps.map(p =>
+          min(when(col("cum") - 1 >= floor(lit(p) * (col("tot") - 1)), col("vc")))
+            .cast("double") / lit(100.0)): _*).as("es"))
       ev.crossJoin(broadcast(edges))
         .withColumn("bucket",
           size(filter(col("es"), e => col("value") > e)).cast("long"))
@@ -1301,20 +1309,20 @@ object SparkEntry {
     }),
 
     "q_winsorize" -> ((s, d) =>
-      // quantile clipping of lineitem prices at [p01, p99]: 1-row
-      // bounds broadcast + narrow clamp; report aggregates (clip
-      // counts, exact cent-sum, extremes) prove bounds AND clamped
-      // values cross-engine
-      Normalizer.winsorize(
+      // quantile clipping of lineitem prices at [p01, p99]: rank-exact
+      // cent-long bounds (no cross-engine quantile interpolation), 1-row
+      // bounds broadcast + narrow clamp; report aggregates (clip counts,
+      // exact cent-sum, extremes) prove bounds AND clamped values — all
+      // integer math until the final display division
+      Normalizer.winsorizeCentRank(
         Tables.lineitem(s, d).select("l_orderkey", "l_linenumber", "l_extendedprice"),
         "l_extendedprice", 0.01, 0.99)
         .agg(
           sum(when(col("__clipped") === -1L, 1L).otherwise(0L)).as("n_clip_lo"),
           sum(when(col("__clipped") === 1L, 1L).otherwise(0L)).as("n_clip_hi"),
-          (sum(floor(col("l_extendedprice_w") * lit(100.0) + lit(0.5)).cast("long"))
-            .cast("double") / 100.0).as("sum_w"),
-          round(min("l_extendedprice_w"), 2).as("min_w"),
-          round(max("l_extendedprice_w"), 2).as("max_w"))),
+          (sum(col("l_extendedprice_wc")).cast("double") / 100.0).as("sum_w"),
+          (min(col("l_extendedprice_wc")).cast("double") / 100.0).as("min_w"),
+          (max(col("l_extendedprice_wc")).cast("double") / 100.0).as("max_w"))),
 
     "q_hopping_windows" -> ((s, d) =>
       // overlapping (hopping) event-time windows: 1h length, 30min
@@ -2270,7 +2278,7 @@ object SparkEntry {
            FROM t
          ), per AS (
            SELECT src_family, lang, count(*) AS n_docs,
-             sum(n_tok) AS sum_tokens,
+             CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
              sum(CAST(floor(quality * 10000.0 + 0.5) AS BIGINT)) AS qsum
            FROM q GROUP BY src_family, lang
          )
@@ -2292,9 +2300,12 @@ object SparkEntry {
                        ELSE 0.1 END)""",
 
     "q_xml_roundtrip" ->
-      """SELECT n_regionkey, count(*) AS n_nations,
-           sum(n_nationkey) AS sum_key, min(n_name) AS first_name
-         FROM nation GROUP BY n_regionkey""",
+      // CAST: parquet n_regionkey is INT32 in DuckDB but the XML read-back
+      // schema is LongType; DuckDB sum(BIGINT) widens to HUGEINT (which the
+      // driver materializes as float64) — pin both to BIGINT.
+      """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, count(*) AS n_nations,
+           CAST(sum(n_nationkey) AS BIGINT) AS sum_key, min(n_name) AS first_name
+         FROM nation GROUP BY 1""",
 
     "q_stream_dedup" ->
       """SELECT event_type, count(*) AS n_events,
@@ -2378,21 +2389,29 @@ object SparkEntry {
          WHERE rn - 1 = floor(p * (n - 1))""",
 
     "q_winsorize" ->
-      """WITH b AS (
-           SELECT floor(quantile_cont(l_extendedprice, 0.01) * 100.0 + 0.5) / 100.0 AS lo,
-                  floor(quantile_cont(l_extendedprice, 0.99) * 100.0 + 0.5) / 100.0 AS hi
+      // rank-exact bounds on cent longs (value at 0-indexed rank
+      // floor(p*(n-1))) — mirrors Normalizer.winsorizeCentRank; no
+      // engine quantile interpolation anywhere
+      """WITH c AS (
+           SELECT CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS v
            FROM lineitem
+         ), r AS (
+           SELECT v, row_number() OVER (ORDER BY v) AS rn, count(*) OVER () AS n
+           FROM c
+         ), b AS (
+           SELECT min(CASE WHEN rn - 1 >= floor(0.01 * (n - 1)) THEN v END) AS lo,
+                  min(CASE WHEN rn - 1 >= floor(0.99 * (n - 1)) THEN v END) AS hi
+           FROM r
          ), w AS (
-           SELECT least(greatest(l_extendedprice, lo), hi) AS v,
-                  CASE WHEN l_extendedprice < lo THEN -1
-                       WHEN l_extendedprice > hi THEN 1 ELSE 0 END AS clip
-           FROM lineitem, b
+           SELECT least(greatest(v, lo), hi) AS wv,
+                  CASE WHEN v < lo THEN -1 WHEN v > hi THEN 1 ELSE 0 END AS clip
+           FROM c, b
          )
-         SELECT sum(CASE WHEN clip = -1 THEN 1 ELSE 0 END) AS n_clip_lo,
-           sum(CASE WHEN clip = 1 THEN 1 ELSE 0 END) AS n_clip_hi,
-           CAST(sum(CAST(floor(v * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_w,
-           round(min(v), 2) AS min_w,
-           round(max(v), 2) AS max_w
+         SELECT CAST(sum(CASE WHEN clip = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+           CAST(sum(CASE WHEN clip = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+           CAST(sum(wv) AS DOUBLE) / 100.0 AS sum_w,
+           CAST(min(wv) AS DOUBLE) / 100.0 AS min_w,
+           CAST(max(wv) AS DOUBLE) / 100.0 AS max_w
          FROM w""",
 
     "q_hopping_windows" ->
@@ -2745,18 +2764,25 @@ object SparkEntry {
          FROM reach GROUP BY a""",
 
     "q_equidepth_histogram" ->
-      """WITH es AS (
+      // rank-exact decile edges on cent longs — mirrors the Spark side;
+      // no engine quantile interpolation anywhere
+      """WITH c AS (
+           SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc FROM events
+         ), r AS (
+           SELECT vc, row_number() OVER (ORDER BY vc) AS rn, count(*) OVER () AS n
+           FROM c
+         ), es AS (
            SELECT [
-             floor(quantile_cont(value, 0.1) * 100.0 + 0.5) / 100.0,
-             floor(quantile_cont(value, 0.2) * 100.0 + 0.5) / 100.0,
-             floor(quantile_cont(value, 0.3) * 100.0 + 0.5) / 100.0,
-             floor(quantile_cont(value, 0.4) * 100.0 + 0.5) / 100.0,
-             floor(quantile_cont(value, 0.5) * 100.0 + 0.5) / 100.0,
-             floor(quantile_cont(value, 0.6) * 100.0 + 0.5) / 100.0,
-             floor(quantile_cont(value, 0.7) * 100.0 + 0.5) / 100.0,
-             floor(quantile_cont(value, 0.8) * 100.0 + 0.5) / 100.0,
-             floor(quantile_cont(value, 0.9) * 100.0 + 0.5) / 100.0] AS es
-           FROM events
+             CAST(min(CASE WHEN rn - 1 >= floor(0.1 * (n - 1)) THEN vc END) AS DOUBLE) / 100.0,
+             CAST(min(CASE WHEN rn - 1 >= floor(0.2 * (n - 1)) THEN vc END) AS DOUBLE) / 100.0,
+             CAST(min(CASE WHEN rn - 1 >= floor(0.3 * (n - 1)) THEN vc END) AS DOUBLE) / 100.0,
+             CAST(min(CASE WHEN rn - 1 >= floor(0.4 * (n - 1)) THEN vc END) AS DOUBLE) / 100.0,
+             CAST(min(CASE WHEN rn - 1 >= floor(0.5 * (n - 1)) THEN vc END) AS DOUBLE) / 100.0,
+             CAST(min(CASE WHEN rn - 1 >= floor(0.6 * (n - 1)) THEN vc END) AS DOUBLE) / 100.0,
+             CAST(min(CASE WHEN rn - 1 >= floor(0.7 * (n - 1)) THEN vc END) AS DOUBLE) / 100.0,
+             CAST(min(CASE WHEN rn - 1 >= floor(0.8 * (n - 1)) THEN vc END) AS DOUBLE) / 100.0,
+             CAST(min(CASE WHEN rn - 1 >= floor(0.9 * (n - 1)) THEN vc END) AS DOUBLE) / 100.0] AS es
+           FROM r
          )
          SELECT CAST(len(list_filter(es, e -> value > e)) AS BIGINT) AS bucket,
            count(*) AS n,
@@ -2787,7 +2813,7 @@ object SparkEntry {
            UNION ALL SELECT 'value_set_when_purchase', v5 FROM s
            UNION ALL SELECT 'unique(event_id)', v6 FROM s
          )
-         SELECT t.rule, s.n_rows, t.v AS n_violations,
+         SELECT t.rule, s.n_rows, CAST(t.v AS BIGINT) AS n_violations,
            CASE WHEN s.n_rows = 0 THEN 0.0
                 ELSE floor(CAST(t.v AS DOUBLE) / s.n_rows * 1000000.0 + 0.5)
                      / 1000000.0 END AS violation_rate
@@ -2812,8 +2838,8 @@ object SparkEntry {
            SELECT freq FROM f ORDER BY freq DESC, token ASC LIMIT 20
          )
          SELECT (SELECT count(*) FROM top) AS vocab_size,
-           (SELECT sum(freq) FROM top) AS covered_tokens,
-           (SELECT sum(freq) FROM f) AS total_tokens,
+           CAST((SELECT sum(freq) FROM top) AS BIGINT) AS covered_tokens,
+           CAST((SELECT sum(freq) FROM f) AS BIGINT) AS total_tokens,
            floor(CAST((SELECT sum(freq) FROM top) AS DOUBLE)
              / (SELECT sum(freq) FROM f) * 1000000.0 + 0.5) / 1000000.0 AS coverage""",
 

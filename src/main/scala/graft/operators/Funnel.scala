@@ -30,26 +30,37 @@ object Funnel {
   /** Strictly-ordered funnel: for each step i, the user's earliest
     * step-i event AFTER their step-(i-1) time. Returns one row per
     * step: (step, n_users, conv_pct from step 1, 4 dp).
+    *
+    * Fully LAZY: the per-step counts are a union of 1-row aggregates
+    * over the chained stage plans — building the DataFrame runs zero
+    * jobs (eager per-stage `.count()` actions would fire N+1 jobs on
+    * mere construction). The union's branches share identical stage
+    * subtrees, so Catalyst's ReuseExchange collapses the repeated
+    * stage shuffles — the union costs one pass per stage, not N²/2.
     */
   def funnel(events: DataFrame, userCol: String, typeCol: String,
              tsCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    val spark = events.sparkSession
+    def stepCount(label: String, stage: DataFrame): DataFrame =
+      stage.agg(count(lit(1)).as("n_users")).select(lit(label).as("step"), col("n_users"))
     var stage = events.filter(col(typeCol) === steps.head)
       .groupBy(userCol).agg(min(col(tsCol)).as("t_prev"))
-    var rows = Vector((steps.head, stage.count()))
+    var label = steps.head
+    var branches = Vector(stepCount(label, stage))
     for (s <- steps.tail) {
       stage = events.filter(col(typeCol) === s)
         .join(stage, Seq(userCol))
         .filter(col(tsCol) > col("t_prev"))
         .groupBy(userCol).agg(min(col(tsCol)).as("t_prev"))
-      rows :+= (rows.last._1 + ">" + s, stage.count())
+      label = label + ">" + s
+      branches :+= stepCount(label, stage)
     }
-    val base = rows.head._2
-    import spark.implicits._
-    rows.toDF("step", "n_users")
-      .withColumn("conv_pct", when(lit(base) === 0, lit(0.0)).otherwise(
-        pround(col("n_users") * lit(100.0) / lit(base), 4)))
+    val base = branches.head.select(col("n_users").as("__base"))
+    branches.reduce(_ unionAll _)
+      .crossJoin(broadcast(base))
+      .withColumn("conv_pct", when(col("__base") === 0, lit(0.0)).otherwise(
+        pround(col("n_users") * lit(100.0) / col("__base"), 4)))
+      .drop("__base")
   }
 
   /** Weekly cohort retention: users grouped by first-seen week; one

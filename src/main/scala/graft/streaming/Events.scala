@@ -175,7 +175,11 @@ object Events {
         .localCheckpoint(eager = true)
     } finally {
       import scala.jdk.CollectionConverters._
-      Files.walk(stage).iterator().asScala.toSeq.reverse.foreach(p => Files.deleteIfExists(p))
+      // Files.walk holds directory handles until closed — leaking it
+      // costs a file descriptor per invocation
+      val walked = Files.walk(stage)
+      try walked.iterator().asScala.toSeq.reverse.foreach(p => Files.deleteIfExists(p))
+      finally walked.close()
     }
   }
 
@@ -340,7 +344,11 @@ object Events {
         .localCheckpoint(eager = true)
     } finally {
       import scala.jdk.CollectionConverters._
-      Files.walk(stage).iterator().asScala.toSeq.reverse.foreach(p => Files.deleteIfExists(p))
+      // Files.walk holds directory handles until closed — leaking it
+      // costs a file descriptor per invocation
+      val walked = Files.walk(stage)
+      try walked.iterator().asScala.toSeq.reverse.foreach(p => Files.deleteIfExists(p))
+      finally walked.close()
     }
   }
 

@@ -41,7 +41,9 @@ class BpeSpec extends SparkSpec {
   }
 
   test("train is deterministic: identical merge table on rerun") {
-    val docs = Tables.documents(spark, sf()).limit(100)
+    // pin the subset: a bare limit(100) has no guaranteed row selection,
+    // so the two runs could train on different corpora and flake
+    val docs = Tables.documents(spark, sf()).filter(col("doc_id") < 100)
     val a = Bpe.train(docs, "text", nMerges = 5).collect().map(_.toString).sorted
     val b = Bpe.train(docs, "text", nMerges = 5).collect().map(_.toString).sorted
     assert(a.sameElements(b))

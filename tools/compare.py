@@ -44,6 +44,18 @@ for name in sorted(glob.glob(f"{out_dir}/*/")):
     if list(a.columns) != list(b.columns):
         fail.append((qname, f"schema: spark={list(a.columns)} oracle={list(b.columns)}"))
         continue
+    # the driver's gate hashes VALUES WITH TYPES: an int64 Spark column vs a
+    # DuckDB HUGEINT-materialized-as-float64 oracle column fails its hash even
+    # when every value is numerically identical — so flag dtype-kind drift here
+    dt_bad = [c for c in a.columns
+              if (np.issubdtype(a[c].dtype, np.floating)
+                  != np.issubdtype(b[c].dtype, np.floating))
+              or (np.issubdtype(a[c].dtype, np.integer)
+                  != np.issubdtype(b[c].dtype, np.integer))]
+    if dt_bad:
+        fail.append((qname, "dtype: " + ", ".join(
+            f"{c} spark={a[c].dtype} oracle={b[c].dtype}" for c in dt_bad)))
+        continue
     if len(a) != len(b):
         fail.append((qname, f"rows: spark={len(a)} oracle={len(b)}"))
         continue
