@@ -22,13 +22,16 @@ HEADLINERS = [
 sf_dir = sys.argv[1]
 oracle = json.load(open(sys.argv[2]))
 runs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+out_md = sys.argv[4] if len(sys.argv) > 4 else "BASELINE.md"
 
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     p = f"{sf_dir}/{t}.parquet"
-    if os.path.exists(p):
+    if os.path.isfile(p):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    elif os.path.isdir(p):  # Spark writes a directory of part files
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
 
 timings, skipped = {}, []
 for q in HEADLINERS:
@@ -74,5 +77,5 @@ lines += [
                 "skipped": skipped}),
     "```",
 ]
-open("BASELINE.md", "w").write("\n".join(lines) + "\n")
+open(out_md, "w").write("\n".join(lines) + "\n")
 print("\n".join(lines))

@@ -15,8 +15,10 @@ con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     p = f"{sf_dir}/{t}.parquet"
-    if os.path.exists(p):
+    if os.path.isfile(p):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    elif os.path.isdir(p):  # Spark writes a directory of part files
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
