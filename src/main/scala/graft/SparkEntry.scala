@@ -2918,6 +2918,16 @@ object SparkEntry {
                 THEN 'train' ELSE 'test' END AS split
          FROM comp""",
 
+    "q_bpe_train" ->
+      // exact expected merge table from an INDEPENDENT pure-Python BPE
+      // (tools/bpe_oracle.py), committed as per-sf fixtures keyed by
+      // (doc count, char total) — an unknown sf dir selects zero rows
+      // and fails the gate loudly instead of passing vacuously
+      """SELECT rank, "left", "right", merged, pair_count
+         FROM read_parquet('/root/repo/tools/fixtures/bpe_expected_*.parquet')
+         WHERE n_docs = (SELECT count(*) FROM documents)
+           AND sum_chars = (SELECT sum(n_chars) FROM documents)""",
+
     "q_unigram_logprob" ->
       """WITH t AS (
            SELECT doc_id,

@@ -78,36 +78,231 @@ object Bpe {
       .groupBy(col("p.l").as("l"), col("p.r").as("r"))
       .agg(sum(col("freq")).as("cnt"))
 
+  /** Spark's string ordering is UTF8String binary = unsigned UTF-8
+    * byte order; Scala's String `<` is UTF-16 code-unit order. They
+    * differ beyond the BMP, so the driver-side tie-break must compare
+    * the way the distributed `orderBy` does.
+    */
+  private def u8lt(x: String, y: String): Boolean = {
+    val a = x.getBytes("UTF-8"); val b = y.getBytes("UTF-8")
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
   /** Train `nMerges` BPE merges. Returns the ordered merge table
     * (rank, left, right, merged, pair_count). Stops early when no
     * pair occurs at least `minCount` times.
+    *
+    * Two execution paths, same exact greedy-BPE semantics (argmax by
+    * count desc then UTF-8-lex (l, r); greedy left-to-right
+    * non-overlapping replay):
+    *
+    *  - LOCAL (default when the distinct-word table has at most
+    *    `localWordCap` rows): the one corpus-sized pass is the word
+    *    count; the compressed (word, freq) table then collects to the
+    *    driver and trains with an incremental pair index — the
+    *    HuggingFace/SentencePiece shape — costing ZERO Spark jobs per
+    *    merge. A 32k-merge vocabulary is seconds of driver CPU instead
+    *    of 32k sequential job launches (hours of scheduler latency).
+    *    The collected table is |distinct words ≥ minCount chars|, not
+    *    the corpus: bounded and known BEFORE collecting (one count).
+    *  - DISTRIBUTED (above the cap): batched rounds. Each round
+    *    fetches the top-`batchK` pair candidates (one bounded collect)
+    *    and accepts the longest prefix PROVABLY equal to the next run
+    *    of sequential picks, then replays the batch as one chained
+    *    [[mergeOnce]] projection. Acceptance for candidate p_i=(l,r,c)
+    *    given accepted prefix A (merging (a,b) only alters pairs with
+    *    right element a or left element b, and creates pairs bounded
+    *    by those progenitors' old counts):
+    *      - p_i unaffected: r ∉ lefts(A) and l ∉ rights(A);
+    *      - every accepted merged name is FRESH (not an existing
+    *        vocab symbol — tracked exactly on the driver), so no old
+    *        pair's count can be inflated by name aliasing;
+    *      - c STRICTLY exceeds every later candidate that IS affected
+    *        (their old counts bound every created/altered pair; strict
+    *        beats ties, whose lex order is unknowable in advance);
+    *      - c strictly exceeds the K-th candidate (bounds candidates
+    *        beyond the fetched top-K).
+    *    The first failing candidate ends the batch and becomes the
+    *    next round's argmax — the merge table is IDENTICAL to the
+    *    1-per-round form (BpeSpec asserts this), only fewer jobs.
     */
   def train(docs: DataFrame, textCol: String, nMerges: Int,
-            minCount: Long = 2L): DataFrame = {
+            minCount: Long = 2L, batchK: Int = 64,
+            localWordCap: Long = 2000000L): DataFrame =
+    trainWithStats(docs, textCol, nMerges, minCount, batchK, localWordCap)._1
+
+  /** [[train]] plus the number of Spark rounds it took (for specs and
+    * scheduler-cost accounting). The local path counts as 1 round.
+    */
+  def trainWithStats(docs: DataFrame, textCol: String, nMerges: Int,
+                     minCount: Long = 2L, batchK: Int = 64,
+                     localWordCap: Long = 2000000L): (DataFrame, Int) = {
     val spark = docs.sparkSession
     import spark.implicits._
-    var words = wordTable(docs, textCol).localCheckpoint(true)
+    val wordsDf = wordTable(docs, textCol)
+    if (localWordCap > 0 && wordsDf.count() <= localWordCap) {
+      val wf = wordsDf.select(col("w"), col("freq")).as[(String, Long)].collect()
+      (trainLocal(wf, nMerges, minCount)
+        .toDF("rank", "left", "right", "merged", "pair_count")
+        .withColumn("rank", col("rank").cast("long")), 1)
+    } else trainDistributed(wordsDf, nMerges, minCount, batchK)
+  }
+
+  /** Exact sequential BPE over the collected word-frequency table with
+    * an incremental (pair count + pair→word inverted index) structure:
+    * each merge touches only the words containing its pair.
+    */
+  private[operators] def trainLocal(wordFreqs: Array[(String, Long)], nMerges: Int,
+                                    minCount: Long): Vector[(Int, String, String, String, Long)] = {
+    import scala.collection.mutable
+    val syms = wordFreqs.map { case (w, _) =>
+      mutable.ArrayBuffer.from(w.split("").filter(_.nonEmpty)) += EndMark
+    }
+    val freqs = wordFreqs.map(_._2)
+    val cnt = mutable.HashMap[(String, String), Long]()
+    val occ = mutable.HashMap[(String, String), mutable.Set[Int]]()
+    def index(i: Int, sign: Long): Unit = {
+      val s = syms(i)
+      var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        val c = cnt.getOrElse(p, 0L) + sign * freqs(i)
+        if (c == 0L) cnt.remove(p) else cnt(p) = c
+        // occ only grows here and is cleaned lazily: a hit is re-checked
+        // against the word's CURRENT symbols before being applied
+        if (sign > 0) occ.getOrElseUpdate(p, mutable.Set[Int]()) += i
+        j += 1
+      }
+    }
+    syms.indices.foreach(index(_, 1L))
+    def applyMerge(s: mutable.ArrayBuffer[String], a: String, b: String)
+        : mutable.ArrayBuffer[String] = {
+      val out = new mutable.ArrayBuffer[String](s.length)
+      var j = 0
+      while (j < s.length) {
+        if (j < s.length - 1 && s(j) == a && s(j + 1) == b) { out += (a + b); j += 2 }
+        else { out += s(j); j += 1 }
+      }
+      out
+    }
     val merges = Vector.newBuilder[(Int, String, String, String, Long)]
     var rank = 0
+    var done = false
+    while (rank < nMerges && !done) {
+      var best: (String, String) = null
+      var bestC = 0L
+      for ((p, c) <- cnt if c >= minCount) {
+        if (best == null || c > bestC ||
+          (c == bestC && (u8lt(p._1, best._1) ||
+            (p._1 == best._1 && u8lt(p._2, best._2))))) { best = p; bestC = c }
+      }
+      if (best == null) done = true
+      else {
+        val (a, b) = best
+        merges += ((rank, a, b, a + b, bestC))
+        // lazily-cleaned index: entries may be stale, so re-check
+        val hits = occ.getOrElse(best, mutable.Set[Int]()).toArray
+        occ.remove(best)
+        hits.foreach { i =>
+          var has = false
+          val s = syms(i)
+          var j = 0
+          while (!has && j < s.length - 1) {
+            has = s(j) == a && s(j + 1) == b; j += 1
+          }
+          if (has) {
+            index(i, -1L)
+            syms(i) = applyMerge(s, a, b)
+            index(i, 1L)
+          }
+        }
+        rank += 1
+      }
+    }
+    merges.result()
+  }
+
+  private def trainDistributed(wordsDf: DataFrame, nMerges: Int,
+                               minCount: Long, batchK: Int): (DataFrame, Int) = {
+    val spark = wordsDf.sparkSession
+    import spark.implicits._
+    var words = wordsDf.localCheckpoint(true)
+    // exact driver-side vocab: initial symbols + accepted merged names.
+    // Bounded by |alphabet| + nMerges; one tiny job at start.
+    val symbols = scala.collection.mutable.Set[String](
+      words.select(explode(col("sym")).as("s")).distinct().as[String].collect()
+        .toIndexedSeq: _*)
+    val merges = Vector.newBuilder[(Int, String, String, String, Long)]
+    var rank = 0
+    var rounds = 0
     var exhausted = false
     while (rank < nMerges && !exhausted) {
-      // 1-row argmax: TakeOrdered over the vocab-sized pair table
+      val k = math.max(batchK, 1)
       val top = pairCounts(words)
         .filter(col("cnt") >= minCount)
         .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
-        .limit(1).as[(String, String, Long)].collect()
-      top.headOption match {
-        case Some((l, r, cnt)) =>
+        .limit(k).as[(String, String, Long)].collect()
+      rounds += 1
+      if (top.isEmpty) exhausted = true
+      else {
+        // strict lower bound on anything beyond the fetched candidates
+        val unseenBound = if (top.length == k) top.last._3 else Long.MinValue
+        val lefts = scala.collection.mutable.Set[String]()
+        val rights = scala.collection.mutable.Set[String]()
+        val mergedNames = scala.collection.mutable.Set[String]()
+        val accepted = Vector.newBuilder[(String, String, Long)]
+        var nAccepted = 0
+        var stop = false
+        for (((l, r, cnt), i) <- top.zipWithIndex if !stop && rank + nAccepted < nMerges) {
+          val fresh = !symbols.contains(l + r) && !mergedNames.contains(l + r)
+          val unaffected = !lefts.contains(r) && !rights.contains(l)
+          val affectedMax = top.drop(i + 1).collect {
+            case (l2, r2, c2) if lefts.contains(r2) || rights.contains(l2) => c2
+          }.foldLeft(Long.MinValue)(math.max)
+          val provablyNext = i == 0 ||
+            (unaffected && cnt > affectedMax && cnt > unseenBound)
+          if (provablyNext && fresh) {
+            accepted += ((l, r, cnt))
+            lefts += l; rights += r; mergedNames += (l + r)
+            nAccepted += 1
+          } else if (i == 0) {
+            // aliased merged name: apply alone (exactly the sequential
+            // step); batching past it can't be proven safe
+            accepted += ((l, r, cnt))
+            nAccepted += 1
+            stop = true
+          } else stop = true
+        }
+        val batch = accepted.result()
+        batch.foreach { case (l, r, cnt) =>
           merges += ((rank, l, r, l + r, cnt))
-          words = words.withColumn("sym",
-              mergeOnce(col("sym"), lit(l), lit(r), lit(l + r)))
-            .localCheckpoint(true)
+          symbols += (l + r)
           rank += 1
-        case None => exhausted = true
+        }
+        // replay via one withColumn PER MERGE, chained by attribute
+        // reference: folding the previous *expression* into the next
+        // mergeOnce substitutes it at every use site (~5 per level), so
+        // the tree grows exponentially with chain depth and stalls the
+        // driver at depth ~8. Stacked projections referencing the prior
+        // level by NAME stay linear (CollapseProject refuses to inline
+        // a non-cheap expression used more than once), and ONE
+        // checkpoint per round replaces one job per merge.
+        batch.foreach { case (l, r, _) =>
+          words = words.withColumn("sym",
+            mergeOnce(col("sym"), lit(l), lit(r), lit(l + r)))
+        }
+        words = words.localCheckpoint(true)
       }
     }
-    merges.result().toDF("rank", "left", "right", "merged", "pair_count")
-      .withColumn("rank", col("rank").cast("long"))
+    (merges.result().toDF("rank", "left", "right", "merged", "pair_count")
+      .withColumn("rank", col("rank").cast("long")), rounds)
   }
 
   /** Apply a trained merge table: encode the DISTINCT-WORD table by
@@ -119,12 +314,15 @@ object Bpe {
     */
   def encodeWords(words: DataFrame, wordCol: String,
                   merges: Seq[(String, String)]): DataFrame = {
-    val base: Column = concat(
-      filter(split(col(wordCol), ""), c => length(c) > 0), array(lit(EndMark)))
-    val sym = merges.foldLeft(base) { case (s, (l, r)) =>
-      mergeOnce(s, lit(l), lit(r), lit(l + r))
+    // chained by attribute reference, one projection per merge — NOT an
+    // expression fold, which substitutes the previous level at every
+    // use site and grows the tree exponentially (see train's replay)
+    var out = words.withColumn("bpe_sym", concat(
+      filter(split(col(wordCol), ""), c => length(c) > 0), array(lit(EndMark))))
+    merges.foreach { case (l, r) =>
+      out = out.withColumn("bpe_sym",
+        mergeOnce(col("bpe_sym"), lit(l), lit(r), lit(l + r)))
     }
-    words.withColumn("bpe_sym", sym)
-      .withColumn("n_bpe_tokens", size(col("bpe_sym")).cast("long"))
+    out.withColumn("n_bpe_tokens", size(col("bpe_sym")).cast("long"))
   }
 }

@@ -50,6 +50,25 @@ class BpeSpec extends SparkSpec {
     assert(a.length == 5)
   }
 
+  test("local / batched / 1-per-round trains produce an identical 64-merge table") {
+    val docs = Tables.documents(spark, sf()).filter(col("doc_id") < 200)
+    // localWordCap=0 forces the distributed path
+    val (seqDf, seqRounds) = Bpe.trainWithStats(docs, "text", nMerges = 64,
+      batchK = 1, localWordCap = 0L)
+    val (batDf, _) = Bpe.trainWithStats(docs, "text", nMerges = 64,
+      batchK = 64, localWordCap = 0L)
+    val (locDf, locRounds) = Bpe.trainWithStats(docs, "text", nMerges = 64)
+    val a = seqDf.collect().toSeq.map(_.toString)
+    assert(a == batDf.collect().toSeq.map(_.toString),
+      "distributed batched table must equal the 1-per-round table")
+    assert(a == locDf.collect().toSeq.map(_.toString),
+      "local incremental table must equal the 1-per-round table")
+    assert(a.size == 64)
+    // 64 sequential rounds vs ONE word-count round for the local path
+    assert(seqRounds >= 5 * locRounds,
+      s"expected >=5x fewer rounds, got seq=$seqRounds local=$locRounds")
+  }
+
   test("train stops early when no pair reaches minCount") {
     val docs = Seq("x y", "z w").map(Tuple1(_)).toDF("text")
     // every word unique, freq 1 each: no pair reaches minCount=2
