@@ -91,16 +91,19 @@ class GroundTruthSpec extends SparkSpec {
     val q = emb.filter(col("vec_id") < 8)
     val exact = Knn.bruteForceTopK(emb, q, k = 5)
       .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
-    val lsh = Knn.lshTopK(emb, q, k = 5)
+    val lsh = Knn.lshTopK(emb, q, k = 5, tables = 16)
       .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
-    val ivf = graft.ann.Ivf.topK(emb, q, k = 5, c = 16, nprobe = 6)
+    val ivf = graft.ann.Ivf.topK(emb, q, k = 5, c = 16, nprobe = 12)
       .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
     // deterministic hash families + fixed corpus => these are exact
-    // reproducible values (0.725 / 0.65 measured), not flaky bounds
+    // reproducible values, not flaky bounds. Production-grade floors:
+    // 16 LSH tables (1-(1-p^4)^16) and nprobe 12/16 (uniform random
+    // vectors barely cluster, so recall needs a high probe fraction
+    // on THIS corpus; clustered production embeddings need far less)
     val lshRecall = (exact intersect lsh).size.toDouble / exact.size
     val ivfRecall = (exact intersect ivf).size.toDouble / exact.size
-    assert(lshRecall >= 0.7, s"LSH recall $lshRecall below measured floor")
-    assert(ivfRecall >= 0.6, s"IVF recall $ivfRecall below measured floor")
+    assert(lshRecall >= 0.9, s"LSH recall $lshRecall below measured floor")
+    assert(ivfRecall >= 0.9, s"IVF recall $ivfRecall below measured floor")
   }
 
   test("IVF+SQ8 with exact rerank: recall meets the plain-IVF floor") {
@@ -108,13 +111,13 @@ class GroundTruthSpec extends SparkSpec {
     val q = emb.filter(col("vec_id") < 8)
     val exact = Knn.bruteForceTopK(emb, q, k = 5)
       .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
-    val sq8 = graft.ann.Ivf.topKSq8(emb, q, k = 5, c = 16, nprobe = 6)
+    val sq8 = graft.ann.Ivf.topKSq8(emb, q, k = 5, c = 16, nprobe = 12)
       .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
     val recall = (exact intersect sq8).size.toDouble / exact.size
     // quantization noise is bounded by the refine-then-exact-rerank
     // pass: the measured recall equals plain IVF's (cell assignment,
     // not 8-bit rounding, is what loses neighbors)
-    assert(recall >= 0.6, s"IVF+SQ8 recall $recall below measured floor")
+    assert(recall >= 0.9, s"IVF+SQ8 recall $recall below measured floor")
   }
 
   test("IVF written index: identical results to inline form, partition-pruned scan") {
@@ -122,8 +125,8 @@ class GroundTruthSpec extends SparkSpec {
     val q = emb.filter(col("vec_id") < 8)
     val tmp = "/tmp/graft_ivf_spec"
     graft.ann.Ivf.writeIndex(emb, tmp, c = 16)
-    val indexed = graft.ann.Ivf.topKIndexed(tmp, q, k = 5, nprobe = 6)
-    val inline = graft.ann.Ivf.topK(emb, q, k = 5, c = 16, nprobe = 6)
+    val indexed = graft.ann.Ivf.topKIndexed(tmp, q, k = 5, nprobe = 12)
+    val inline = graft.ann.Ivf.topK(emb, q, k = 5, c = 16, nprobe = 12)
     assert(indexed.collect().map(_.toString).sorted.toSeq ==
       inline.collect().map(_.toString).sorted.toSeq)
     // the probed-cells filter must reach the scan as a partition filter

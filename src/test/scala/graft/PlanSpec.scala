@@ -126,4 +126,57 @@ class PlanSpec extends SparkSpec {
     // lookup reads only the projected columns, with the key pushed down
     assert(p.contains("PushedFilters: [IsNotNull(o_custkey), EqualTo(o_custkey,7)"), p)
   }
+
+  test("headliner plan audit: per-query shuffle/scan ceilings, no nested-loop joins") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // Golden ceilings for every bench headliner (audited r6): a future
+    // refactor that adds a shuffle, re-reads an input, or degrades a
+    // join to nested-loop fails HERE, not in a bench regression three
+    // rounds later. `bnljOk` whitelists the documented 1-row broadcast
+    // stat-frame crossJoins (corpus stats, IDF totals) — a nested loop
+    // against one broadcast row is a constant-cost pattern, not a scan
+    // blow-up.
+    val golden = Seq(
+      //  query                  maxShuffles maxLeaves bnljOk
+      ("q1_pricing_summary",     1, 1, false),
+      ("q3_shipping_priority",   1, 3, false),
+      ("q5_local_supplier",      2, 6, false),
+      ("q_window_dedup",         1, 1, false),
+      ("q_v4_ml_dataset",        1, 2, false),
+      ("q_dedup_exact",          1, 1, false),
+      ("q_dedup_minhash",        6, 7, false),
+      ("q_ann_bruteforce",       1, 2, true),
+      ("q_token_count",          0, 1, false),
+      ("q_quality_score",        0, 1, false),
+      ("q_event_windows",        2, 1, false),
+      ("q_sessionize",           1, 1, false),
+      ("q_medallion_silver",     1, 2, false),
+      ("q_corpus_prep",          1, 2, false),
+      ("q_asof_join",            2, 2, false),
+      ("q_range_join",           0, 2, false),
+      ("q_window_analytics",     1, 1, false),
+      ("q_dedup_clusters",       1, 3, false),
+      ("q_tfidf",                4, 3, true),
+      ("q_unigram_logprob",      5, 4, true),
+      ("q_passage_dedup",        3, 2, false),
+      ("q_rolling_agg",          1, 1, false))
+    val failures = golden.flatMap { case (q, maxShuffles, maxLeaves, bnljOk) =>
+      val p = SparkEntry.queries(q)(spark, sf()).queryExecution.executedPlan
+      val h = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
+        def shuffles: Int = collect(p) { case e: ShuffleExchangeExec => e }.size
+        def leaves: Int = collectLeaves(p).size
+      }
+      val s = p.toString
+      val errs = Seq(
+        (h.shuffles > maxShuffles) ->
+          s"$q: ${h.shuffles} shuffles > ceiling $maxShuffles",
+        (h.leaves > maxLeaves) ->
+          s"$q: ${h.leaves} scan leaves > ceiling $maxLeaves",
+        (!bnljOk && s.contains("BroadcastNestedLoop")) ->
+          s"$q: unexpected BroadcastNestedLoopJoin",
+        s.contains("CartesianProduct") -> s"$q: CartesianProduct")
+      errs.collect { case (true, msg) => msg }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
 }
