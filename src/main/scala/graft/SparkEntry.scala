@@ -178,6 +178,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
     }),
 
+    "q_csv_catalog_infer" -> ((s, d) => {
+      // reference silver loads its small catalog CSVs with
+      // inferSchema=true (src/silver/job-silver-rues.py:94) and bronze
+      // caps parser width with maxColumns=50
+      // (src/bronze/job-bronze-rues.py:66) — both exercised here.
+      // Inference re-reads the file, so it is ONLY for small catalogs;
+      // the emitted key_type column pins the inferred numeric type
+      // (a regression to all-string columns fails the value hash)
+      val tmp = s"/tmp/graft_cat_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+        .coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
+      val cat = Readers.csv(s, tmp, multiLine = false,
+        inferSchema = true, maxColumns = 50)
+      cat.groupBy(col("n_regionkey").cast("long").as("n_regionkey"))
+        .agg(count(lit(1)).as("n_nations"),
+          sum("n_nationkey").as("sum_key"))
+        .withColumn("key_type", lit(cat.schema("n_regionkey").dataType.simpleString))
+    }),
+
     "q_partitioned_write" -> ((s, d) => {
       // Partition-aware write + read-back with partition pruning.
       val tmp = s"/tmp/graft_part_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
@@ -1575,6 +1594,16 @@ object SparkEntry {
            round(sum(o_totalprice), 2) AS sum_total
          FROM orders WHERE year(o_orderdate) >= 1996
          GROUP BY 1""",
+
+    "q_csv_catalog_infer" ->
+      // 'int' pins the type Spark's CSV inference must produce for the
+      // small-int key column; sums cast to BIGINT (DuckDB widens to
+      // HUGEINT, Spark sums inferred int to long)
+      """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+           count(*) AS n_nations,
+           CAST(sum(n_nationkey) AS BIGINT) AS sum_key,
+           'int' AS key_type
+         FROM nation GROUP BY 1""",
 
     "q_schema_evolution" ->
       """SELECT o_orderstatus, count(*) AS n,

@@ -26,8 +26,9 @@ object Readers {
       sep: String = ",",
       multiLine: Boolean = true,
       schema: Option[StructType] = None,
-      inferSchema: Boolean = false): DataFrame = {
-    val base = spark.read
+      inferSchema: Boolean = false,
+      maxColumns: Int = -1): DataFrame = {
+    val base0 = spark.read
       .option("header", header.toString)
       .option("sep", sep)
       .option("encoding", "UTF-8")
@@ -37,6 +38,11 @@ object Readers {
       .option("ignoreLeadingWhiteSpace", "true")
       .option("ignoreTrailingWhiteSpace", "true")
       .option("mode", "PERMISSIVE")
+    // parser-width cap (reference bronze sets 50,
+    // src/bronze/job-bronze-rues.py:66): a malformed row with runaway
+    // separators fails fast instead of allocating unbounded columns
+    val base = if (maxColumns > 0) base0.option("maxColumns", maxColumns.toString)
+               else base0
     val withSchema = schema match {
       case Some(s) => base.schema(s)
       case None    => base.option("inferSchema", inferSchema.toString)
