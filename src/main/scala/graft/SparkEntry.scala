@@ -496,18 +496,25 @@ object SparkEntry {
     }),
 
     "q_range_join" -> ((s, d) => {
-      // events landing inside a 30-day window after each order of the
-      // same user — inequality join made equi via time bins
-      val orders = Tables.orders(s, d).select(
-        col("o_orderkey"), col("o_custkey"),
-        col("o_orderdate").as("w_start"),
-        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("w_end"))
+      // attribution window: every event landing within 2 days AFTER a
+      // purchase by the same user — inequality join made equi via time
+      // bins. (The original form joined events to order windows, but
+      // the testdata's event and order date ranges never overlap, so
+      // it was vacuously green on 0 rows — this self-interval form
+      // produces real matches at every SF.)
+      val purchases = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id").as("p_user"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 2 DAYS")).as("w_end"))
       RangeJoin.pointInInterval(
-        Tables.events(s, d).select("event_id", "user_id", "ts"),
-        orders,
-        leftKey = "user_id", rightKey = "o_custkey",
-        leftTime = "ts", rightStart = "w_start", rightEnd = "w_end")
-        .select("event_id", "o_orderkey")
+        Tables.events(s, d).filter(col("event_type") =!= "purchase")
+          .select("event_id", "user_id", "ts"),
+        purchases,
+        leftKey = "user_id", rightKey = "p_user",
+        leftTime = "ts", rightStart = "w_start", rightEnd = "w_end",
+        binWidth = "1 day")
+        .select("event_id", "purchase_id")
     }),
 
     "q_salted_join" -> ((s, d) =>
@@ -1755,11 +1762,13 @@ object SparkEntry {
          WHERE c.c_custkey IS NULL""",
 
     "q_range_join" ->
-      """SELECT event_id, o_orderkey
-         FROM events JOIN orders
-           ON user_id = o_custkey
-          AND CAST(ts AS TIMESTAMP) >= o_orderdate
-          AND CAST(ts AS TIMESTAMP) < o_orderdate + INTERVAL 30 DAY""",
+      """SELECT e.event_id, p.event_id AS purchase_id
+         FROM events e JOIN events p
+           ON e.user_id = p.user_id
+          AND p.event_type = 'purchase'
+          AND e.event_type <> 'purchase'
+          AND e.ts >= p.ts
+          AND e.ts < p.ts + INTERVAL 2 DAY""",
 
     "q_asof_join" ->
       """WITH o AS (

@@ -35,7 +35,15 @@ object RangeJoin {
     // = TIMESTAMP_NTZ, so a bare "timestamp" cast resolves to NTZ.
     def binOf(c: org.apache.spark.sql.Column) =
       (unix_micros(c.cast("timestamp_ltz")) / widthUs).cast("long")
-    val l = left.withColumn("__bin", binOf(col(leftTime)))
+    // SHUFFLE_HASH on the points side: the planner's size estimate has
+    // broadcast a million-row points frame here (building one global
+    // hashed relation serially — and at 100 TB a broadcast of either
+    // side is fatal). A shuffled hash join on (key, bin) is the scale
+    // shape; the points side builds because it is the one that never
+    // explodes (each point maps to exactly one bin, intervals fan out
+    // interval/binWidth + 1 rows), so its per-partition build is
+    // bounded by input/partitions regardless of interval length.
+    val l = left.withColumn("__bin", binOf(col(leftTime))).hint("shuffle_hash")
     val r = right.withColumn("__bin",
       explode(sequence(binOf(col(rightStart)), binOf(col(rightEnd)))))
     // df-qualified references throughout: unqualified col(...) would

@@ -153,7 +153,7 @@ class PlanSpec extends SparkSpec {
       ("q_medallion_silver",     1, 2, false),
       ("q_corpus_prep",          1, 2, false),
       ("q_asof_join",            2, 2, false),
-      ("q_range_join",           0, 2, false),
+      ("q_range_join",           2, 2, false),
       ("q_window_analytics",     1, 1, false),
       ("q_dedup_clusters",       1, 3, false),
       ("q_tfidf",                4, 3, true),
