@@ -32,6 +32,15 @@ object SparkEntry {
     * and DuckDB. Used wherever the operand is an exact ratio of
     * integers (means/rates), where x.xx5 boundaries actually occur.
     */
+  /** Re-crawl a deterministic 10% of docs under shifted ids: the
+    * 500-doc gate corpora have no naturally planted duplicates
+    * (generator rate is 1/625), so dedup gates would verify a no-op.
+    * Oracles mirror the same UNION ALL.
+    */
+  private def withRecrawls(docs: DataFrame): DataFrame =
+    docs.unionByName(docs.filter(pmod(col("doc_id"), lit(10L)) === 3L)
+      .withColumn("doc_id", col("doc_id") + 1000000L))
+
   private def pround(c: Column, dp: Int): Column = {
     val f = math.pow(10, dp)
     floor(c * lit(f) + lit(0.5)) / lit(f)
@@ -480,19 +489,24 @@ object SparkEntry {
     }),
 
     "q_asof_forward" -> ((s, d) => {
-      // FORWARD as-of: each event picks the user's NEXT order at or
-      // after the event time (same tie-free right-side reduction)
-      val orders = Tables.orders(s, d)
-        .groupBy(col("o_custkey"), col("o_orderdate"))
-        .agg(max(col("o_orderkey")).as("o_orderkey"),
-          max_by(col("o_totalprice"), col("o_orderkey")).as("o_totalprice"))
+      // FORWARD as-of: each non-purchase event picks the user's NEXT
+      // purchase at or after it (time-to-conversion lookup; same
+      // tie-free right-side reduction). Retargeted r6: the original
+      // order-table form was VACUOUSLY all-null — no order exists
+      // after any event time in the testdata.
+      val purchases = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .agg(max(col("event_id")).as("purchase_id"),
+          max_by(col("value"), col("event_id")).as("purchase_value"))
       AsOfJoin.asOfForward(
-        Tables.events(s, d).select("event_id", "user_id", "ts"),
-        orders,
-        leftKey = "user_id", rightKey = "o_custkey",
-        leftTime = "ts", rightTime = "o_orderdate",
-        rightPayload = Seq("o_orderkey", "o_totalprice"))
-        .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+        Tables.events(s, d).filter(col("event_type") =!= "purchase")
+          .select("event_id", "user_id", "ts"),
+        purchases,
+        leftKey = "user_id", rightKey = "p_user",
+        leftTime = "ts", rightTime = "p_ts",
+        rightPayload = Seq("purchase_id", "purchase_value"))
+        .select("event_id", "user_id", "purchase_id", "purchase_value")
     }),
 
     "q_range_join" -> ((s, d) => {
@@ -962,12 +976,16 @@ object SparkEntry {
           pround(avg("n_chars"), 2).as("avg_chars"))),
 
     "q_dedup_exact" -> ((s, d) =>
-      Deduplicator.exactGroups(Tables.documents(s, d), "doc_id", "text",
-        c => md5(c.cast("binary")))),
+      // the 500-doc gate corpora carry no planted duplicates (the
+      // generator plants 1/625), so the gate re-crawls a deterministic
+      // 10% of docs under new ids — exact-dup groups of size >= 2 now
+      // exist at every SF and the oracle mirrors the same augmentation
+      Deduplicator.exactGroups(withRecrawls(Tables.documents(s, d)),
+        "doc_id", "text", c => md5(c.cast("binary")))),
 
     "q_dedup_drop" -> ((s, d) =>
       // surviving ids after exact-dup removal (left_semi against keepers)
-      Deduplicator.exact(Tables.documents(s, d), "doc_id", "text")
+      Deduplicator.exact(withRecrawls(Tables.documents(s, d)), "doc_id", "text")
         .select("doc_id", "lang", "n_chars")),
 
     "q_vocab" -> ((s, d) =>
@@ -1252,10 +1270,20 @@ object SparkEntry {
         "doc_id", "text", k = 3, threshold = 0.5)
     }),
 
-    "q_text_clean" -> ((s, d) =>
+    "q_text_clean" -> ((s, d) => {
+      // the synthetic corpus carries no URLs/emails/whitespace runs, so
+      // cleanText was a verified no-op — plant deterministic dirt on a
+      // quarter of the docs (oracle plants the identical dirt) so both
+      // the transform and the no-op path are value-checked
+      val dirty = when(pmod(col("doc_id"), lit(4L)) === 1L,
+        concat(col("text"), lit("  see https://example.com/d"),
+          col("doc_id").cast("string"), lit("  or  mail team"),
+          col("doc_id").cast("string"), lit("@corp.io  ")))
+        .otherwise(col("text"))
       Tables.documents(s, d).select(col("doc_id"),
-        length(TF.cleanText(col("text"))).cast("long").as("clean_len"),
-        (TF.cleanText(col("text")) =!= col("text")).as("changed"))),
+        length(TF.cleanText(dirty)).cast("long").as("clean_len"),
+        (TF.cleanText(dirty) =!= dirty).as("changed"))
+    }),
 
     "q_fingerprint" -> ((s, d) =>
       // rolling polynomial hash only — contentHash (xxhash64) has no
@@ -1783,16 +1811,18 @@ object SparkEntry {
           AND CAST(events.ts AS TIMESTAMP) >= o.o_orderdate""",
 
     "q_asof_forward" ->
-      """WITH o AS (
-           SELECT o_custkey, o_orderdate,
-             max(o_orderkey) AS o_orderkey,
-             max_by(o_totalprice, o_orderkey) AS o_totalprice
-           FROM orders GROUP BY o_custkey, o_orderdate
+      """WITH p AS (
+           SELECT user_id AS p_user, ts AS p_ts,
+             max(event_id) AS purchase_id,
+             max_by(value, event_id) AS purchase_value
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+         ), e AS (
+           SELECT event_id, user_id, ts FROM events
+           WHERE event_type <> 'purchase'
          )
-         SELECT event_id, user_id, o_orderkey, o_totalprice
-         FROM events ASOF LEFT JOIN o
-           ON events.user_id = o.o_custkey
-          AND CAST(events.ts AS TIMESTAMP) <= o.o_orderdate""",
+         SELECT e.event_id, e.user_id, p.purchase_id, p.purchase_value
+         FROM e ASOF LEFT JOIN p
+           ON e.user_id = p.p_user AND e.ts <= p.p_ts""",
 
     "q_salted_join" ->
       """SELECT s_nationkey, count(*) AS n_items,
@@ -1824,9 +1854,14 @@ object SparkEntry {
     "q_corpus_prep_staged" -> corpusPrepSql,
 
     "q_dedup_exact" ->
-      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+      """WITH aug AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 3
+         )
+         SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
            count(*) AS group_size
-         FROM documents GROUP BY md5(text)""",
+         FROM aug GROUP BY md5(text)""",
 
     "q_stream_windows" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
@@ -1834,8 +1869,14 @@ object SparkEntry {
          FROM events GROUP BY 1, 2""",
 
     "q_dedup_drop" ->
-      """SELECT doc_id, lang, n_chars FROM documents
-         WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))""",
+      """WITH aug AS (
+           SELECT doc_id, text, lang, n_chars FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text, lang, n_chars FROM documents
+           WHERE doc_id % 10 = 3
+         )
+         SELECT doc_id, lang, n_chars FROM aug
+         WHERE doc_id IN (SELECT min(doc_id) FROM aug GROUP BY md5(text))""",
 
     // stream-stream attribution join == batch interval self-join
     "q_stream_join" ->
@@ -3134,14 +3175,22 @@ object SparkEntry {
          FROM fin""",
 
     "q_text_clean" ->
-      """WITH c AS (
+      """WITH dirty AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 4 = 1
+                  THEN text || '  see https://example.com/d'
+                       || CAST(doc_id AS VARCHAR) || '  or  mail team'
+                       || CAST(doc_id AS VARCHAR) || '@corp.io  '
+                  ELSE text END AS text
+           FROM documents
+         ), c AS (
            SELECT doc_id, text,
              trim(regexp_replace(
                regexp_replace(
                  regexp_replace(text, 'https?://\S+', ' ', 'g'),
                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' ', 'g'),
                '\s+', ' ', 'g')) AS clean
-           FROM documents
+           FROM dirty
          )
          SELECT doc_id, CAST(length(clean) AS BIGINT) AS clean_len,
            clean <> text AS changed

@@ -143,7 +143,7 @@ class PlanSpec extends SparkSpec {
       ("q5_local_supplier",      2, 6, false),
       ("q_window_dedup",         1, 1, false),
       ("q_v4_ml_dataset",        1, 2, false),
-      ("q_dedup_exact",          1, 1, false),
+      ("q_dedup_exact",          1, 2, false),
       ("q_dedup_minhash",        6, 7, false),
       ("q_ann_bruteforce",       1, 2, true),
       ("q_token_count",          0, 1, false),
