@@ -1236,8 +1236,18 @@ object SparkEntry {
           k = 3, threshold = 0.5, maxDf = 20),
         "id_a", "id_b")),
 
-    "q_dedup_embedding" -> ((s, d) =>
-      Knn.nearDupByEmbedding(Tables.embeddings(s, d), threshold = 0.95)),
+    "q_dedup_embedding" -> ((s, d) => {
+      // random unit vectors never reach cosine 0.95, so the raw-table
+      // form flagged nothing — plant 20 scaled copies (cosine exactly
+      // 1.0 with their originals, and SRP buckets are scale-invariant)
+      // so the flag path runs at every SF; GroundTruthSpec verifies
+      // exact recall/precision of the same construction
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val planted = emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.01f)).as("embedding"))
+      Knn.nearDupByEmbedding(emb.unionByName(planted), threshold = 0.95)
+    }),
 
     "q_passage_dedup" -> ((s, d) =>
       // passage-level (exact-substring-style) dedup stats, Lee et al.
@@ -1419,10 +1429,18 @@ object SparkEntry {
 
     "q_rolling_zscore" -> ((s, d) =>
       // trailing-window anomaly scores per user: exact integer moment
-      // sums (Σv, Σv²) make the variance replay/engine-identical
+      // sums (Σv, Σv²) make the variance replay/engine-identical.
+      // Uniform values never cross 3 sigma, and a |z| > 3 needs a
+      // window population of at least 11 (max |z| in a sample of n is
+      // (n-1)/sqrt(n)) — at ~67 events/user/month that means a 7-DAY
+      // trailing window (n~15), and the gate plants a deterministic
+      // 50x spike on ~0.1% of events (oracle identical) so the
+      // anomaly flag is exercised, not constant
       Resample.rollingZscore(
-        Tables.events(s, d).select("event_id", "user_id", "ts", "value"),
-        Seq("user_id"), "ts", "value", windowSec = 7200)
+        Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"),
+          when(pmod(col("event_id"), lit(997L)) === 0L, col("value") * 50.0)
+            .otherwise(col("value")).as("value")),
+        Seq("user_id"), "ts", "value", windowSec = 604800)
         .select(col("event_id"), col("user_id"), col("n_window"),
           col("zscore"), col("is_anomaly"))),
 
@@ -1472,6 +1490,14 @@ object SparkEntry {
     "q_sessionize_stream" -> ((s, d) => Events.sessionizeFileStream(s, d, 30)),
 
     "q_stream_join" -> ((s, d) => Events.attributionFileStream(s, d, 30)),
+
+    "q_stream_join_outer" -> ((s, d) =>
+      // stream-stream LEFT OUTER with watermark-bounded state: every
+      // purchase emits exactly once, null click columns when no click
+      // landed in the 30-minute window; unmatched rows flush once the
+      // staged sentinel feed drags the watermark past their eviction
+      // point (see Events.attributionOuterFileStream)
+      Events.attributionOuterFileStream(s, d, 30)),
 
     "q_stream_dedup" -> ((s, d) => Events.dedupFileStream(s, d))
   )
@@ -1887,6 +1913,16 @@ object SparkEntry {
           AND c.ts <= p.ts
           AND c.ts >= p.ts - INTERVAL 30 MINUTE
          WHERE p.event_type = 'purchase' AND c.event_type = 'click'""",
+
+    // stream-stream LEFT OUTER == batch left interval self-join
+    "q_stream_join_outer" ->
+      """SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           c.event_id AS click_id, c.ts AS click_ts
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id
+          AND c.ts <= p.ts
+          AND c.ts >= p.ts - INTERVAL 30 MINUTE""",
 
     "q_heavy_hitters" ->
       """WITH c AS (
@@ -2533,7 +2569,8 @@ object SparkEntry {
       """WITH e AS (
            SELECT event_id, user_id,
              CAST(floor(epoch(ts)) AS BIGINT) AS es,
-             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc
+             CAST(floor((CASE WHEN event_id % 997 = 0 THEN value * 50.0
+                              ELSE value END) * 100.0 + 0.5) AS BIGINT) AS vc
            FROM events
          ), m AS (
            SELECT event_id, user_id, vc,
@@ -2542,7 +2579,7 @@ object SparkEntry {
              sum(vc * vc) OVER w AS s2
            FROM e
            WINDOW w AS (PARTITION BY user_id ORDER BY es
-                        RANGE BETWEEN 7200 PRECEDING AND CURRENT ROW)
+                        RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
          ), v AS (
            SELECT event_id, user_id, vc, n_window,
              CAST(s1 AS DOUBLE) / n_window AS mean,

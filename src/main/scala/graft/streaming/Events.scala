@@ -209,6 +209,105 @@ object Events {
       .select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
   }
 
+  /** LEFT OUTER variant: every purchase emits exactly once — matched
+    * rows eagerly, unmatched ones (null click columns) only once the
+    * watermark passes the purchase's join-state eviction point. The
+    * time-range condition plus both-side watermarks bound the state;
+    * without them the outer side could never prove "no match will
+    * arrive" and would buffer forever.
+    */
+  def attributionStreamOuter(purchases: DataFrame, clicks: DataFrame,
+                             withinMinutes: Int = 30,
+                             purchaseWm: String = "30 minutes",
+                             clickWm: String = "1 hour"): DataFrame = {
+    val p = purchases.withWatermark("ts", purchaseWm)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    val c = clicks.withWatermark("ts", clickWm)
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user_id"),
+        col("ts").as("click_ts"))
+    p.join(c,
+      col("user_id") === col("c_user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $withinMinutes MINUTES"),
+      "leftOuter")
+      .select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
+  }
+
+  /** [[attributionStreamOuter]] as a REAL staged file-stream query.
+    * Outer (no-match) rows can only emit in a micro-batch AFTER the
+    * watermark has passed their eviction point, so the staged feed
+    * appends two far-future sentinel files (user_id = -1, one purchase
+    * + one click each, +10/+20 days) that drag BOTH sides' watermarks
+    * past every real purchase — the unmatched rows then flush
+    * deterministically and the sentinels are filtered from the result.
+    * Gate-compared to the equivalent batch LEFT JOIN in DuckDB.
+    */
+  def attributionOuterFileStream(spark: SparkSession, sfDir: String,
+                                 withinMinutes: Int = 30): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val isLongTs =
+      raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val stage = Files.createTempDirectory("graft_attr_outer")
+    try {
+      Files.copy(Paths.get(s"$sfDir/events.parquet"),
+        stage.resolve("00_events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      def sentinel(idx: Int, days: Int): Unit = {
+        val last = raw.orderBy(col("ts").desc).limit(1)
+        val bumped =
+          if (isLongTs) last.withColumn("ts", col("ts") + lit(days * 86400L * 1000000000L))
+          else last.withColumn("ts", col("ts") + expr(s"INTERVAL $days DAYS"))
+        val rows = bumped.withColumn("user_id", lit(-1L))
+          .withColumn("event_id", lit(-1L - idx))
+          .withColumn("event_type", lit("purchase"))
+          .unionByName(bumped.withColumn("user_id", lit(-1L))
+            .withColumn("event_id", lit(-100L - idx))
+            .withColumn("event_type", lit("click")))
+        val tmp = stage.resolve(s"w$idx")
+        rows.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        import scala.jdk.CollectionConverters._
+        val part = Files.list(tmp).iterator().asScala
+          .find(_.toString.endsWith(".parquet")).get
+        val dst = stage.resolve(f"0${idx}%d_sentinel.parquet")
+        Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() + idx * 60000L))
+      }
+      sentinel(1, 10)
+      sentinel(2, 20)
+      def stream(eventType: String): DataFrame =
+        spark.readStream.schema(raw.schema)
+          .option("maxFilesPerTrigger", "1")
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(stage.toString)
+          .withColumn("ts",
+            if (isLongTs) timestamp_micros(expr("ts div 1000"))
+            else col("ts").cast("timestamp_ltz"))
+          .filter(col("event_type") === eventType)
+      val joined = attributionStreamOuter(
+        stream("purchase"), stream("click"), withinMinutes)
+      val name = "graft_attribution_outer"
+      val q = joined.writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      spark.table(name)
+        .filter(col("user_id") >= 0)
+        .withColumn("purchase_ts", col("purchase_ts").cast("timestamp_ntz"))
+        .withColumn("click_ts", col("click_ts").cast("timestamp_ntz"))
+        .localCheckpoint(eager = true)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val walked = Files.walk(stage)
+      try walked.iterator().asScala.toSeq.reverse.foreach(p => Files.deleteIfExists(p))
+      finally walked.close()
+    }
+  }
+
   /** The attribution join as a REAL two-source file-stream query
     * (AvailableNow → memory sink), gate-compared to a DuckDB interval
     * self-join oracle.
