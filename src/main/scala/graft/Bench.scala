@@ -120,7 +120,7 @@ object Bench {
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "testdata/sf1")
     val sf1Json =
       if (new java.io.File(s"$sf1Dir/lineitem.parquet").exists && sf1Dir != sfDir) {
-        val r = headliners.flatMap { name =>
+        def runTier(): Seq[(String, Double)] = headliners.flatMap { name =>
           SparkEntry.queries.get(name).map { fn =>
             val samples = (1 to 2).map { _ =>
               spark.sharedState.cacheManager.clearCache()
@@ -132,8 +132,28 @@ object Bench {
             name -> (if (samples.forall(_._1)) samples.map(_._2).min else -1.0)
           }
         }
+        var r = runTier()
+        // the start-of-run sentinel can't see load that RAMPS UP
+        // mid-run (observed: load 1.8 at start, 22 at end, last-half
+        // sf1 queries 4-9x) — re-probe after the tier and, if the box
+        // went hot, wait out the spike (bounded) and re-run the tier
+        // once, keeping the cleaner (faster-total) attempt
+        var endSentinel = sentinel(spark)
+        var sf1Retried = false
+        if (endSentinel > sentinelBound) {
+          var waits = 0
+          while (endSentinel > sentinelBound && waits < 6) {
+            Thread.sleep(20000L); waits += 1; endSentinel = sentinel(spark)
+          }
+          if (endSentinel <= sentinelBound) {
+            val r2 = runTier()
+            if (r2.filter(_._2 >= 0).map(_._2).sum < r.filter(_._2 >= 0).map(_._2).sum)
+              r = r2
+            sf1Retried = true
+          }
+        }
         val (q1, f1, t1) = tierJson(r)
-        f""","sf1":{"dir":"$sf1Dir","total":$t1%.3f,"runs":2,"queries":$q1,"failed":$f1}"""
+        f""","sf1":{"dir":"$sf1Dir","total":$t1%.3f,"runs":2,"retried":$sf1Retried,"end_sentinel_sec":$endSentinel%.3f,"queries":$q1,"failed":$f1}"""
       } else ""
 
     val loadJson = (load0 ++ loadavg()).map(v => f"$v%.2f").mkString("[", ",", "]")

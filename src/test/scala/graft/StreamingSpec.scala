@@ -119,6 +119,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attributionStreamOuter: unmatched purchase flushes null-padded after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val clicks = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    def df(m: MemoryStream[(Long, Timestamp, Long, String, Double)]) =
+      m.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val joined = Events.attributionStreamOuter(df(purchases), df(clicks), withinMinutes = 30)
+    val q = joined.writeStream.format("memory").queryName("attrib_outer")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      clicks.addData((10L, ts("2024-01-01 09:50:00"), 1L, "click", 0.0))
+      purchases.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1L, "purchase", 5.0),   // matched
+        (2L, ts("2024-01-01 10:00:00"), 2L, "purchase", 7.0))   // no click
+      q.processAllAvailable()
+      // matched row emits eagerly; the unmatched one is NOT out yet —
+      // a click for user 2 could still arrive within the watermark
+      val out1 = spark.table("attrib_outer")
+        .select("purchase_id", "click_id").as[(Long, Option[Long])].collect().toSet
+      assert(out1 == Set((1L, Some(10L))), s"got $out1")
+      // watermark jump: far-future rows on BOTH sides push the
+      // watermark past purchase 2's eviction point; the outer row
+      // then flushes null-padded on the following batch
+      clicks.addData((99L, ts("2024-01-02 12:00:00"), -1L, "click", 0.0))
+      purchases.addData((98L, ts("2024-01-02 12:00:00"), -1L, "purchase", 0.0))
+      q.processAllAvailable()
+      purchases.addData((97L, ts("2024-01-02 13:00:00"), -1L, "purchase", 0.0))
+      q.processAllAvailable()
+      val out2 = spark.table("attrib_outer").filter(col("user_id") === 2L)
+        .select("purchase_id", "click_id").as[(Long, Option[Long])].collect().toSet
+      assert(out2 == Set((2L, None)), s"unmatched purchase must flush null-padded: $out2")
+    } finally q.stop()
+  }
+
   test("sessionizeStream: in-batch gap close and event-time timeout close") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Events.Event]
