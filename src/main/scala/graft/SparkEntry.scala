@@ -1125,6 +1125,12 @@ object SparkEntry {
       // not SQL-expressible; BpeSpec hand-verifies the merge order)
       graft.operators.Bpe.train(Tables.documents(s, d), "text", nMerges = 12)),
 
+    "q_bigram_logprob" -> ((s, d) =>
+      // bigram LM quality score (add-1 smoothing): captures local word
+      // order, which the unigram proxy cannot — shuffled gibberish
+      // with a normal word histogram scores low here
+      graft.operators.BigramLm.scores(Tables.documents(s, d), "doc_id", "text")),
+
     "q_unigram_logprob" -> ((s, d) =>
       // CCNet-style LM-quality proxy: mean unigram log-prob per doc
       // under the corpus's own distribution; one term-keyed shuffle
@@ -3049,6 +3055,42 @@ object SparkEntry {
          FROM read_parquet('/root/repo/tools/fixtures/bpe_expected_*.parquet')
          WHERE n_docs = (SELECT count(*) FROM documents)
            AND sum_chars = (SELECT sum(n_chars) FROM documents)""",
+
+    "q_bigram_logprob" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+           FROM documents
+         ), bg AS (
+           SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+           FROM t, unnest(range(1, len(toks))) AS r(i)
+         ), tfb AS (
+           SELECT doc_id, w1, w2, count(*) AS tf FROM bg GROUP BY 1, 2, 3
+         ), fb AS (
+           SELECT w1, w2, count(*) AS c_bg FROM bg GROUP BY 1, 2
+         ), ctx AS (
+           SELECT w1, count(*) AS c_ctx FROM bg GROUP BY 1
+         ), voc AS (
+           SELECT count(DISTINCT term) AS v
+           FROM (SELECT unnest(toks) AS term FROM t)
+           WHERE length(term) > 0
+         ), score AS (
+           SELECT tfb.doc_id, sum(tfb.tf) AS n_bigrams,
+             sum(tfb.tf * CAST(floor(ln((fb.c_bg + 1.0) / (ctx.c_ctx + voc.v))
+               * 1000000.0 + 0.5) AS BIGINT)) AS s
+           FROM tfb
+           JOIN fb USING (w1, w2)
+           JOIN ctx USING (w1), voc
+           GROUP BY 1
+         )
+         SELECT d.doc_id,
+           CAST(coalesce(score.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CASE WHEN score.n_bigrams IS NULL THEN 0.0
+                ELSE floor(CAST(score.s AS DOUBLE)
+                       / (score.n_bigrams * 1000000.0) * 10000.0 + 0.5) / 10000.0
+           END AS logprob_mean
+         FROM documents d LEFT JOIN score ON d.doc_id = score.doc_id""",
 
     "q_unigram_logprob" ->
       """WITH t AS (

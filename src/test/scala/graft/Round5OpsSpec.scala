@@ -187,6 +187,39 @@ class Round5OpsSpec extends SparkSpec {
     assert("Generate explode".r.findAllIn(plan).size == 1)
   }
 
+  // -------------------------------------------------------- bigram lm
+  test("BigramLm add-1 smoothed mean log-prob matches hand computation") {
+    val docs = Seq((1L, "a b a"), (2L, "a a"), (3L, "x"), (4L, "")).toDF("doc_id", "text")
+    val r = graft.operators.BigramLm.scores(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    // bigrams: doc1 (a,b),(b,a); doc2 (a,a). counts: c(a,b)=1 c(b,a)=1
+    // c(a,a)=1; contexts: a->2, b->1; vocab {a,b,x} -> V=3
+    def ilp(num: Double, den: Double) =
+      math.floor(math.log(num / den) * 1e6 + 0.5)
+    def m(sum: Double, n: Long) = math.floor(sum / (n * 1e6) * 1e4 + 0.5) / 1e4
+    val d1 = m(ilp(2.0, 5.0) + ilp(2.0, 4.0), 2)  // (a,b): (1+1)/(2+3); (b,a): (1+1)/(1+3)
+    val d2 = m(ilp(2.0, 5.0), 1)                  // (a,a): (1+1)/(2+3)
+    assert(r.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    assert(r(0)._2 == 2L && r(0)._3 == d1, s"doc1 got ${r(0)}")
+    assert(r(1)._2 == 1L && r(1)._3 == d2, s"doc2 got ${r(1)}")
+    assert(r(2)._2 == 0L && r(2)._3 == 0.0)   // single-token doc zeroed
+    assert(r(3)._2 == 0L && r(3)._3 == 0.0)   // empty doc zeroed
+  }
+
+  test("BigramLm ranks shuffled gibberish below natural order") {
+    // same word histogram, different order: the repeated natural
+    // phrase scores strictly higher than the one-off shuffles
+    val natural = Seq.fill(8)("the spark job runs fast")
+    val shuffled = Seq("fast the runs job spark", "job fast spark the runs")
+    val docs = (natural ++ shuffled).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val r = graft.operators.BigramLm.scores(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+    val nat = r.filter(_._1 < 8).map(_._3).min
+    val shf = r.filter(_._1 >= 8).map(_._3).max
+    assert(nat > shf, s"natural $nat must beat shuffled $shf")
+  }
+
   // ------------------------------------------------------------- sq8
   test("Quantize.sq8Report codes bounded, error within half-step") {
     val vecs = Seq(
