@@ -1,0 +1,56 @@
+package graft
+
+/** Pure contention-guard logic for [[Bench]], factored out so BenchSpec can
+  * feed it recorded telemetry without a SparkSession.
+  *
+  * Two independent signals, either of which marks the box hot:
+  *
+  *  - '''loadavg''': 1-minute load above 25% of the core count means other
+  *    processes already occupy a material slice of the machine. This is a
+  *    hard gate — r6's poisoned artifact recorded loadavg 20.31 on a 32-cpu
+  *    box yet passed the old sentinel-only check, because the sentinel bound
+  *    (1.0 s) was ~4x the idle measurement and the storm left just enough
+  *    headroom for a 0.66 s probe.
+  *  - '''sentinel''': a fixed CPU-bound Spark job timed against a recorded
+  *    idle calibration. Bound = 2x idle (clean runs measure ~0.27 s, so the
+  *    default bound is ~0.55 s — which would have caught r6's 0.661 s).
+  *
+  * A load reading < 0 means /proc/loadavg was unreadable; only the sentinel
+  * gates then.
+  */
+object BenchGuard {
+  /** Fraction of cores the 1-min load may occupy before the box is hot. */
+  val LoadFraction = 0.25
+  /** Sentinel bound as a multiple of the recorded idle calibration. */
+  val SentinelSlack = 2.0
+  /** Recorded idle sentinel on this box (median of clean-run probes:
+    * 0.272 / 0.342 s at `1a54514`). Override via SPARK_GRAFT_SENTINEL_IDLE.
+    */
+  val DefaultIdleSentinelSec = 0.28
+
+  /** Is the box quiet enough to trust a timing taken now? */
+  def quiet(load1: Double, cores: Int, sentinelSec: Double,
+            idleSentinelSec: Double = DefaultIdleSentinelSec): Boolean = {
+    val loadOk = load1 < 0 || load1 <= LoadFraction * cores
+    val sentinelOk = sentinelSec <= SentinelSlack * idleSentinelSec
+    loadOk && sentinelOk
+  }
+
+  /** Pick the more trustworthy of two tier attempts (`-1.0` marks a failed
+    * query). Fewer failures wins outright; with identical failure SETS the
+    * smaller wall-clock total wins; with different-but-equal-sized failure
+    * sets the totals are incomparable (they sum different queries), so the
+    * first attempt is kept. This replaces r6's raw total comparison, where a
+    * retry that crashed a query could "win" by omitting its time.
+    */
+  def pickCleaner(a: Seq[(String, Double)], b: Seq[(String, Double)])
+      : Seq[(String, Double)] = {
+    def failedSet(r: Seq[(String, Double)]) = r.collect { case (k, v) if v < 0 => k }.toSet
+    def total(r: Seq[(String, Double)]) = r.collect { case (_, v) if v >= 0 => v }.sum
+    val (fa, fb) = (failedSet(a), failedSet(b))
+    if (fa.size != fb.size) { if (fa.size < fb.size) a else b }
+    else if (fa != fb) a
+    else if (total(b) < total(a)) b
+    else a
+  }
+}
