@@ -20,44 +20,55 @@ import org.apache.spark.sql.functions._
   */
 object NgramJaccard {
 
-  /** (doc_id, shingle) inverted index with per-doc set sizes. The raw
-    * text is repartitioned BEFORE shingling so the per-doc expression
-    * parallelizes even off a single-task scan.
+  /** (doc_id, shingle-hash) inverted index with per-doc set sizes. The
+    * raw text is repartitioned BEFORE shingling so the per-doc
+    * expression parallelizes even off a single-task scan. Shingling
+    * and hashing happen in one native pass (`shingle_hash64`,
+    * graft.functions.ShingleHash64): Jaccard only ever compares
+    * shingles for equality, and 64-bit hash equality is string
+    * equality w.h.p. — every shuffle, sort and join key downstream
+    * shrinks from a multi-word string to a long, and the per-doc CPU
+    * drops out of the interpreted HOF chain into a tight loop.
     */
   def invertedIndex(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val n = docs.sparkSession.sparkContext.defaultParallelism
     docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
       .repartition(n)
-      .select(col("doc_id"), TextFunctions.shingles(col("__text"), k).as("sh"))
+      .select(col("doc_id"), call_function("shingle_hash64",
+        TextFunctions.tokens(col("__text")), lit(k)).as("sh"))
       .withColumn("set_size", size(col("sh")).cast("long"))
       .select(col("doc_id"), col("set_size"), explode(col("sh")).as("shingle"))
   }
 
   /** Pairs (id_a < id_b) with exact Jaccard ≥ threshold.
     *
-    * Hot keys are pre-filtered with a cheap count aggregation (a
-    * codegen'd partial-agg HashAggregate — a stopword-like shingle
-    * costs one 8-byte counter, never a posting list), then surviving
-    * postings self-join per shingle and shared-shingle counts come
-    * from a second codegen'd HashAggregate over primitive columns.
-    * Measured 2.5× faster than collecting capped posting lists: a
-    * TypedImperativeAggregate buffer (collect) drops the whole
-    * aggregation out of whole-stage codegen and, past the 128-key
-    * ObjectHashAggregate fallback threshold, into sort-based
-    * aggregation with per-group buffer serialization. Nothing here
-    * leaves Tungsten, and no buffer ever holds more than a counter.
+    * One shingle-keyed exchange, placed ABOVE the shingling: the
+    * tokenize/shingle/hash/explode pipeline is all interpreted
+    * higher-order functions — by far the dominant CPU — so it must run
+    * exactly once. Keying the exchange by shingle lets the df filter
+    * (a window count over the co-located postings — a stopword-like
+    * shingle costs one 8-byte counter, never a posting list) and BOTH
+    * self-join sides reuse that single exchange (ReusedExchange); the
+    * r6 shape kept the only exchange BELOW the shingling and broadcast
+    * the surviving-shingle set, which re-ran the shingle CPU up to 4×
+    * per query. Shared-shingle counts then come from a codegen'd
+    * HashAggregate over primitive columns. (Collecting capped posting
+    * lists instead measured 2.5× slower: a TypedImperativeAggregate
+    * buffer drops out of whole-stage codegen and, past the 128-key
+    * ObjectHashAggregate fallback, into sort-based aggregation.)
     */
   def pairs(docs: DataFrame, idCol: String, textCol: String,
             k: Int = 3, threshold: Double = 0.3, maxDf: Int = 50): DataFrame = {
-    val idx = invertedIndex(docs, idCol, textCol, k)
+    // co-locate postings by shingle ONCE; everything heavy is below
+    // this exchange, everything above it is sorts/joins on longs
+    val co = invertedIndex(docs, idCol, textCol, k).repartition(col("shingle"))
     // df prefilter: drop shingles shared by >maxDf docs (near-zero
-    // Jaccard signal, quadratic pair fanout) and by exactly 1 (no pair)
-    val df = idx.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df").between(2, maxDf))
-      .select("shingle")
-    // idx's closing exchange is reused across the filter join and both
-    // self-join sides (ReuseExchange), so shingling runs once
-    val filtered = idx.join(df, "shingle")
+    // Jaccard signal, quadratic pair fanout) and by exactly 1 (no
+    // pair). A window count over the co-located postings — no second
+    // pass over the corpus, no join against a df table.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
+    val filtered = co.withColumn("__df", count(lit(1)).over(w))
+      .filter(col("__df").between(2, maxDf)).drop("__df")
     val shared = filtered.as("a")
       .join(filtered.as("b"), expr("a.shingle = b.shingle AND a.doc_id < b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),

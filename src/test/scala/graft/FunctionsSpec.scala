@@ -120,6 +120,18 @@ class FunctionsSpec extends SparkSpec {
     assert(both.count() > 100)
   }
 
+  test("shingle_hash64 native is bit-identical to the HOF composition") {
+    val docs = Tables.documents(spark, sf())
+      .select(col("doc_id"), col("text"))
+      .union(Seq((100001L, ""), (100002L, "one two"), (100003L, "a b c d a b c d"))
+        .toDF("doc_id", "text"))
+    val both = docs.select(
+      call_function("shingle_hash64", TF.tokens(col("text")), lit(3)).as("native"),
+      array_distinct(transform(TF.shingles(col("text"), 3), sh => xxhash64(sh))).as("hof"))
+    assert(both.filter(!(col("native") <=> col("hof"))).count() == 0)
+    assert(both.count() > 100)
+  }
+
   test("srpBucket deterministic; identical vectors share a bucket") {
     val df = Seq(
       (1L, Seq.tabulate(8)(i => i.toFloat)),
