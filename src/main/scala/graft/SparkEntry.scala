@@ -36,10 +36,22 @@ object SparkEntry {
     * 500-doc gate corpora have no naturally planted duplicates
     * (generator rate is 1/625), so dedup gates would verify a no-op.
     * Oracles mirror the same UNION ALL.
+    *
+    * The shift is the smallest power of 10 above max(doc_id) — a
+    * fixed +1e6 would silently collide with real ids once a corpus
+    * passes 1M docs — computed as a 1-row broadcast (no driver
+    * round-trip) and identically in the oracle SQL. Powers of 10 up
+    * to 10^15 are exact doubles, and original < re-crawl ordering is
+    * preserved, so min(doc_id) still keeps the first crawl.
     */
-  private def withRecrawls(docs: DataFrame): DataFrame =
+  private def withRecrawls(docs: DataFrame): DataFrame = {
+    val off = docs.agg(pow(lit(10.0),
+      length(max(col("doc_id")).cast("string"))).cast("long").as("__off"))
     docs.unionByName(docs.filter(pmod(col("doc_id"), lit(10L)) === 3L)
-      .withColumn("doc_id", col("doc_id") + 1000000L))
+      .crossJoin(broadcast(off))
+      .withColumn("doc_id", col("doc_id") + col("__off"))
+      .drop("__off"))
+  }
 
   private def pround(c: Column, dp: Int): Column = {
     val f = math.pow(10, dp)
@@ -838,15 +850,22 @@ object SparkEntry {
     "q_snapshot_diff" -> ((s, d) => {
       // CDC bootstrap: recover the insert/update/delete changelog two
       // snapshots imply (deterministic v2: delete %101, double-price
-      // %97, re-keyed inserts from %89)
+      // %97, re-keyed inserts from %89). Insert keys shift by the
+      // smallest power of 10 above max(o_orderkey) — corpus-derived,
+      // so the synthetic namespace stays disjoint at any SF (see
+      // withRecrawls).
       val base = Tables.orders(s, d)
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      val off = base.agg(pow(lit(10.0),
+        length(max(col("o_orderkey")).cast("string"))).cast("long").as("__off"))
       val v2 = base.filter(pmod(col("o_orderkey"), lit(101)) =!= 0)
         .withColumn("o_totalprice",
           when(pmod(col("o_orderkey"), lit(97)) === 0, col("o_totalprice") * 2)
             .otherwise(col("o_totalprice")))
         .unionByName(base.filter(pmod(col("o_orderkey"), lit(89)) === 0)
-          .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L)))
+          .crossJoin(broadcast(off))
+          .withColumn("o_orderkey", col("o_orderkey") + col("__off"))
+          .drop("__off"))
       graft.operators.SnapshotDiff.diff(base, v2, Seq("o_orderkey"))
     }),
 
@@ -1886,10 +1905,14 @@ object SparkEntry {
     "q_corpus_prep_staged" -> corpusPrepSql,
 
     "q_dedup_exact" ->
-      """WITH aug AS (
+      """WITH off AS (
+           SELECT CAST(power(10, length(CAST(max(doc_id) AS VARCHAR))) AS BIGINT) AS v
+           FROM documents
+         ), aug AS (
            SELECT doc_id, text FROM documents
            UNION ALL
-           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 3
+           SELECT doc_id + (SELECT v FROM off), text FROM documents
+           WHERE doc_id % 10 = 3
          )
          SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
            count(*) AS group_size
@@ -1901,10 +1924,13 @@ object SparkEntry {
          FROM events GROUP BY 1, 2""",
 
     "q_dedup_drop" ->
-      """WITH aug AS (
+      """WITH off AS (
+           SELECT CAST(power(10, length(CAST(max(doc_id) AS VARCHAR))) AS BIGINT) AS v
+           FROM documents
+         ), aug AS (
            SELECT doc_id, text, lang, n_chars FROM documents
            UNION ALL
-           SELECT doc_id + 1000000, text, lang, n_chars FROM documents
+           SELECT doc_id + (SELECT v FROM off), text, lang, n_chars FROM documents
            WHERE doc_id % 10 = 3
          )
          SELECT doc_id, lang, n_chars FROM aug
@@ -2117,6 +2143,9 @@ object SparkEntry {
     "q_snapshot_diff" ->
       """WITH base AS (
            SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
+         ), off AS (
+           SELECT CAST(power(10, length(CAST(max(o_orderkey) AS VARCHAR))) AS BIGINT) AS v
+           FROM base
          ), v2 AS (
            SELECT o_orderkey, o_custkey,
                   CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 2
@@ -2124,7 +2153,7 @@ object SparkEntry {
                   o_orderstatus
            FROM base WHERE o_orderkey % 101 <> 0
            UNION ALL
-           SELECT o_orderkey + 100000000, o_custkey, o_totalprice, o_orderstatus
+           SELECT o_orderkey + (SELECT v FROM off), o_custkey, o_totalprice, o_orderstatus
            FROM base WHERE o_orderkey % 89 = 0
          )
          SELECT * FROM (

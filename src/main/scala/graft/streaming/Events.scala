@@ -15,6 +15,34 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Events {
 
+  /** Stage the `events.parquet` feed into a file-stream source dir as
+    * `tag*.parquet`, returning the staged paths. Handles both a single
+    * parquet file and a Spark-written DIRECTORY of part files — a bare
+    * `Files.copy` of a directory creates an empty directory, and the
+    * stream would then silently see only the sentinel rows.
+    */
+  private def stageEventsFeed(sfDir: String, stage: java.nio.file.Path,
+                              tag: String): Seq[java.nio.file.Path] = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val src = Paths.get(s"$sfDir/events.parquet")
+    if (Files.isDirectory(src)) {
+      val parts = Files.list(src).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.getFileName.toString)
+      require(parts.nonEmpty, s"no parquet part files under $src")
+      parts.zipWithIndex.map { case (p, i) =>
+        val dst = stage.resolve(f"${tag}_part$i%05d.parquet")
+        Files.copy(p, dst, StandardCopyOption.REPLACE_EXISTING)
+        dst
+      }
+    } else {
+      val dst = stage.resolve(s"$tag.parquet")
+      Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+      Seq(dst)
+    }
+  }
+
   /** Tumbling-window aggregation (batch form). `window(ts, w)` with
     * epoch-aligned tumbling windows == date_trunc bucketing, portable
     * to any SQL engine.
@@ -121,8 +149,7 @@ object Events {
 
     val stage = Files.createTempDirectory("graft_sess_stream")
     try {
-      Files.copy(Paths.get(s"$sfDir/events.parquet"),
-        stage.resolve("00_events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      stageEventsFeed(sfDir, stage, "00_events")
       // sentinels: far enough past max(ts) + gap + watermark that every
       // real session's event-time timeout is behind the new watermark
       val hourNs = 3600L * 1000 * 1000 * 1000
@@ -251,8 +278,7 @@ object Events {
       raw.schema("ts").dataType == org.apache.spark.sql.types.LongType
     val stage = Files.createTempDirectory("graft_attr_outer")
     try {
-      Files.copy(Paths.get(s"$sfDir/events.parquet"),
-        stage.resolve("00_events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+      stageEventsFeed(sfDir, stage, "00_events")
       def sentinel(idx: Int, days: Int): Unit = {
         val last = raw.orderBy(col("ts").desc).limit(1)
         val bumped =
@@ -415,12 +441,10 @@ object Events {
     val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
     val stage = Files.createTempDirectory("graft_dedup_stream")
     try {
-      Files.copy(Paths.get(s"$sfDir/events.parquet"),
-        stage.resolve("00_events.parquet"), StandardCopyOption.REPLACE_EXISTING)
-      Files.copy(Paths.get(s"$sfDir/events.parquet"),
-        stage.resolve("01_redelivered.parquet"), StandardCopyOption.REPLACE_EXISTING)
-      Files.setLastModifiedTime(stage.resolve("01_redelivered.parquet"),
-        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 60000L))
+      stageEventsFeed(sfDir, stage, "00_events")
+      stageEventsFeed(sfDir, stage, "01_redelivered").foreach(p =>
+        Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime
+          .fromMillis(System.currentTimeMillis() + 60000L)))
       // watermarks require LTZ event time (session TZ is UTC, so the
       // values match the batch NTZ form; ts is dropped by the rollup)
       val stream = spark.readStream.schema(rawSchema)

@@ -4,7 +4,11 @@ headliner's oracle SQL in DuckDB (all cores, same parquet, same box) and
 write BASELINE.md. This is the number BENCH_r{N}.json is graded against
 ("within 2x of baseline at the same SF").
 
-Usage: python3 tools/baseline.py <sfDir> <oracle_sql.json> [runs]
+Usage: python3 tools/baseline.py <sfDir> <oracle_sql.json> [runs] [out_md] [q1,q2,...]
+
+The optional 5th arg restricts the run to a comma-separated query
+subset (used for the sf10 tier, which only re-measures the queries
+whose sf1 ratios sat near the per-job scheduling floor).
 """
 import json, sys, os, time
 
@@ -23,6 +27,9 @@ sf_dir = sys.argv[1]
 oracle = json.load(open(sys.argv[2]))
 runs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 out_md = sys.argv[4] if len(sys.argv) > 4 else "BASELINE.md"
+if len(sys.argv) > 5:
+    subset = sys.argv[5].split(",")
+    HEADLINERS = [q for q in HEADLINERS if q in subset]
 
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
