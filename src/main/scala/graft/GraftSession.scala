@@ -27,6 +27,20 @@ object GraftSession {
       // (Spark, DuckDB, Arrow) — no UTC-adjustment flag mismatches.
       .config("spark.sql.timestampType", "TIMESTAMP_NTZ")
       .config("spark.sql.parquet.compression.codec", "snappy")
+      // local[32] reads sub-GB files: the 128 MB default yields fewer
+      // scan splits than cores and serializes the scan stage. 32 MB
+      // fills the box at the bench tiers; on a real cluster the
+      // default (or table-level tuning) is the right call — this knob
+      // sizes splits to THIS harness's core count, not the plan.
+      .config("spark.sql.files.maxPartitionBytes", "33554432")
+      // Fact-fact equi-joins: prefer shuffled HASH join over
+      // sort-merge — it skips both sides' O(n log n) sorts, and the
+      // per-partition build side is bounded (shuffle partitions are
+      // sized so a partition fits executor memory; AQE splits skewed
+      // ones). SMJ remains Spark's conservative default because a
+      // misestimated build side can OOM an executor; with AQE runtime
+      // sizing that risk is the scheduler's, not the plan's.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       // Testdata `events.ts` is parquet TIMESTAMP(NANOS), which Spark
       // has no native type for — read it as a raw long (ns since epoch)
       // and convert in Tables.events.

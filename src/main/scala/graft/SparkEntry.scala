@@ -617,6 +617,25 @@ object SparkEntry {
       graft.pipeline.CorpusPrep.prepFull(Tables.documents(s, d), "doc_id", "text",
         stopwords, langMarkers)),
 
+    "q_corpus_prep_clustered" -> ((s, d) => {
+      // cluster-canonical near-dup removal, fully oracle-checked. The
+      // gate corpus has no natural NEAR-dups (exact dedup would catch
+      // the generator's planted exact copies first), so a 4% slice is
+      // re-crawled under shifted ids with ONE appended token: exact
+      // dedup must not catch those, the cluster stage must.
+      val docs = Tables.documents(s, d)
+      val off = docs.agg(pow(lit(10.0),
+        length(max(col("doc_id")).cast("string"))).cast("long").as("__off"))
+      val aug = docs.unionByName(docs.filter(pmod(col("doc_id"), lit(25L)) === 4L)
+        .crossJoin(broadcast(off))
+        .withColumn("doc_id", col("doc_id") + col("__off"))
+        .drop("__off")
+        .withColumn("text", concat(col("text"), lit(" nearly"))))
+      graft.pipeline.CorpusPrep.prepClustered(aug, "doc_id", "text",
+        stopwords, langMarkers, minQuality = 0.3, allowedLangs = Seq("en"),
+        minTokens = 10, jaccardThreshold = 0.5, shingleK = 3, maxDf = 20)
+    }),
+
     "q_sample_per_key" -> ((s, d) =>
       // 3 lowest-id docs per language: per-key top-n via WindowGroupLimit
       graft.operators.Sampling.perKey(
@@ -1903,6 +1922,103 @@ object SparkEntry {
 
     // staged (write-barrier) variant has identical semantics
     "q_corpus_prep_staged" -> corpusPrepSql,
+
+    // prep + cluster-canonical near-dup removal: corpus-prep CTEs over
+    // the near-recrawl-augmented corpus, then exact-Jaccard pairs over
+    // the survivors closed into components by a recursive CTE; only
+    // cluster-min ids survive
+    "q_corpus_prep_clustered" ->
+      """WITH RECURSIVE off AS (
+           SELECT CAST(power(10, length(CAST(max(doc_id) AS VARCHAR))) AS BIGINT) AS v
+           FROM documents
+         ), aug AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + (SELECT v FROM off), text || ' nearly' FROM documents
+           WHERE doc_id % 25 = 4
+         ), c AS (
+           SELECT doc_id,
+             trim(regexp_replace(regexp_replace(
+               regexp_replace(text, 'https?://\S+', ' ', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' ', 'g'),
+               '\s+', ' ', 'g')) AS clean
+           FROM aug
+         ), t AS (
+           SELECT doc_id, clean,
+             CASE WHEN length(trim(lower(clean))) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(lower(clean)), '\s+') END AS toks
+           FROM c
+         ), s AS (
+           SELECT doc_id, clean,
+             floor((least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
+               + (CASE WHEN length(clean) = 0 THEN 0.0
+                       ELSE CAST(len(regexp_extract_all(clean, '[A-Za-z]')) AS DOUBLE) / length(clean) END)
+               + least((CASE WHEN len(toks) = 0 THEN 0.0
+                             ELSE CAST(len(list_filter(toks,
+                                    x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE)
+                                  / len(toks) END) * 4.0, 1.0)
+               ) / 3.0 * 10000.0 + 0.5) / 10000.0 AS quality,
+             len(list_filter(toks, x -> list_contains(['the','a'], x))) AS s_en,
+             len(list_filter(toks, x -> list_contains(['el','la','los'], x))) AS s_es,
+             len(list_filter(toks, x -> list_contains(['der','die','und'], x))) AS s_de,
+             len(list_filter(toks, x -> list_contains(['le','les','et'], x))) AS s_fr,
+             CAST(len(toks) AS BIGINT) AS n_tokens
+           FROM t
+         ), p AS (
+           SELECT doc_id, clean, quality, n_tokens,
+             CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+                  WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+                  WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+                  WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+                  ELSE 'fr' END AS lang_pred
+           FROM s
+         ), g AS (
+           SELECT * FROM p
+           WHERE quality >= 0.3 AND lang_pred IN ('en') AND n_tokens >= 10
+         ), prep AS (
+           SELECT doc_id, quality, lang_pred, n_tokens FROM g
+           WHERE doc_id IN (SELECT min(doc_id) FROM g GROUP BY md5(clean))
+         ), surv AS (
+           SELECT a.doc_id, a.text FROM aug a JOIN prep pp ON a.doc_id = pp.doc_id
+         ), toks2 AS (
+           SELECT doc_id,
+             CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS ts
+           FROM surv
+         ), sh AS (
+           SELECT doc_id,
+             CASE WHEN len(ts) = 0 THEN CAST([] AS VARCHAR[])
+                  WHEN len(ts) <= 3 THEN [array_to_string(ts, ' ')]
+                  ELSE list_distinct(list_transform(range(1, len(ts) - 1),
+                         i -> array_to_string(ts[i:i+2], ' ')))
+             END AS shs
+           FROM toks2
+         ), idx AS (
+           SELECT doc_id, CAST(len(shs) AS BIGINT) AS set_size, unnest(shs) AS shingle
+           FROM sh
+         ), rare AS (
+           SELECT shingle FROM idx GROUP BY shingle HAVING count(*) BETWEEN 2 AND 20
+         ), pr AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.set_size AS size_a, b.set_size AS size_b, count(*) AS inter
+           FROM idx a JOIN rare r ON a.shingle = r.shingle
+                      JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4
+         ), e AS (
+           SELECT id_a AS u, id_b AS v FROM pr
+           WHERE floor(CAST(inter AS DOUBLE) / (size_a + size_b - inter)
+                   * 10000.0 + 0.5) / 10000.0 >= 0.5
+         ), sym2 AS (
+           SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e
+         ), reach AS (
+           SELECT doc_id AS a, doc_id AS b FROM surv
+           UNION
+           SELECT r.a, s2.v AS b FROM reach r JOIN sym2 s2 ON r.b = s2.u
+         ), comp AS (
+           SELECT a AS doc_id, min(b) AS m FROM reach GROUP BY a
+         )
+         SELECT pp.doc_id, pp.quality, pp.lang_pred, pp.n_tokens
+         FROM prep pp JOIN comp ON pp.doc_id = comp.doc_id AND comp.doc_id = comp.m""",
 
     "q_dedup_exact" ->
       """WITH off AS (

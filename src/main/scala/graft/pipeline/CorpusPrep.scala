@@ -140,4 +140,31 @@ object CorpusPrep {
       .select(col("id_b").as("doc_id")).distinct()
     kept.join(dupIds, Seq("doc_id"), "left_anti")
   }
+
+  /** Cluster-canonical near-dup removal. [[prepFull]] drops `id_b` of
+    * each verified PAIR — a chain A~B, B~C (A≁C) keeps both A and C.
+    * Here pairs are closed into connected components first and only
+    * each cluster's minimum id survives — the policy consistent with
+    * split-by-cluster's leakage story (two docs that share a near-dup
+    * neighbor must not both reach the corpus, or a train/test split by
+    * doc can still leak the shared content). Pairs come from exact
+    * n-gram Jaccard (SQL-expressible), so unlike the LSH variant the
+    * WHOLE pipeline is oracle-checked, recursive closure included.
+    */
+  def prepClustered(docs: DataFrame, idCol: String, textCol: String,
+                    stopwords: Seq[String], langMarkers: Seq[(String, Seq[String])],
+                    minQuality: Double = 0.3, allowedLangs: Seq[String] = Seq("en"),
+                    minTokens: Int = 10, jaccardThreshold: Double = 0.5,
+                    shingleK: Int = 3, maxDf: Int = 20): DataFrame = {
+    val kept = prep(docs, idCol, textCol, stopwords, langMarkers,
+      minQuality, allowedLangs, minTokens)
+    val survivors = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+    val pairs = graft.dedup.NgramJaccard.pairs(survivors, "doc_id", "text",
+      shingleK, jaccardThreshold, maxDf)
+    val comp = graft.dedup.Components.clusters(survivors, "doc_id", pairs,
+      "id_a", "id_b")
+    kept.join(comp.filter(col("doc_id") === col("component")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+  }
 }

@@ -22,6 +22,32 @@ class PipelineOpsSpec extends SparkSpec {
     (101L, "short doc")
   ).toDF("doc_id", "text")
 
+  test("prepClustered keeps only the cluster min on a near-dup chain") {
+    // A~B and B~C overlap pairwise above 0.5 Jaccard, but A and C share
+    // too little: pairwise removal (prepFull's policy) would keep A AND
+    // C; cluster-canonical keeps only A. Text passes every prep gate
+    // (en stopwords, >=10 tokens); doc 9 is an unrelated singleton.
+    val base = "the cat and the dog walked to a house in town today"
+    val chain = Seq(
+      (1L, base + " alpha beta gamma delta"),
+      (2L, base + " alpha beta epsilon zeta"),
+      (3L, base + " epsilon zeta eta theta"),
+      (9L, "a completely different story of the sea and the old ship sails"))
+      .toDF("doc_id", "text")
+    val args = (chain, "doc_id", "text",
+      Seq("the", "a", "of", "and", "to", "in"), Seq("en" -> Seq("the", "a")))
+    val clustered = graft.pipeline.CorpusPrep.prepClustered(args._1, args._2,
+      args._3, args._4, args._5, minQuality = 0.0, allowedLangs = Seq("en"),
+      minTokens = 5, jaccardThreshold = 0.5, shingleK = 3, maxDf = 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clustered == Set(1L, 9L))
+    val pairwise = graft.pipeline.CorpusPrep.prepFull(args._1, args._2,
+      args._3, args._4, args._5, minQuality = 0.0, allowedLangs = Seq("en"),
+      minTokens = 5, jaccardThreshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(pairwise.contains(1L) && !pairwise.contains(2L))
+  }
+
   test("Decontaminate.stats flags overlapping docs, preserves all rows") {
     val s = Decontaminate.stats(train, eval, "doc_id", "text", k = 3, threshold = 0.3)
       .orderBy("doc_id")
