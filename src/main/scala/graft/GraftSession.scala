@@ -45,6 +45,16 @@ object GraftSession {
       // has no native type for — read it as a raw long (ns since epoch)
       // and convert in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Hybrid-calendar (Julian/Gregorian) rebase on write, as the
+      // reference pipeline sets (src/silver/job-silver-rues.py:44-45,
+      // src/gold/job-gold-rues.py:38-39): pre-1582 dates land in
+      // parquet as legacy-reader-compatible values (a write marker
+      // lets Spark readers rebase back losslessly). Identity for
+      // post-1582 data, so every cross-engine gate is unaffected;
+      // proleptic-only readers (DuckDB, Arrow) shift pre-1582 values
+      // by the calendar gap — see the calendar spec.
+      .config("spark.sql.parquet.datetimeRebaseModeInWrite", "LEGACY")
+      .config("spark.sql.parquet.int96RebaseModeInWrite", "LEGACY")
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = builder().getOrCreate()

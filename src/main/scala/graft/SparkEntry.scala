@@ -1392,6 +1392,32 @@ object SparkEntry {
           .as("feat_ok"))
     }),
 
+    "q_multimodal_video" -> ((s, d) => {
+      // the VIDEO seam: decode is stubbed (no codec libs in this
+      // environment — the stub body is the only replacement point on
+      // a real cluster), so the gate pins everything AROUND the stub:
+      // typed metadata passthrough (codec, declared duration), frame
+      // sampling shape (n frames, bounded frame bytes), and the stub
+      // feature's contract (8 values in [0,1]). All a-priori values.
+      import graft.multimodal.BinaryColumns
+      val media = BinaryColumns.syntheticMedia(s, 12)
+        .filter(col("media_type") === "video")
+      val feats = BinaryColumns.extractFeatures(media)
+      val frames = BinaryColumns.sampleFrames(media, n = 4)
+        .groupBy("media_id").agg(count(lit(1)).as("n_frames"),
+          max(col("frame_bytes")).as("max_frame_bytes"))
+      feats.join(frames, "media_id")
+        .join(media.select(col("media_id"), col("meta.codec").as("codec"),
+          col("meta.duration_ms").as("meta_duration_ms")), "media_id")
+        .select(col("media_id"), col("media_type"), col("n_bytes"),
+          col("width"), col("height"), col("duration_ms"),
+          col("codec"), col("meta_duration_ms"),
+          col("n_frames"), col("max_frame_bytes"),
+          (size(col("feature")) === 8 &&
+            !exists(col("feature"), x => x < lit(0.0f) || x > lit(1.0f)))
+            .as("feat_ok"))
+    }),
+
     "q_chunk_overlap" -> ((s, d) =>
       // RAG-style overlapping chunking: 8-word windows every 4 words;
       // one narrow tokenize+HOF pass, posexplode carries the ordinal
@@ -2628,6 +2654,27 @@ object SparkEntry {
            (100, 'audio', NULL, NULL, 250, TRUE), (101, 'audio', NULL, NULL, 250, TRUE),
            (102, 'audio', NULL, NULL, 250, TRUE), (103, 'audio', NULL, NULL, 250, TRUE)
          ) AS t(media_id, media_type, width, height, duration_ms, feat_ok)""",
+
+    // a-priori oracle: syntheticMedia payloads are 128 hash-derived
+    // bytes; video rows are ids ≡ 2 (mod 3); stub decode leaves
+    // width/height/duration null; 4 sampled frames of 16 bytes each;
+    // meta codec 'fake' / duration 1000 pass through untouched
+    "q_multimodal_video" ->
+      """SELECT CAST(media_id AS BIGINT) AS media_id, media_type,
+           CAST(n_bytes AS BIGINT) AS n_bytes,
+           CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+           CAST(duration_ms AS BIGINT) AS duration_ms,
+           codec, CAST(meta_duration_ms AS BIGINT) AS meta_duration_ms,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(max_frame_bytes AS BIGINT) AS max_frame_bytes,
+           CAST(feat_ok AS BOOLEAN) AS feat_ok
+         FROM (VALUES
+           (2, 'video', 128, NULL, NULL, NULL, 'fake', 1000, 4, 16, TRUE),
+           (5, 'video', 128, NULL, NULL, NULL, 'fake', 1000, 4, 16, TRUE),
+           (8, 'video', 128, NULL, NULL, NULL, 'fake', 1000, 4, 16, TRUE),
+           (11, 'video', 128, NULL, NULL, NULL, 'fake', 1000, 4, 16, TRUE)
+         ) AS t(media_id, media_type, n_bytes, width, height, duration_ms,
+                codec, meta_duration_ms, n_frames, max_frame_bytes, feat_ok)""",
 
     "q_chunk_overlap" ->
       """WITH t AS (

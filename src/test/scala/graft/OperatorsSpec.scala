@@ -242,6 +242,32 @@ class OperatorsSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("n_hits") == 1L))
   }
 
+  test("pre-1582 dates roundtrip under the LEGACY rebase write mode") {
+    // GraftSession mirrors the reference's hybrid-calendar write confs
+    // (datetimeRebaseModeInWrite/int96RebaseModeInWrite = LEGACY).
+    // Spark stamps a legacyDateTime marker in the footer and rebases
+    // back on read, so a Julian-era date written by the silver layer
+    // is lossless through the engine. (Cross-engine: a proleptic-only
+    // reader like DuckDB shifts such values by the 10-day calendar
+    // gap — out of scope, nothing in the gates writes pre-1582 data;
+    // this spec pins the Spark roundtrip the reference relies on.)
+    assert(spark.conf.get("spark.sql.parquet.datetimeRebaseModeInWrite") == "LEGACY")
+    val base = "/tmp/graft_rebase_spec"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    val old = Seq("1500-03-01", "1582-10-04", "2020-06-15").toDF("d")
+      .select(to_date(col("d")).as("d"),
+        to_timestamp(concat(col("d"), lit(" 12:34:56"))).as("ts"))
+    old.write.parquet(base)
+    val back = spark.read.parquet(base)
+      .select(date_format(col("d"), "yyyy-MM-dd"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+      .as[(String, String)].collect().toSet
+    assert(back == Set(
+      ("1500-03-01", "1500-03-01 12:34:56"),
+      ("1582-10-04", "1582-10-04 12:34:56"),
+      ("2020-06-15", "2020-06-15 12:34:56")))
+  }
+
   test("compactParquet shrinks file count to the byte target, content identical") {
     val base = "/tmp/graft_compact_spec"
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
