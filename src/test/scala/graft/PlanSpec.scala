@@ -103,11 +103,18 @@ class PlanSpec extends SparkSpec {
   }
 
   test("snapshot diff / fuzzy match / gap fill: hash or merge joins only") {
-    for (q <- Seq("q_snapshot_diff", "q_fuzzy_match", "q_gap_fill")) {
+    for (q <- Seq("q_fuzzy_match", "q_gap_fill")) {
       val p = plan(q)
       assert(!p.contains("BroadcastNestedLoop") && !p.contains("Cartesian"),
         s"$q:\n$p")
     }
+    // snapshot diff carries ONE documented 1-row-broadcast crossJoin
+    // (the corpus-derived insert-key offset); the diff join itself
+    // must still be a hash/merge join and nothing may go cartesian
+    val p = plan("q_snapshot_diff")
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoop")) <= 1, p)
+    assert(!p.contains("Cartesian"), p)
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"), p)
   }
 
   test("sequence packing: the doc-ordered prefix-sum window is keyed, not global") {
@@ -143,7 +150,9 @@ class PlanSpec extends SparkSpec {
       ("q5_local_supplier",      2, 6, false),
       ("q_window_dedup",         1, 1, false),
       ("q_v4_ml_dataset",        1, 2, false),
-      ("q_dedup_exact",          1, 2, false),
+      // r7: +1 shuffle/leaf and a 1-row BNLJ from the corpus-derived
+      // recrawl offset (max(doc_id) stat frame — documented pattern)
+      ("q_dedup_exact",          2, 3, true),
       ("q_dedup_minhash",        6, 7, false),
       ("q_ann_bruteforce",       1, 2, true),
       ("q_token_count",          0, 1, false),
