@@ -30,5 +30,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] packs all "executors" into one heap: 8g gave each of the
+  // 32 task slots ~250 MB and the sf10 tier spent most of its time
+  // spilling, while the oracle engine used the whole 128 GiB box. 48g
+  // (~1.5 GB/slot) is still conservative next to any real executor.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -113,18 +113,21 @@ object Bench {
     */
   private def runTier(spark: SparkSession, cores: Int, idleSec: Double)
                      (run: () => Seq[(String, Double)]): Tier = {
+    // post-tier probes gate on the SENTINEL only: loadavg right after
+    // a tier reflects the tier's own 32-thread work (BenchGuard.quietPost)
+    def postQuiet(p: Probe) = BenchGuard.quietPost(p.sentinelSec, idleSec)
     val pre = waitQuiet(spark, cores, idleSec)
     var r = run()
     var post = Probe(loadavg1(), sentinel(spark), 0)
     var retried = false
-    var clean = pre.quiet(cores, idleSec) && post.quiet(cores, idleSec)
-    if (!post.quiet(cores, idleSec)) {
+    var clean = pre.quiet(cores, idleSec) && postQuiet(post)
+    if (!postQuiet(post)) {
       val pre2 = waitQuiet(spark, cores, idleSec)
       if (pre2.quiet(cores, idleSec)) {
         val r2 = run()
         val post2 = Probe(loadavg1(), sentinel(spark), 0)
         retried = true
-        if (post2.quiet(cores, idleSec)) { r = r2; post = post2; clean = true }
+        if (postQuiet(post2)) { r = r2; post = post2; clean = true }
         else { r = BenchGuard.pickCleaner(r, r2); post = post2; clean = false }
       }
     }

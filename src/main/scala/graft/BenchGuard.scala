@@ -28,13 +28,29 @@ object BenchGuard {
     */
   val DefaultIdleSentinelSec = 0.28
 
-  /** Is the box quiet enough to trust a timing taken now? */
+  /** Is the box quiet enough to START a timed tier now? Gates on both
+    * signals: stale external load shows in loadavg before it shows in
+    * a single sentinel sample.
+    */
   def quiet(load1: Double, cores: Int, sentinelSec: Double,
             idleSentinelSec: Double = DefaultIdleSentinelSec): Boolean = {
     val loadOk = load1 < 0 || load1 <= LoadFraction * cores
     val sentinelOk = sentinelSec <= SentinelSlack * idleSentinelSec
     loadOk && sentinelOk
   }
+
+  /** Was the box quiet DURING the tier that just finished? Sentinel
+    * only: the 1-min loadavg right after a tier is dominated by the
+    * tier's own 32-thread work (observed: clean runs end at load
+    * 11-13 with a 0.2 s sentinel) and takes minutes to decay, so it
+    * cannot distinguish self-load from a competitor. The sentinel can:
+    * it needs every core NOW, and an external storm inflates it (r6's
+    * poisoned artifact probed 0.661 s against a ~0.27 s idle).
+    * Loadavg is still recorded in the JSON for forensics.
+    */
+  def quietPost(sentinelSec: Double,
+                idleSentinelSec: Double = DefaultIdleSentinelSec): Boolean =
+    sentinelSec <= SentinelSlack * idleSentinelSec
 
   /** Pick the more trustworthy of two tier attempts (`-1.0` marks a failed
     * query). Fewer failures wins outright; with identical failure SETS the

@@ -41,6 +41,13 @@ object GraftSession {
       // misestimated build side can OOM an executor; with AQE runtime
       // sizing that risk is the scheduler's, not the plan's.
       .config("spark.sql.join.preferSortMergeJoin", "false")
+      // 64 MB broadcast ceiling (default 10): AQE's runtime conversion
+      // then turns a join whose built side MEASURES small — e.g. a
+      // filtered dim⨝fact intermediate — into a broadcast join and
+      // deletes the big side's exchange entirely. 64 MB per executor
+      // is modest on any modern cluster; the knob that matters at
+      // 100 TB is that conversion uses runtime sizes, not estimates.
+      .config("spark.sql.autoBroadcastJoinThreshold", "67108864")
       // Testdata `events.ts` is parquet TIMESTAMP(NANOS), which Spark
       // has no native type for — read it as a raw long (ns since epoch)
       // and convert in Tables.events.

@@ -104,14 +104,22 @@ object DataGen {
     val spark = graft.GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def write(name: String, df: DataFrame): Unit = {
-      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    // The replicate cross-join inherits the source tier's (often
+    // single-split) partitioning: without an explicit spread the whole
+    // scaled table lands in ONE part file with ONE row group, which
+    // caps every downstream scan — Spark's and the oracle engine's —
+    // at one task per file. Real data at this scale arrives as many
+    // files; the generator must too.
+    def write(name: String, df: DataFrame, parts: Int =
+        spark.sparkContext.defaultParallelism): Unit = {
+      df.repartition(parts).write.mode("overwrite")
+        .parquet(s"$outDir/$name.parquet")
       println(s"[datagen] $name done")
     }
     def src(name: String) = spark.read.parquet(s"$srcDir/$name.parquet")
 
-    // fixed-size dims: copy
-    Seq("region", "nation").foreach(t => write(t, src(t)))
+    // fixed-size dims: copy (single file — they're a handful of rows)
+    Seq("region", "nation").foreach(t => write(t, src(t), parts = 1))
     // linear tables: replicate with key offsets (spans = sf0.1 key ranges)
     write("customer", replicate(src("customer"), factor, Map("c_custkey" -> 15000L)))
     write("supplier", replicate(src("supplier"), factor, Map("s_suppkey" -> 1000L)))

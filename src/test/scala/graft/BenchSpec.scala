@@ -33,6 +33,15 @@ class BenchSpec extends AnyFunSuite {
     assert(!BenchGuard.quiet(-1.0, 32, 0.70, 0.28))
   }
 
+  test("post-tier gate ignores self-load but still catches a storm") {
+    // a clean 32-thread tier ends at loadavg 11-13 by its own doing;
+    // the sentinel (0.22-0.39 s, r7 clean run) proves cores are free
+    assert(BenchGuard.quietPost(0.22, 0.28))
+    assert(BenchGuard.quietPost(0.391, 0.28))
+    // r6's external storm: sentinel 0.661 s trips regardless of loadavg
+    assert(!BenchGuard.quietPost(0.661, 0.28))
+  }
+
   test("pickCleaner prefers fewer failures over a smaller total") {
     val clean = Seq("a" -> 5.0, "b" -> 6.0)          // slower but complete
     val crashed = Seq("a" -> 1.0, "b" -> -1.0)       // "faster" by omission
