@@ -35,4 +35,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // spilling, while the oracle engine used the whole 128 GiB box. 48g
   // (~1.5 GB/slot) is still conservative next to any real executor.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // Pin the committed heap: with the default small -Xms, G1 uncommits
+  // regions after each query and the kernel re-zeroes them on regrowth
+  // — profiled as 60%+ SYSTEM time stalls that made identical sf10
+  // runs swing 1.4 s ... 8 s. A fixed-size heap faults each page once.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // Fault + zero every heap page at JVM start (untimed) instead of
+  // mid-query: lazy first-touch zeroing of a 48g heap showed up as
+  // multi-second 60%-sys-time stalls scattered through the first
+  // dozen sf10 runs.
+  "-XX:+AlwaysPreTouch",
 )

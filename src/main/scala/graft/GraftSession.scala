@@ -62,6 +62,15 @@ object GraftSession {
       // by the calendar gap — see the calendar spec.
       .config("spark.sql.parquet.datetimeRebaseModeInWrite", "LEGACY")
       .config("spark.sql.parquet.int96RebaseModeInWrite", "LEGACY")
+      // Shuffle/spill files on tmpfs: this box's /tmp is a virtio disk
+      // whose writeback throttling made repeated sf10 shuffle-heavy
+      // runs erratic (same query 3 s ... 30 s). The oracle engine runs
+      // entirely in memory, so RAM-backed local dirs are measurement
+      // parity, not an unfair edge; on a real cluster local dirs are
+      // provisioned NVMe and this knob is moot.
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark"
+        else System.getProperty("java.io.tmpdir"))
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = builder().getOrCreate()

@@ -45,9 +45,18 @@ object SparkEntry {
     * preserved, so min(doc_id) still keeps the first crawl.
     */
   private def withRecrawls(docs: DataFrame): DataFrame = {
-    val off = docs.agg(pow(lit(10.0),
-      length(max(col("doc_id")).cast("string"))).cast("long").as("__off"))
-    docs.unionByName(docs.filter(pmod(col("doc_id"), lit(10L)) === 3L)
+    // One materialized scan feeds all three consumers (offset agg, base
+    // branch, recrawl branch) — unstaged, the gate paid three document
+    // scans and benched the planting, not the dedup operator. The cache
+    // is per-gate-run (Bench clears the cache manager between runs).
+    // coalesce/greatest guard: an empty corpus yields NULL max (offset
+    // falls back to 1e6) and a negative max would count its '-' sign as
+    // a digit (clamped to 0 → offset 10, still above every id).
+    val cached = docs.cache()
+    val off = cached.agg(coalesce(pow(lit(10.0),
+      length(greatest(coalesce(max(col("doc_id")), lit(0L)), lit(0L))
+        .cast("string"))).cast("long"), lit(1000000L)).as("__off"))
+    cached.unionByName(cached.filter(pmod(col("doc_id"), lit(10L)) === 3L)
       .crossJoin(broadcast(off))
       .withColumn("doc_id", col("doc_id") + col("__off"))
       .drop("__off"))
@@ -152,12 +161,30 @@ object SparkEntry {
       val c = Tables.customer(s, d).filter(upper(trim(col("c_mktsegment"))) === "BUILDING")
       val o = Tables.orders(s, d).filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp_ntz"))
       val l = Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp_ntz"))
-      broadcast(c).join(o, col("c_custkey") === col("o_custkey"))
-        .join(l, col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+      // BUILDING ⨝ date-filtered orders collapses to ~10% of orders —
+      // broadcast that joined side explicitly so lineitem (the 100×
+      // table) is probed inline in its scan stage and NEVER shuffles.
+      // Without the hint AQE still picks a broadcast join at the bench
+      // SFs, but only after the lineitem exchange has materialized —
+      // the runtime conversion happens at a stage boundary, so the
+      // fact shuffle is paid and then thrown away. At a corpus where
+      // c⨝o outgrows executor memory the hint must go (AQE then keeps
+      // the orderkey-shuffled hash join, the correct fallback plan).
+      // Group on the RAW 8-byte timestamp, not a formatted string
+      // (the r7 plan's per-row date_format string grouping key was
+      // the other sf10 cost); o_orderdate is functionally dependent
+      // on l_orderkey so the groups are identical, and the string
+      // render runs on 10 rows after the TakeOrdered.
+      val co = broadcast(c).join(o, col("c_custkey") === col("o_custkey"))
+        .select("o_orderkey", "o_orderdate")
+      l.join(broadcast(co), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
         .limit(10)
+        .select(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("revenue"))
     }),
 
     "q5_local_supplier" -> ((s, d) => {
@@ -623,9 +650,11 @@ object SparkEntry {
       // the generator's planted exact copies first), so a 4% slice is
       // re-crawled under shifted ids with ONE appended token: exact
       // dedup must not catch those, the cluster stage must.
-      val docs = Tables.documents(s, d)
-      val off = docs.agg(pow(lit(10.0),
-        length(max(col("doc_id")).cast("string"))).cast("long").as("__off"))
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+        .cache() // one scan for offset + base + near-recrawl branch
+      val off = docs.agg(coalesce(pow(lit(10.0),
+        length(greatest(coalesce(max(col("doc_id")), lit(0L)), lit(0L))
+          .cast("string"))).cast("long"), lit(1000000L)).as("__off"))
       val aug = docs.unionByName(docs.filter(pmod(col("doc_id"), lit(25L)) === 4L)
         .crossJoin(broadcast(off))
         .withColumn("doc_id", col("doc_id") + col("__off"))
@@ -875,8 +904,10 @@ object SparkEntry {
       // withRecrawls).
       val base = Tables.orders(s, d)
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
-      val off = base.agg(pow(lit(10.0),
-        length(max(col("o_orderkey")).cast("string"))).cast("long").as("__off"))
+        .cache() // one scan for offset + base + both v2 branches
+      val off = base.agg(coalesce(pow(lit(10.0),
+        length(greatest(coalesce(max(col("o_orderkey")), lit(0L)), lit(0L))
+          .cast("string"))).cast("long"), lit(1000000L)).as("__off"))
       val v2 = base.filter(pmod(col("o_orderkey"), lit(101)) =!= 0)
         .withColumn("o_totalprice",
           when(pmod(col("o_orderkey"), lit(97)) === 0, col("o_totalprice") * 2)
@@ -1018,12 +1049,15 @@ object SparkEntry {
       // generator plants 1/625), so the gate re-crawls a deterministic
       // 10% of docs under new ids — exact-dup groups of size >= 2 now
       // exist at every SF and the oracle mirrors the same augmentation
-      Deduplicator.exactGroups(withRecrawls(Tables.documents(s, d)),
+      Deduplicator.exactGroups(
+        withRecrawls(Tables.documents(s, d).select("doc_id", "text")),
         "doc_id", "text", c => md5(c.cast("binary")))),
 
     "q_dedup_drop" -> ((s, d) =>
       // surviving ids after exact-dup removal (left_semi against keepers)
-      Deduplicator.exact(withRecrawls(Tables.documents(s, d)), "doc_id", "text")
+      Deduplicator.exact(
+        withRecrawls(Tables.documents(s, d).select("doc_id", "text", "lang", "n_chars")),
+        "doc_id", "text")
         .select("doc_id", "lang", "n_chars")),
 
     "q_vocab" -> ((s, d) =>
@@ -1955,7 +1989,7 @@ object SparkEntry {
     // cluster-min ids survive
     "q_corpus_prep_clustered" ->
       """WITH RECURSIVE off AS (
-           SELECT CAST(power(10, length(CAST(max(doc_id) AS VARCHAR))) AS BIGINT) AS v
+           SELECT CAST(coalesce(power(10, length(CAST(greatest(coalesce(max(doc_id), 0), 0) AS VARCHAR))), 1000000) AS BIGINT) AS v
            FROM documents
          ), aug AS (
            SELECT doc_id, text FROM documents
@@ -2048,7 +2082,7 @@ object SparkEntry {
 
     "q_dedup_exact" ->
       """WITH off AS (
-           SELECT CAST(power(10, length(CAST(max(doc_id) AS VARCHAR))) AS BIGINT) AS v
+           SELECT CAST(coalesce(power(10, length(CAST(greatest(coalesce(max(doc_id), 0), 0) AS VARCHAR))), 1000000) AS BIGINT) AS v
            FROM documents
          ), aug AS (
            SELECT doc_id, text FROM documents
@@ -2067,7 +2101,7 @@ object SparkEntry {
 
     "q_dedup_drop" ->
       """WITH off AS (
-           SELECT CAST(power(10, length(CAST(max(doc_id) AS VARCHAR))) AS BIGINT) AS v
+           SELECT CAST(coalesce(power(10, length(CAST(greatest(coalesce(max(doc_id), 0), 0) AS VARCHAR))), 1000000) AS BIGINT) AS v
            FROM documents
          ), aug AS (
            SELECT doc_id, text, lang, n_chars FROM documents
@@ -2286,7 +2320,7 @@ object SparkEntry {
       """WITH base AS (
            SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
          ), off AS (
-           SELECT CAST(power(10, length(CAST(max(o_orderkey) AS VARCHAR))) AS BIGINT) AS v
+           SELECT CAST(coalesce(power(10, length(CAST(greatest(coalesce(max(o_orderkey), 0), 0) AS VARCHAR))), 1000000) AS BIGINT) AS v
            FROM base
          ), v2 AS (
            SELECT o_orderkey, o_custkey,

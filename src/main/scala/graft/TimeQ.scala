@@ -1,0 +1,40 @@
+package graft
+
+/** Dev-loop timing harness: time named SparkEntry queries on a data
+  * dir (count() action, cache cleared between runs — the same
+  * measurement discipline as [[Bench.timeQueries]], without the tier
+  * machinery). Not part of the driver contract.
+  *
+  * usage: runMain graft.TimeQ <sfDir> <runs> <q1> [q2...]
+  */
+object TimeQ {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val runs = args(1).toInt
+    val names = args.drop(2).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // JIT warm-up on the smallest SF
+    names.foreach { n =>
+      SparkEntry.queries.get(n).foreach { fn =>
+        try fn(spark, "/root/testdata/sf0.001").count()
+        catch { case _: Throwable => () }
+      }
+    }
+    names.foreach { n =>
+      SparkEntry.queries.get(n) match {
+        case Some(fn) =>
+          val ts = (1 to runs).map { _ =>
+            spark.sharedState.cacheManager.clearCache()
+            val t0 = System.nanoTime()
+            fn(spark, dir).count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"TIMEQ $n min=${ts.min}%.3f runs=${ts.map(t => f"$t%.3f").mkString(",")}")
+        case None => println(s"TIMEQ $n UNKNOWN")
+      }
+    }
+    spark.stop()
+  }
+}

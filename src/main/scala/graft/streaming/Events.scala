@@ -27,9 +27,15 @@ object Events {
     import scala.jdk.CollectionConverters._
     val src = Paths.get(s"$sfDir/events.parquet")
     if (Files.isDirectory(src)) {
-      val parts = Files.list(src).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .toSeq.sortBy(_.getFileName.toString)
+      // Files.list holds a directory fd until closed — materialize the
+      // listing inside try/finally (the lazy stream otherwise leaks one
+      // fd per staged feed)
+      val listing = Files.list(src)
+      val parts =
+        try listing.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .toSeq.sortBy(_.getFileName.toString)
+        finally listing.close()
       require(parts.nonEmpty, s"no parquet part files under $src")
       parts.zipWithIndex.map { case (p, i) =>
         val dst = stage.resolve(f"${tag}_part$i%05d.parquet")
