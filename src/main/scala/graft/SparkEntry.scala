@@ -62,6 +62,53 @@ object SparkEntry {
       .drop("__off"))
   }
 
+  /** Near-recrawl augmentation for the near-dup gates. Two plantings
+    * over shifted id namespaces (off = smallest power of 10 above
+    * max(doc_id), as in [[withRecrawls]]):
+    *
+    *  - %25==4 docs re-crawl once at id+off with ONE appended token —
+    *    classic near-dup PAIRS (J = s/(s+1) ≈ 1);
+    *  - %50==11 docs plant a 3-node CHAIN at id+2off/+3off/+4off:
+    *    B1 = T+pad1, B2 = T+pad2, C = T+pad1+pad2 with |pad| ≈
+    *    1.2×tokens(T), giving J(B1,C)=J(B2,C)≈0.65 ≥ 0.5 but
+    *    J(B1,B2)≈0.29 < 0.5 (and J(T,B1)≈0.45 — the original stays a
+    *    singleton). Pairwise drop-id_b keeps BOTH B1 and B2; the
+    *    cluster-canonical policy keeps only B1 — the shape that makes
+    *    cluster ≠ pairwise observable in the gate corpus itself.
+    *
+    * Pad tokens are letters-only ("zz<id>x<i>" with digits mapped
+    * a-j) so the quality gate's alpha ratio is unaffected, and unique
+    * per (doc, i) so they never collide across plantings.
+    */
+  private def withNearRecrawls(docs: DataFrame): DataFrame = {
+    val cached = docs.cache()
+    val off = cached.agg(coalesce(pow(lit(10.0),
+      length(greatest(coalesce(max(col("doc_id")), lit(0L)), lit(0L))
+        .cast("string"))).cast("long"), lit(1000000L)).as("__off"))
+    def letters(c: Column): Column =
+      translate(c.cast("string"), "0123456789", "abcdefghij")
+    val g = ceil(lit(1.2) * size(split(trim(lower(col("text"))), "\\s+")))
+      .cast("long")
+    def pad(lo: Column, hi: Column): Column =
+      array_join(transform(sequence(lo, hi),
+        i => concat(lit("zz"), letters(col("doc_id")), lit("x"), letters(i))), " ")
+    def chainBranch(mult: Int, textCol: Column): DataFrame =
+      cached.filter(pmod(col("doc_id"), lit(50L)) === 11L)
+        .withColumn("text", textCol)
+        .crossJoin(broadcast(off))
+        .withColumn("doc_id", col("doc_id") + lit(mult.toLong) * col("__off"))
+        .drop("__off")
+    cached
+      .unionByName(cached.filter(pmod(col("doc_id"), lit(25L)) === 4L)
+        .crossJoin(broadcast(off))
+        .withColumn("doc_id", col("doc_id") + col("__off"))
+        .drop("__off")
+        .withColumn("text", concat(col("text"), lit(" nearly"))))
+      .unionByName(chainBranch(2, concat(col("text"), lit(" "), pad(lit(1L), g))))
+      .unionByName(chainBranch(3, concat(col("text"), lit(" "), pad(g + 1, g * 2))))
+      .unionByName(chainBranch(4, concat(col("text"), lit(" "), pad(lit(1L), g * 2))))
+  }
+
   private def pround(c: Column, dp: Int): Column = {
     val f = math.pow(10, dp)
     floor(c * lit(f) + lit(0.5)) / lit(f)
@@ -645,25 +692,38 @@ object SparkEntry {
         stopwords, langMarkers)),
 
     "q_corpus_prep_clustered" -> ((s, d) => {
-      // cluster-canonical near-dup removal, fully oracle-checked. The
-      // gate corpus has no natural NEAR-dups (exact dedup would catch
-      // the generator's planted exact copies first), so a 4% slice is
-      // re-crawled under shifted ids with ONE appended token: exact
-      // dedup must not catch those, the cluster stage must.
-      val docs = Tables.documents(s, d).select("doc_id", "text")
-        .cache() // one scan for offset + base + near-recrawl branch
-      val off = docs.agg(coalesce(pow(lit(10.0),
-        length(greatest(coalesce(max(col("doc_id")), lit(0L)), lit(0L))
-          .cast("string"))).cast("long"), lit(1000000L)).as("__off"))
-      val aug = docs.unionByName(docs.filter(pmod(col("doc_id"), lit(25L)) === 4L)
-        .crossJoin(broadcast(off))
-        .withColumn("doc_id", col("doc_id") + col("__off"))
-        .drop("__off")
-        .withColumn("text", concat(col("text"), lit(" nearly"))))
-      graft.pipeline.CorpusPrep.prepClustered(aug, "doc_id", "text",
+      // cluster-canonical near-dup removal, fully oracle-checked over
+      // the near-recrawl-augmented corpus (see withNearRecrawls: pair
+      // plantings at %25==4 plus 3-node chain plantings at %50==11
+      // where the cluster policy is STRICTLY stronger than pairwise).
+      val aug = withNearRecrawls(Tables.documents(s, d).select("doc_id", "text"))
+      val res = graft.pipeline.CorpusPrep.prepClustered(aug, "doc_id", "text",
         stopwords, langMarkers, minQuality = 0.3, allowedLangs = Seq("en"),
         minTokens = 10, jaccardThreshold = 0.5, shingleK = 3, maxDf = 20)
+      // Degeneracy tripwire: if the chain planting regressed (pads too
+      // short/long, slice empty, gates dropping the chain docs), the
+      // cluster policy would collapse to pairwise drop-id_b and this
+      // gate would verify nothing beyond q_corpus_prep — fail red
+      // instead of going vacuously green. Cheap at gate scale.
+      val prepped = graft.pipeline.CorpusPrep.prep(aug, "doc_id", "text",
+        stopwords, langMarkers, minQuality = 0.3, allowedLangs = Seq("en"),
+        minTokens = 10)
+      val surv = aug.join(prepped.select("doc_id"), Seq("doc_id"), "left_semi")
+      val pairs = graft.dedup.NgramJaccard.pairs(surv, "doc_id", "text", 3, 0.5, 20)
+      val pairwiseKept = prepped.join(
+        pairs.select(col("id_b").as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      require(res.count() < pairwiseKept.count(),
+        "degenerate corpus: cluster-canonical == pairwise (chain planting regressed)")
+      res
     }),
+
+    "q_corpus_prep_full_clustered" -> ((s, d) =>
+      // the 100 TB recipe: LSH candidate pairs -> connected components
+      // -> cluster-min keep. Rows-only (banding isn't SQL-expressible);
+      // GroundTruthSpec pins the policy to brute-force cluster minima.
+      graft.pipeline.CorpusPrep.prepFullClustered(
+        withNearRecrawls(Tables.documents(s, d).select("doc_id", "text")),
+        "doc_id", "text", stopwords, langMarkers)),
 
     "q_sample_per_key" -> ((s, d) =>
       // 3 lowest-id docs per language: per-key top-n via WindowGroupLimit
@@ -1991,11 +2051,31 @@ object SparkEntry {
       """WITH RECURSIVE off AS (
            SELECT CAST(coalesce(power(10, length(CAST(greatest(coalesce(max(doc_id), 0), 0) AS VARCHAR))), 1000000) AS BIGINT) AS v
            FROM documents
+         ), gsrc AS (
+           SELECT doc_id, text,
+             CAST(ceil(1.2 * len(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT) AS g,
+             translate(CAST(doc_id AS VARCHAR), '0123456789', 'abcdefghij') AS lid
+           FROM documents WHERE doc_id % 50 = 11
          ), aug AS (
            SELECT doc_id, text FROM documents
            UNION ALL
            SELECT doc_id + (SELECT v FROM off), text || ' nearly' FROM documents
            WHERE doc_id % 25 = 4
+           UNION ALL
+           SELECT doc_id + 2 * (SELECT v FROM off),
+             text || ' ' || array_to_string(list_transform(range(1, g + 1),
+               i -> 'zz' || lid || 'x' || translate(CAST(i AS VARCHAR), '0123456789', 'abcdefghij')), ' ')
+           FROM gsrc
+           UNION ALL
+           SELECT doc_id + 3 * (SELECT v FROM off),
+             text || ' ' || array_to_string(list_transform(range(g + 1, 2 * g + 1),
+               i -> 'zz' || lid || 'x' || translate(CAST(i AS VARCHAR), '0123456789', 'abcdefghij')), ' ')
+           FROM gsrc
+           UNION ALL
+           SELECT doc_id + 4 * (SELECT v FROM off),
+             text || ' ' || array_to_string(list_transform(range(1, 2 * g + 1),
+               i -> 'zz' || lid || 'x' || translate(CAST(i AS VARCHAR), '0123456789', 'abcdefghij')), ' ')
+           FROM gsrc
          ), c AS (
            SELECT doc_id,
              trim(regexp_replace(regexp_replace(

@@ -151,6 +151,36 @@ object CorpusPrep {
     * n-gram Jaccard (SQL-expressible), so unlike the LSH variant the
     * WHOLE pipeline is oracle-checked, recursive closure included.
     */
+  /** The 100 TB near-dup recipe: [[prepFull]]'s LSH candidate
+    * generation composed with [[prepClustered]]'s cluster-canonical
+    * keep policy. MinHash-LSH proposes candidate pairs (band-bucket
+    * shuffle only — never all-pairs), exact Jaccard over shingle-hash
+    * sets verifies them, the verified pairs close into connected
+    * components (alternating-star, O(log² n) rounds), and only each
+    * cluster's minimum id survives. Rows-only in the gate (LSH isn't
+    * SQL-expressible); GroundTruthSpec pins it to the brute-force
+    * cluster minima at the same threshold.
+    */
+  def prepFullClustered(docs: DataFrame, idCol: String, textCol: String,
+                        stopwords: Seq[String], langMarkers: Seq[(String, Seq[String])],
+                        minQuality: Double = 0.3, allowedLangs: Seq[String] = Seq("en"),
+                        minTokens: Int = 10, jaccardThreshold: Double = 0.8,
+                        numHashes: Int = 64, numBands: Int = 16): DataFrame = {
+    val kept = prep(docs, idCol, textCol, stopwords, langMarkers,
+      minQuality, allowedLangs, minTokens)
+    val survivors = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+    val sigs = MinHashLSH.signatures(survivors, "doc_id", "text",
+      numHashes = numHashes)
+    val pairs = MinHashLSH.candidatePairs(
+      MinHashLSH.bands(sigs, numBands, numHashes / numBands))
+    val verified = MinHashLSH.verifiedPairs(sigs, pairs, jaccardThreshold)
+    val comp = graft.dedup.Components.clusters(survivors, "doc_id", verified,
+      "id_a", "id_b")
+    kept.join(comp.filter(col("doc_id") === col("component")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+  }
+
   def prepClustered(docs: DataFrame, idCol: String, textCol: String,
                     stopwords: Seq[String], langMarkers: Seq[(String, Seq[String])],
                     minQuality: Double = 0.3, allowedLangs: Seq[String] = Seq("en"),

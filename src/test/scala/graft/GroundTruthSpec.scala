@@ -136,4 +136,59 @@ class GroundTruthSpec extends SparkSpec {
     assert(cellScan.exists(_.contains("PartitionFilters: [cluster_id")),
       s"expected partition-pruned cells scan:\n${scans.mkString("\n")}")
   }
+
+  test("prepFullClustered keeps exactly the brute-force cluster minima") {
+    // Corpus with the shape where cluster-canonical differs from
+    // pairwise drop-id_b: B1 = T+pad1, B2 = T+pad2, C = T+pad1+pad2
+    // (s=38 shingles, 5-token pads) gives J(B1,C)≈0.90, J(B2,C)≈0.82
+    // >= 0.8 but J(B1,B2)≈0.76 < 0.8 — so pairs are (1,3),(2,3), the
+    // pairwise policy keeps BOTH 1 and 2, and the cluster policy keeps
+    // only the component minimum 1. Doc 9 is an unrelated singleton.
+    val base = "the cat and the dog walked to a house in town today with " +
+      "a friend from the north side of the river near a small market " +
+      "where the old baker sells warm bread every sunny morning to " +
+      "happy children quietly"
+    val corpus = Seq(
+      (1L, base + " alpha beta gamma delta omega"),
+      (2L, base + " epsilon zeta eta theta iota"),
+      (3L, base + " alpha beta gamma delta omega epsilon zeta eta theta iota"),
+      (9L, "a completely different story of the sea and the old ship " +
+        "sails far away from home tonight under bright quiet stars"))
+      .toDF("doc_id", "text")
+    val sw = Seq("the", "a", "of", "and", "to", "in")
+    val lm = Seq("en" -> Seq("the", "a"))
+
+    // brute force: ALL pairs with exact Jaccard >= 0.8 over the same
+    // shingle sets, closed by union-find, each component's min kept
+    val sigs = MinHashLSH.signatures(corpus, "doc_id", "text").cache()
+    val truePairs = sigs.as("a").crossJoin(sigs.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .withColumn("j",
+        size(array_intersect(col("a.sh_hashes"), col("b.sh_hashes"))).cast("double") /
+        size(array_union(col("a.sh_hashes"), col("b.sh_hashes"))).cast("double"))
+      .filter(col("j") >= 0.8)
+      .select(col("a.doc_id"), col("b.doc_id")).as[(Long, Long)].collect()
+    assert(truePairs.toSet == Set((1L, 3L), (2L, 3L)),
+      s"planted geometry drifted: ${truePairs.toSeq}")
+    val parent = scala.collection.mutable.Map[Long, Long]().withDefault(identity)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    truePairs.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v)); if (ru != rv) parent(ru max rv) = ru min rv
+    }
+    val ids = corpus.select("doc_id").as[Long].collect()
+    val expected = ids.groupBy(find).map(_._2.min).toSet
+
+    val kept = graft.pipeline.CorpusPrep.prepFullClustered(corpus, "doc_id",
+        "text", sw, lm, minQuality = 0.0, allowedLangs = Seq("en"),
+        minTokens = 5, jaccardThreshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == expected, s"kept=$kept expected=$expected")
+    assert(kept == Set(1L, 9L))
+    // and the pairwise policy really is weaker on this corpus
+    val pairwise = graft.pipeline.CorpusPrep.prepFull(corpus, "doc_id",
+        "text", sw, lm, minQuality = 0.0, allowedLangs = Seq("en"),
+        minTokens = 5, jaccardThreshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(pairwise == Set(1L, 2L, 9L))
+  }
 }
