@@ -2772,7 +2772,10 @@ object SparkEntry {
     // a-priori oracle: syntheticMedia payloads are 128 hash-derived
     // bytes; video rows are ids ≡ 2 (mod 3); stub decode leaves
     // width/height/duration null; 4 sampled frames of 16 bytes each;
-    // meta codec 'fake' / duration 1000 pass through untouched
+    // meta codec (id%2 of two fakes) and duration (1000+750·(id%4))
+    // pass through untouched — the id-varied values make the hash
+    // compare a degeneracy tripwire: constant-metadata regressions
+    // (e.g. a passthrough that drops to a default) go red here
     "q_multimodal_video" ->
       """SELECT CAST(media_id AS BIGINT) AS media_id, media_type,
            CAST(n_bytes AS BIGINT) AS n_bytes,
@@ -2783,10 +2786,10 @@ object SparkEntry {
            CAST(max_frame_bytes AS BIGINT) AS max_frame_bytes,
            CAST(feat_ok AS BOOLEAN) AS feat_ok
          FROM (VALUES
-           (2, 'video', 128, NULL, NULL, NULL, 'fake', 1000, 4, 16, TRUE),
-           (5, 'video', 128, NULL, NULL, NULL, 'fake', 1000, 4, 16, TRUE),
-           (8, 'video', 128, NULL, NULL, NULL, 'fake', 1000, 4, 16, TRUE),
-           (11, 'video', 128, NULL, NULL, NULL, 'fake', 1000, 4, 16, TRUE)
+           (2, 'video', 128, NULL, NULL, NULL, 'fakeh264', 2500, 4, 16, TRUE),
+           (5, 'video', 128, NULL, NULL, NULL, 'fakeav1', 1750, 4, 16, TRUE),
+           (8, 'video', 128, NULL, NULL, NULL, 'fakeh264', 1000, 4, 16, TRUE),
+           (11, 'video', 128, NULL, NULL, NULL, 'fakeav1', 3250, 4, 16, TRUE)
          ) AS t(media_id, media_type, n_bytes, width, height, duration_ms,
                 codec, meta_duration_ms, n_frames, max_frame_bytes, feat_ok)""",
 

@@ -57,8 +57,13 @@ object BinaryColumns {
         (pmod(col("id"), lit(3)) + 1).cast("int")).as("media_type"),
       // payload: hash-derived bytes; unhex gives a binary column
       unhex(substring(repeat(md5(col("id").cast("string")), 8), 1, 256)).as("payload"),
+      // metadata varies by id so gates over a handful of rows still
+      // exercise >=2 distinct codecs and durations (an all-identical
+      // metadata column would let a passthrough regression hide)
       struct(lit(64).as("width"), lit(64).as("height"),
-        lit(1000L).as("duration_ms"), lit("fake").as("codec")).as("meta"))
+        (lit(1000L) + pmod(col("id"), lit(4)) * lit(750L)).as("duration_ms"),
+        element_at(array(lit("fakeh264"), lit("fakeav1")),
+          (pmod(col("id"), lit(2)) + 1).cast("int")).as("codec")).as("meta"))
 
   /** STUB for audio/video — replace with the real decoder (ffmpeg
     * bindings etc.) on a cluster with codec libs. The fake derives a
