@@ -23,7 +23,7 @@ object Bench {
   private val headliners = Seq(
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q_window_dedup", "q_v4_ml_dataset", "q_dedup_exact",
-    "q_dedup_minhash", "q_ann_bruteforce", "q_token_count",
+    "q_ann_bruteforce", "q_token_count",
     "q_quality_score", "q_event_windows", "q_sessionize",
     "q_medallion_silver", "q_corpus_prep", "q_asof_join", "q_range_join",
     "q_window_analytics", "q_dedup_clusters",
@@ -31,11 +31,11 @@ object Bench {
     // passage-grid dedup, rolling range-frame windows
     "q_tfidf", "q_unigram_logprob", "q_passage_dedup", "q_rolling_agg")
 
-  // sf10 settles the queries that sit near the ~0.2 s/job scheduling floor
-  // at sf1 (their sf1 ratios measure the scheduler, not the plan)
-  private val sf10Queries = Seq(
-    "q3_shipping_priority", "q_window_dedup", "q_range_join",
-    "q_dedup_exact", "q_dedup_clusters")
+  // Timed every tier but EXCLUDED from the headline totals: these have
+  // no DuckDB oracle (not SQL-expressible), so including them would make
+  // every Spark-vs-baseline total need a "comparable subset" footnote
+  // (r7 verdict item 8). Reported under "extras" in each tier block.
+  private val extras = Seq("q_dedup_minhash")
 
   private def loadavg1(): Double =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
@@ -95,13 +95,18 @@ object Bench {
 
   private case class Tier(results: Seq[(String, Double)], clean: Boolean,
                           retried: Boolean, pre: Probe, post: Probe) {
+    // headline entries feed "total"/"queries" (baseline-comparable);
+    // `extras` entries are split out so the total never needs a
+    // comparable-subset footnote
+    def headline: Seq[(String, Double)] = results.filterNot(r => extras.contains(r._1))
+    def extraResults: Seq[(String, Double)] = results.filter(r => extras.contains(r._1))
     def json: String = {
       val failed = results.collect { case (k, v) if v < 0 => k }
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-        .mkString("{", ",", "}")
+      def obj(rs: Seq[(String, Double)]) =
+        rs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
       val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-      val total = results.filter(_._2 >= 0).map(_._2).sum
-      f""""total":$total%.3f,"clean":$clean,"retried":$retried,"pre":${pre.json},"post":${post.json},"queries":$qs,"failed":$failedJson"""
+      val total = headline.filter(_._2 >= 0).map(_._2).sum
+      f""""total":$total%.3f,"clean":$clean,"retried":$retried,"pre":${pre.json},"post":${post.json},"queries":${obj(headline)},"extras":${obj(extraResults)},"failed":$failedJson"""
     }
   }
 
@@ -150,7 +155,7 @@ object Bench {
     // long-running 100 TB job; a cold JVM's first-compile cost does not.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
-      headliners.foreach { name =>
+      (headliners ++ extras).foreach { name =>
         SparkEntry.queries.get(name).foreach { fn =>
           try fn(spark, warmDir).count() catch { case _: Throwable => () }
         }
@@ -160,7 +165,7 @@ object Bench {
     // ---- sf0.1 tier: median of 3 (discards one contended run AND one
     // anomalously fast one) --------------------------------------------------
     val t0 = runTier(spark, cpus, idleSec) { () =>
-      timeQueries(spark, sfDir, headliners, runs = 3, median)
+      timeQueries(spark, sfDir, headliners ++ extras, runs = 3, median)
     }
 
     // ---- optional sf1 tier -------------------------------------------------
@@ -173,24 +178,29 @@ object Bench {
     val sf1Tier =
       if (new java.io.File(s"$sf1Dir/lineitem.parquet").exists && sf1Dir != sfDir)
         Some(runTier(spark, cpus, idleSec) { () =>
-          timeQueries(spark, sf1Dir, headliners, runs = 2, _.min)
+          timeQueries(spark, sf1Dir, headliners ++ extras, runs = 2, _.min)
         })
       else None
     val sf1Json = sf1Tier.map(t => s""","sf1":{"dir":"$sf1Dir","runs":2,${t.json}}""").getOrElse("")
 
-    // ---- optional sf10 tier (borderline queries only) ----------------------
+    // ---- optional sf10 tier: the FULL headliner set (r7 verdict item 2 —
+    // the 5-query tier settled its borderliners decisively, so every
+    // headliner now gets the seconds-deep trial instead of a "floor"
+    // presumption) -----------------------------------------------------------
     val sf10Dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "testdata/sf10")
     val sf10Tier =
       if (new java.io.File(s"$sf10Dir/lineitem.parquet").exists && sf10Dir != sfDir)
         Some(runTier(spark, cpus, idleSec) { () =>
-          timeQueries(spark, sf10Dir, sf10Queries, runs = 2, _.min)
+          timeQueries(spark, sf10Dir, headliners ++ extras, runs = 2, _.min)
         })
       else None
     val sf10Json = sf10Tier.map(t => s""","sf10":{"dir":"$sf10Dir","runs":2,${t.json}}""").getOrElse("")
 
     val allClean = (Seq(t0) ++ sf1Tier ++ sf10Tier).forall(_.clean)
-    val total = t0.results.filter(_._2 >= 0).map(_._2).sum
-    val qs = t0.results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // top-level total/queries are headline-only (baseline-comparable);
+    // the per-tier blocks carry the "extras" timings
+    val total = t0.headline.filter(_._2 >= 0).map(_._2).sum
+    val qs = t0.headline.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val failedJson = t0.results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")

@@ -222,6 +222,18 @@ object SparkEntry {
       // the other sf10 cost); o_orderdate is functionally dependent
       // on l_orderkey so the groups are identical, and the string
       // render runs on 10 rows after the TakeOrdered.
+      //
+      // Measured floor (sf10, r8): ~1.27 s, decomposed as four
+      // SEQUENTIAL stages — c scan→broadcast ~0.12, o probe→collect
+      // co (1.45M keys) to driver→rebroadcast ~0.35, l scan+probe+
+      // partial agg ~0.5, final agg+TakeOrdered over 1.28M groups
+      // ~0.25. A/B'd alternatives that did NOT beat it: repartition-
+      // instead-of-partial-agg (tied, 1.26), orderkey-only group key
+      // with the date joined after the top-10 (tied), runtime bloom
+      // filter + shuffled hash join (1.9), bigger codegen fast-map
+      // (no change). The residual vs the single-process oracle
+      // engine is the two broadcast driver round-trips — fixed cost
+      // that amortizes at cluster scale, not plan waste.
       val co = broadcast(c).join(o, col("c_custkey") === col("o_custkey"))
         .select("o_orderkey", "o_orderdate")
       l.join(broadcast(co), col("o_orderkey") === col("l_orderkey"))
@@ -243,16 +255,35 @@ object SparkEntry {
         .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
                 col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
       val l = Tables.lineitem(s, d)
-      // dims broadcast; the single big fact-fact join (orders x lineitem)
-      // shuffles on orderkey only.
-      o.join(l, col("o_orderkey") === col("l_orderkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-        .join(c, col("o_custkey") === col("c_custkey") &&
-                 col("c_nationkey") === col("s_nationkey"))
+      // r8 rework: the old shape shuffled the fact twice (o⨝l on
+      // orderkey, then the joined fact on custkey against the
+      // non-broadcast customer) — 5.9 s at sf10. Instead reduce the
+      // dimension side FIRST: region⨝nation (5 rows) semi-reduces
+      // customer to the ASIA ~20%, that broadcast reduces the
+      // date-filtered orders to asian orders (orderkey, nationkey —
+      // 16 bytes/row), and THAT broadcast probes lineitem inline, so
+      // the 100× table never shuffles at all. The group key is the
+      // 25-value nationkey (map-side partial agg collapses each task
+      // to ≤25 rows; the exchange moves a few hundred bytes), and
+      // n_name joins after the agg on ≤25 rows. At a scale where
+      // asian-orders outgrows executor memory, drop the broadcast
+      // hints: AQE falls back to the orderkey-shuffled join, which
+      // is the correct cluster plan.
+      val asianNations = broadcast(n.join(broadcast(r),
+        col("n_regionkey") === col("r_regionkey")))
+      val asianCust = c.join(asianNations, col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "c_nationkey")
+      val asianOrders = broadcast(asianCust)
+        .join(o, col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "c_nationkey")
+      l.join(broadcast(asianOrders), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup.select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+        .groupBy("c_nationkey")
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-        .groupBy("n_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .select(col("n_name"), round(col("rev"), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name").asc)
     }),
 

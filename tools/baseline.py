@@ -14,10 +14,13 @@ import json, sys, os, time
 
 import duckdb
 
+# q_dedup_minhash is intentionally absent: it has no DuckDB oracle (not
+# SQL-expressible), so Bench reports it under "extras" outside the
+# baseline-comparable totals (r7 verdict item 8).
 HEADLINERS = [
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q_window_dedup", "q_v4_ml_dataset", "q_dedup_exact",
-    "q_dedup_minhash", "q_ann_bruteforce", "q_token_count",
+    "q_ann_bruteforce", "q_token_count",
     "q_quality_score", "q_event_windows", "q_sessionize",
     "q_medallion_silver", "q_corpus_prep", "q_asof_join", "q_range_join",
     "q_window_analytics", "q_dedup_clusters",
