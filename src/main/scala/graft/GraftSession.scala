@@ -52,16 +52,14 @@ object GraftSession {
       // has no native type for — read it as a raw long (ns since epoch)
       // and convert in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // Hybrid-calendar (Julian/Gregorian) rebase on write, as the
-      // reference pipeline sets (src/silver/job-silver-rues.py:44-45,
-      // src/gold/job-gold-rues.py:38-39): pre-1582 dates land in
-      // parquet as legacy-reader-compatible values (a write marker
-      // lets Spark readers rebase back losslessly). Identity for
-      // post-1582 data, so every cross-engine gate is unaffected;
-      // proleptic-only readers (DuckDB, Arrow) shift pre-1582 values
-      // by the calendar gap — see the calendar spec.
-      .config("spark.sql.parquet.datetimeRebaseModeInWrite", "LEGACY")
-      .config("spark.sql.parquet.int96RebaseModeInWrite", "LEGACY")
+      // Hybrid-calendar rebase-on-write is deliberately NOT set here:
+      // the reference scopes those confs to its silver/gold jobs, so
+      // graft scopes them to the medallion write path too
+      // (Writers.withLegacyRebase). Session-wide the Spark 4 default
+      // (CORRECTED = proleptic) stays in force — which is exactly what
+      // the proleptic-only DuckDB/Arrow oracle readers expect, so a
+      // pre-1582 value in any other gate compares correctly instead of
+      // silently shifting by the calendar gap (r7 ADVICE).
       // Shuffle/spill files on tmpfs: this box's /tmp is a virtio disk
       // whose writeback throttling made repeated sf10 shuffle-heavy
       // runs erratic (same query 3 s ... 30 s). The oracle engine runs

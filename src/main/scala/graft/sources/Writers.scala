@@ -19,6 +19,29 @@ import org.apache.spark.sql.functions._
   */
 object Writers {
 
+  /** Run `body` with hybrid-calendar (Julian/Gregorian) rebase-on-write
+    * in effect, restoring the previous conf values afterwards. The
+    * reference sets these confs ONLY inside its silver/gold jobs
+    * (src/silver/job-silver-rues.py:44-45, src/gold/job-gold-rues.py:
+    * 38-39), so graft scopes them to the medallion write path the same
+    * way instead of session-globally (r7 ADVICE): everywhere else the
+    * Spark 4 default (CORRECTED = proleptic) stays active, which is
+    * what the proleptic-only oracle readers (DuckDB, Arrow) expect —
+    * a pre-1582 value written by some future gate compares correctly
+    * instead of silently shifting by the calendar gap.
+    */
+  def withLegacyRebase[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val keys = Seq("spark.sql.parquet.datetimeRebaseModeInWrite",
+      "spark.sql.parquet.int96RebaseModeInWrite")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(spark.conf.set(_, "LEGACY"))
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   def parquetPartitioned(
       df: DataFrame,
       path: String,
@@ -32,8 +55,10 @@ object Writers {
       .mode(mode)
       .option("compression", "snappy")
       .option("maxRecordsPerFile", maxRecordsPerFile.toString)
-    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
-      .parquet(path)
+    withLegacyRebase(df.sparkSession) {
+      (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+        .parquet(path)
+    }
   }
 
   /** Derive a year partition column from a timestamp/date column and

@@ -147,7 +147,10 @@ class PlanSpec extends SparkSpec {
       //  query                  maxShuffles maxLeaves bnljOk
       ("q1_pricing_summary",     1, 1, false),
       ("q3_shipping_priority",   1, 3, false),
-      ("q5_local_supplier",      2, 6, false),
+      // r8 rework: 7 leaves — nation is scanned twice (once in the
+      // region semi-reduction, once as the 25-row post-agg name
+      // join); the win is that lineitem no longer shuffles at all
+      ("q5_local_supplier",      2, 7, false),
       ("q_window_dedup",         1, 1, false),
       ("q_v4_ml_dataset",        1, 2, false),
       // r7: +1 shuffle/leaf and a 1-row BNLJ from the corpus-derived
