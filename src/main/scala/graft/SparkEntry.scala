@@ -1135,6 +1135,39 @@ object SparkEntry {
         .groupBy("split").agg(count(lit(1)).as("n"),
           pround(avg("n_chars"), 2).as("avg_chars"))),
 
+    "q_shuffle_corpus" -> ((s, d) =>
+      // deterministic training-order shuffle: portable md5 key →
+      // shard (leading 32 bits) + per-shard window position; no
+      // corpus-wide ordering anywhere (spec plan-asserts the window
+      // is partitioned). The oracle reproduces the exact assignment.
+      operators.CorpusShuffle.shuffle(
+          Tables.documents(s, d).select("doc_id"), "doc_id", nShards = 8)
+        .select(col("doc_id"), col("shard"), col("pos_in_shard"))),
+
+    "q_line_dedup" -> ((s, d) =>
+      // CCNet-style boilerplate line removal. Gate texts are
+      // single-line, so the gate plants a deterministic multi-line
+      // structure (mirrored in the oracle): a doc-specific line, a
+      // rotating 1-in-3 banner, a second doc line, a repeated first
+      // line on every 4th doc (within-doc dup), and a footer on ALL
+      // docs. Non-vacuous by construction at every SF: the footer
+      // (100% df) and banners (33% df) MUST drop, the repeated first
+      // line MUST dedup, and doc-specific lines survive — constant
+      // or passthrough regressions flip the row hash red.
+      operators.LineDedup.clean(
+        Tables.documents(s, d).select(col("doc_id"),
+          concat(
+            substring(col("text"), 1, 80), lit("\n"),
+            element_at(array(lit("subscribe to our newsletter"),
+              lit("all rights reserved"), lit("click here to continue")),
+              (pmod(col("doc_id"), lit(3)) + 1).cast("int")), lit("\n"),
+            substring(col("text"), 81, 80), lit("\n"),
+            when(pmod(col("doc_id"), lit(4)) === 0,
+              concat(substring(col("text"), 1, 80), lit("\n")))
+              .otherwise(lit("")),
+            lit("copyright 2026 example corp")).as("text")),
+        maxDfPct = 5)),
+
     "q_dedup_exact" -> ((s, d) =>
       // the 500-doc gate corpora carry no planted duplicates (the
       // generator plants 1/625), so the gate re-crawls a deterministic
@@ -3468,6 +3501,56 @@ object SparkEntry {
                  i -> CAST(ascii(text[i]) AS BIGINT))),
              (acc, c) -> (acc * 31 + c) % 1000000007) AS rolling_fp
          FROM documents""",
+
+    "q_shuffle_corpus" ->
+      """WITH k AS (
+           SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '#0') AS k
+           FROM documents
+         ), s AS (
+           SELECT doc_id, k,
+             CAST(('0x' || substr(k, 1, 8))::BIGINT % 8 AS INT) AS shard
+           FROM k
+         )
+         SELECT CAST(doc_id AS BIGINT) AS doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+             AS BIGINT) AS pos_in_shard
+         FROM s""",
+
+    "q_line_dedup" ->
+      """WITH aug AS (
+           SELECT doc_id,
+             substr(text, 1, 80) || chr(10) ||
+             CASE CAST(doc_id % 3 AS INT)
+               WHEN 0 THEN 'subscribe to our newsletter'
+               WHEN 1 THEN 'all rights reserved'
+               ELSE 'click here to continue' END || chr(10) ||
+             substr(text, 81, 80) || chr(10) ||
+             CASE WHEN doc_id % 4 = 0 THEN substr(text, 1, 80) || chr(10)
+               ELSE '' END ||
+             'copyright 2026 example corp' AS text
+           FROM documents
+         ), sp AS (
+           SELECT doc_id, string_split(text, chr(10)) AS ls FROM aug
+         ), lines AS (
+           SELECT doc_id, unnest(ls) AS line,
+             unnest(range(1, len(ls) + 1)) AS pos
+           FROM sp
+         ), firsts AS (
+           SELECT doc_id, line, min(pos) AS pos
+           FROM lines GROUP BY doc_id, line
+         ), df AS (
+           SELECT line, count(*) AS n_docs FROM firsts GROUP BY line
+         ), total AS (
+           SELECT count(*) AS n FROM aug
+         ), kept AS (
+           SELECT f.doc_id, f.line, f.pos
+           FROM firsts f JOIN df ON f.line = df.line CROSS JOIN total
+           WHERE df.n_docs * 100 <= total.n * 5
+         )
+         SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           string_agg(line, chr(10) ORDER BY pos) AS text_clean
+         FROM kept GROUP BY doc_id""",
 
     "q_train_split" ->
       """WITH b AS (

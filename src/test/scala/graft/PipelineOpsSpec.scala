@@ -99,4 +99,70 @@ class PipelineOpsSpec extends SparkSpec {
     assert(plan.sliding("explode".length).count(_ == "explode") <= 2,
       s"extra shingling pass in:\n$plan")
   }
+
+  test("CorpusShuffle: deterministic, contiguous per-shard positions, no global sort") {
+    import graft.operators.CorpusShuffle
+    val docs = spark.range(0L, 300L).toDF("doc_id")
+    val a = CorpusShuffle.shuffle(docs, "doc_id", nShards = 8)
+    val rows = a.collect()
+    assert(rows.length == 300, "every doc gets an assignment")
+    // shard range and contiguous 1..n positions per shard
+    val byShard = rows.groupBy(_.getAs[Int]("shard"))
+    assert(byShard.keySet.forall(s => s >= 0 && s < 8))
+    assert(byShard.size > 1, "md5 bits must actually spread the shards")
+    byShard.foreach { case (s, rs) =>
+      val ps = rs.map(_.getAs[Long]("pos_in_shard")).sorted.toSeq
+      assert(ps == (1L to rs.length).toSeq, s"shard $s positions not contiguous: $ps")
+    }
+    // deterministic: an independent plan reproduces the assignment
+    val b = CorpusShuffle.shuffle(spark.range(0L, 300L).toDF("doc_id"),
+      "doc_id", nShards = 8).collect()
+    assert(rows.map(_.toString).sorted.toSeq == b.map(_.toString).sorted.toSeq)
+    // a different salt produces a different order (it is a shuffle,
+    // not the identity)
+    val c = CorpusShuffle.shuffle(docs, "doc_id", nShards = 8, salt = 1).collect()
+    assert(rows.map(_.toString).sorted.toSeq != c.map(_.toString).sorted.toSeq)
+    // scale guard: every Window in the plan is partitioned — a global
+    // row_number would funnel the corpus through one task
+    val wins = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
+      def all = collect(a.queryExecution.executedPlan) {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+    }.all
+    assert(wins.nonEmpty, "expected the per-shard position window")
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "unpartitioned (corpus-wide) window in the shuffle plan")
+  }
+
+  test("LineDedup: first occurrence kept, boilerplate df dropped, order preserved") {
+    import graft.operators.LineDedup
+    // 10 docs; 'FOOTER' on all (df 100%), 'BANNER' on half (df 50%),
+    // doc 0 repeats its first line, doc 1 has an internal unique order
+    val docs = (0L until 10L).map { i =>
+      val own = s"unique line of doc $i"
+      val text =
+        if (i == 0) s"$own\nBANNER\n$own\nzz tail of doc 0\nFOOTER"
+        else if (i % 2 == 0) s"$own\nBANNER\nFOOTER"
+        else s"$own\nzz tail of doc $i\nFOOTER"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val out = LineDedup.clean(docs, maxDfPct = 30).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_kept"), r.getAs[String]("text_clean"))).toMap
+    assert(out.size == 10, "every doc keeps at least its unique line")
+    // FOOTER (10/10 docs) and BANNER (6/10 docs) exceed 30% df: gone
+    out.values.foreach { case (_, t) =>
+      assert(!t.contains("FOOTER") && !t.contains("BANNER"), t)
+    }
+    // doc 0: repeated first line deduped to ONE copy, original order kept
+    assert(out(0L) == (2L, "unique line of doc 0\nzz tail of doc 0"), out(0L))
+    // odd docs keep both unique lines in order
+    assert(out(3L) == (2L, "unique line of doc 3\nzz tail of doc 3"), out(3L))
+    // even docs (except 0) had only unique + boilerplate: one line left
+    assert(out(4L) == (1L, "unique line of doc 4"), out(4L))
+    // a doc of pure boilerplate drops out entirely
+    val all = docs.union(Seq((99L, "FOOTER\nBANNER")).toDF("doc_id", "text"))
+    val cleaned = LineDedup.clean(all, maxDfPct = 30)
+    assert(cleaned.filter(col("doc_id") === 99L).isEmpty)
+  }
 }
