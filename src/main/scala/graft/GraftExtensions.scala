@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, StringTrim, Up
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 
-import graft.functions.{CollectMinK, CosineSimilarity, MinHash64, ShingleHash64, SimHash64}
+import graft.functions.{CollectMinK, CosineSimilarity, MinHash64, NgramRepetition, ShingleHash64, SimHash64}
 
 /** Engine extensions, registered through the public
   * `spark.sql.extensions` hook (GraftSession sets it). Native
@@ -45,6 +45,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "shingle_hash64(tokens, k) takes exactly two arguments")
         require(children(1).foldable, "shingle_hash64: k must be a literal")
         ShingleHash64(children.head, children(1).eval().asInstanceOf[Number].intValue())
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("ngram_repetition"),
+      new ExpressionInfo(classOf[NgramRepetition].getName, "ngram_repetition"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "ngram_repetition(tokens, k) takes exactly two arguments")
+        require(children(1).foldable, "ngram_repetition: k must be a literal")
+        NgramRepetition(children.head, children(1).eval().asInstanceOf[Number].intValue())
       }))
     ext.injectFunction((
       FunctionIdentifier("collect_min_k"),

@@ -1337,22 +1337,33 @@ object SparkEntry {
     "q_repetition_stats" -> ((s, d) => {
       // Gopher-style repetition filters (Rae et al. 2021 §A1.1):
       // duplicate-token fraction, most-frequent unigram/bigram share,
-      // mean word length. All narrow per-row HOFs — the mode counts
-      // come from a sorted-run pass inside the projection, never an
+      // mean word length. The mode counts come from the native
+      // `ngram_repetition` expression (functions/NgramRepetition —
+      // one codegen'd pass + a per-row hash map), never an
       // explode+groupBy (which would shuffle every token at 100 TB).
+      // FunctionsSpec pins top_cnt bit-identical to the interpreted
+      // TF.maxMultiplicity HOF this query used through r8, so the
+      // oracle below is unchanged. k-gram count = n_words - k + 1,
+      // so the bigram denominator is n_words - 1.
       val ts = TF.tokens(col("text"))
-      val bs = TF.bigrams(col("text"))
       Tables.documents(s, d).select(
         col("doc_id"),
         size(ts).cast("long").as("n_words"),
         pround(TF.dupTokenFrac(col("text")), 4).as("dup_word_frac"),
-        pround(when(size(ts) === 0, lit(0.0)).otherwise(
-          TF.maxMultiplicity(ts).cast("double") / size(ts)), 4)
-          .as("top_unigram_frac"),
-        pround(when(size(bs) === 0, lit(0.0)).otherwise(
-          TF.maxMultiplicity(bs).cast("double") / size(bs)), 4)
-          .as("top_bigram_frac"),
+        call_function("ngram_repetition", ts, lit(1))
+          .getField("top_cnt").as("uni_top"),
+        call_function("ngram_repetition", ts, lit(2))
+          .getField("top_cnt").as("bi_top"),
         pround(TF.meanTokenLen(col("text")), 4).as("mean_word_len"))
+      .select(
+        col("doc_id"), col("n_words"), col("dup_word_frac"),
+        pround(when(col("n_words") === 0, lit(0.0)).otherwise(
+          col("uni_top").cast("double") / col("n_words")), 4)
+          .as("top_unigram_frac"),
+        pround(when(col("n_words") < 2, lit(0.0)).otherwise(
+          col("bi_top").cast("double") / (col("n_words") - 1)), 4)
+          .as("top_bigram_frac"),
+        col("mean_word_len"))
         .withColumn("flagged",
           when(col("dup_word_frac") > 0.5 || col("top_bigram_frac") > 0.2
             || col("mean_word_len") < 2.0, lit(1L)).otherwise(lit(0L)))

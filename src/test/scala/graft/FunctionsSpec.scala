@@ -132,6 +132,64 @@ class FunctionsSpec extends SparkSpec {
     assert(both.count() > 100)
   }
 
+  test("ngram_repetition top_cnt is bit-identical to the HOF composition") {
+    // the exact swap q_repetition_stats made in r9: native top_cnt at
+    // k=1/k=2 must reproduce the interpreted TF.maxMultiplicity path
+    // over TF.tokens / TF.bigrams on real corpus text + edge docs
+    val docs = Tables.documents(spark, sf())
+      .select(col("doc_id"), col("text"))
+      .union(Seq((100001L, ""), (100002L, "solo"), (100003L, "a b a c a b"),
+        (100004L, "a a a a a a")).toDF("doc_id", "text"))
+    val both = docs.select(
+      call_function("ngram_repetition", TF.tokens(col("text")), lit(1))
+        .getField("top_cnt").as("uni_native"),
+      TF.maxMultiplicity(TF.tokens(col("text"))).as("uni_hof"),
+      call_function("ngram_repetition", TF.tokens(col("text")), lit(2))
+        .getField("top_cnt").as("bi_native"),
+      TF.maxMultiplicity(TF.bigrams(col("text"))).as("bi_hof"))
+    assert(both.filter(!(col("uni_native") <=> col("uni_hof")) ||
+      !(col("bi_native") <=> col("bi_hof"))).count() == 0)
+    assert(both.count() > 100)
+  }
+
+  test("ngram_repetition total_chars matches join length; dup_chars bounded") {
+    val docs = Tables.documents(spark, sf()).select(col("text"))
+    val st = call_function("ngram_repetition", TF.tokens(col("text")), lit(2))
+    val checked = docs.select(
+      st.getField("total_chars").as("tc"),
+      st.getField("dup_chars").as("dc"),
+      length(concat_ws(" ", TF.tokens(col("text")))).cast("long").as("joined"))
+    assert(checked.filter(col("tc") =!= col("joined")).count() == 0)
+    // span-union Gopher semantics: a character is counted at most once,
+    // so the duplicate-char fraction can never exceed 1.0 (the r8
+    // sum-of-occurrences form could: 6x"a" at k=2 gave 12/11)
+    assert(checked.filter(col("dc") > col("tc")).count() == 0)
+  }
+
+  test("ngram_repetition literal cases: spans, ties, nulls, short docs") {
+    def stats(tokens: Seq[String], k: Int): (Long, Long, Long, Long) = {
+      val r = Seq(Tuple1(tokens)).toDF("ts")
+        .select(call_function("ngram_repetition", col("ts"), lit(k)).as("s"))
+        .select("s.top_cnt", "s.top_len", "s.dup_chars", "s.total_chars")
+        .as[(Long, Long, Long, Long)].collect().head
+      r
+    }
+    // the ADVICE counter-example: 6 tokens "a", k=2 — every bigram "a a"
+    // duplicated, spans cover the whole 11-char join exactly once
+    assert(stats(Seq("a", "a", "a", "a", "a", "a"), 2) == ((5L, 3L, 11L, 11L)))
+    // disjoint duplicated spans: "a b x a b" at k=2 — "a b" twice,
+    // spans [0,3) and [6,9): 6 duplicated chars of 9
+    assert(stats(Seq("a", "b", "x", "a", "b"), 2) == ((2L, 3L, 6L, 9L)))
+    // tie at count 1: binary-smallest k-gram wins (deterministic top_len)
+    assert(stats(Seq("bb", "a"), 1) == ((1L, 1L, 0L, 4L)))
+    // null elements skipped like concat_ws (ShingleHash64 rule)
+    assert(stats(Seq("a", null, "b"), 1) == ((1L, 1L, 0L, 3L)))
+    assert(stats(Seq(null, null), 2) == ((0L, 0L, 0L, 0L)))
+    // fewer than k tokens: no k-grams, total still measured
+    assert(stats(Seq("abc"), 2) == ((0L, 0L, 0L, 3L)))
+    assert(stats(Seq.empty[String], 1) == ((0L, 0L, 0L, 0L)))
+  }
+
   test("srpBucket deterministic; identical vectors share a bucket") {
     val df = Seq(
       (1L, Seq.tabulate(8)(i => i.toFloat)),
