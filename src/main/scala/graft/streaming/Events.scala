@@ -15,6 +15,23 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Events {
 
+  /** Event-time column normalized from either raw encoding the events
+    * feed arrives in: BIGINT ns-since-epoch (a reader honoring the
+    * legacy `nanosAsLong` conf renders parquet TIMESTAMP(NANOS) as a
+    * raw long) or a native timestamp (current Spark reads NANOS as
+    * TIMESTAMP_NTZ directly, µs-truncated — the r8 driver runtime
+    * does this, which is what silently broke every unconditional
+    * `ts div 1000` stream stager that round). Mirrors the dtype guard
+    * `Tables.events` has always had; `to` picks the flavor the
+    * consumer needs (stream watermarks/joins require LTZ, batch
+    * tables are NTZ — session TZ is UTC so the values agree).
+    */
+  private def tsNormalized(schema: org.apache.spark.sql.types.StructType,
+                           to: String): org.apache.spark.sql.Column =
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      timestamp_micros(expr("ts div 1000")).cast(to)
+    else col("ts").cast(to)
+
   /** Stage the `events.parquet` feed into a file-stream source dir as
     * `tag*.parquet`, returning the staged paths. Handles both a single
     * parquet file and a Spark-written DIRECTORY of part files — a bare
@@ -107,8 +124,7 @@ object Events {
     val stream = spark.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-    val events = stream.withColumn("ts",
-      timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    val events = stream.withColumn("ts", tsNormalized(rawSchema, "timestamp_ntz"))
     // distinct aggregates aren't supported on streams; the stream form
     // carries count + sum (the oracle matches this column set)
     val agg = events
@@ -151,28 +167,31 @@ object Events {
     import spark.implicits._
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     val rawSchema = raw.schema
-    val maxTsNanos = raw.agg(max("ts")).as[Long].head()
+    val isLongTs =
+      rawSchema("ts").dataType == org.apache.spark.sql.types.LongType
 
     val stage = Files.createTempDirectory("graft_sess_stream")
     try {
       stageEventsFeed(sfDir, stage, "00_events")
       // sentinels: far enough past max(ts) + gap + watermark that every
-      // real session's event-time timeout is behind the new watermark
-      val hourNs = 3600L * 1000 * 1000 * 1000
-      val gapNs = gapMinutes * 60L * 1000 * 1000 * 1000
-      for ((off, i) <- Seq(1, 2).map(k => maxTsNanos + k * (gapNs + 3 * hourNs)).zipWithIndex) {
+      // real session's event-time timeout is behind the new watermark.
+      // Built by bumping the latest real row (type-generic across both
+      // ts encodings) rather than hand-assembling an InternalRow.
+      val last = raw.orderBy(col("ts").desc).limit(1)
+      for (i <- 0 to 1) {
+        val bumpMinutes = (i + 1) * (gapMinutes + 180L)
+        val bumped =
+          if (isLongTs) last.withColumn("ts",
+            col("ts") + lit(bumpMinutes * 60L * 1000 * 1000 * 1000))
+          else last.withColumn("ts",
+            col("ts") + expr(s"INTERVAL $bumpMinutes MINUTES"))
+        val rows = bumped
+          .withColumn("event_id", lit(-1L - i))
+          .withColumn("user_id", lit(-1L))
+          .withColumn("event_type", lit("sentinel"))
+          .withColumn("value", lit(0.0))
         val scratch = stage.resolve(s"scratch_$i")
-        spark.createDataFrame(
-            spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row.fromSeq(
-              rawSchema.fields.map {
-                case f if f.name == "event_id" => -1L - i
-                case f if f.name == "ts"       => off
-                case f if f.name == "user_id"  => -1L
-                case f if f.name == "event_type" => "sentinel"
-                case f if f.name == "value"    => 0.0
-                case _                          => null
-              }.toSeq)), 1), rawSchema)
-          .write.parquet(scratch.toString)
+        rows.coalesce(1).write.parquet(scratch.toString)
         val part = Files.list(scratch).filter(_.toString.endsWith(".parquet"))
           .findFirst().get()
         val dst = stage.resolve(f"0${i + 1}_sentinel.parquet")
@@ -187,7 +206,7 @@ object Events {
         .option("pathGlobFilter", "*.parquet")
         .parquet(stage.toString)
       val events = stream
-        .select(col("event_id"), timestamp_micros(expr("ts div 1000")).as("ts"),
+        .select(col("event_id"), tsNormalized(rawSchema, "timestamp_ltz").as("ts"),
           col("user_id"), col("event_type"), col("value"))
         .as[Event]
       val name = "graft_sessionize_stream"
@@ -314,9 +333,7 @@ object Events {
           .option("maxFilesPerTrigger", "1")
           .option("pathGlobFilter", "*.parquet")
           .parquet(stage.toString)
-          .withColumn("ts",
-            if (isLongTs) timestamp_micros(expr("ts div 1000"))
-            else col("ts").cast("timestamp_ltz"))
+          .withColumn("ts", tsNormalized(raw.schema, "timestamp_ltz"))
           .filter(col("event_type") === eventType)
       val joined = attributionStreamOuter(
         stream("purchase"), stream("click"), withinMinutes)
@@ -354,7 +371,7 @@ object Events {
       spark.readStream.schema(rawSchema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sfDir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ts", tsNormalized(rawSchema, "timestamp_ltz"))
         .filter(col("event_type") === eventType)
     val joined = attributionStream(stream("purchase"), stream("click"), withinMinutes)
       .withColumn("purchase_ts", col("purchase_ts").cast("timestamp_ntz"))
@@ -457,7 +474,7 @@ object Events {
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet")
         .parquet(stage.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withColumn("ts", tsNormalized(rawSchema, "timestamp_ltz"))
       val name = "graft_stream_dedup"
       val q = dedupStream(stream, watermark).writeStream
         .format("memory").queryName(name)
