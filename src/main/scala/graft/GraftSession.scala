@@ -23,6 +23,18 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // InferFiltersFromGenerate adds `size(arr)>0 AND isnotnull(arr)`
+      // below every explode; predicate pushdown then CLONES the
+      // array-producing expression into that filter and pushes it to
+      // the scan. For cheap array columns that's a win, but graft's
+      // explodes all generate from expensive native passes
+      // (shingle_hash64, minhash64) — the clone re-runs the dominant
+      // per-doc CPU a second time below the parallelizing exchange
+      // (measured r9: the n-gram pair grid spent 2x its shingling
+      // cost; explode already skips empty/null arrays by itself, so
+      // the inferred filter buys nothing here).
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       // NTZ keeps parquet timestamps byte-identical across engines
       // (Spark, DuckDB, Arrow) — no UTC-adjustment flag mismatches.
       .config("spark.sql.timestampType", "TIMESTAMP_NTZ")
