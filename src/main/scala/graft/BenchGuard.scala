@@ -19,8 +19,13 @@ package graft
   * gates then.
   */
 object BenchGuard {
-  /** Fraction of cores the 1-min load may occupy before the box is hot. */
-  val LoadFraction = 0.25
+  /** Fraction of cores the 1-min load may occupy before the box is hot.
+    * 0.25 let the r8 sf0.1 tier start at load 6.3-7.3/32 and produce
+    * physically-inverted timings (q_passage_dedup 0.72 s at sf0.1 vs
+    * 0.17 s at sf10) while still stamping `clean:true` — tightened to
+    * 0.15 per the r8 verdict.
+    */
+  val LoadFraction = 0.15
   /** Sentinel bound as a multiple of the recorded idle calibration. */
   val SentinelSlack = 2.0
   /** Recorded idle sentinel on this box (median of clean-run probes:
@@ -52,21 +57,23 @@ object BenchGuard {
                 idleSentinelSec: Double = DefaultIdleSentinelSec): Boolean =
     sentinelSec <= SentinelSlack * idleSentinelSec
 
-  /** Pick the more trustworthy of two tier attempts (`-1.0` marks a failed
-    * query). Fewer failures wins outright; with identical failure SETS the
-    * smaller wall-clock total wins; with different-but-equal-sized failure
-    * sets the totals are incomparable (they sum different queries), so the
-    * first attempt is kept. This replaces r6's raw total comparison, where a
-    * retry that crashed a query could "win" by omitting its time.
+  /** Cross-tier physical-sanity check: the same query over strictly
+    * more data cannot be faster beyond noise, so `small > slack * big`
+    * (with both times above the scheduling-floor `floorSec`, where
+    * jitter dominates) marks the SMALL tier's timing dirty — the r8
+    * artifact shipped q_passage_dedup 0.72 s at sf0.1 vs 0.17 s at
+    * sf10 under a `clean` stamp, which this would have caught.
+    * Returns the offending query names.
     */
-  def pickCleaner(a: Seq[(String, Double)], b: Seq[(String, Double)])
-      : Seq[(String, Double)] = {
-    def failedSet(r: Seq[(String, Double)]) = r.collect { case (k, v) if v < 0 => k }.toSet
-    def total(r: Seq[(String, Double)]) = r.collect { case (_, v) if v >= 0 => v }.sum
-    val (fa, fb) = (failedSet(a), failedSet(b))
-    if (fa.size != fb.size) { if (fa.size < fb.size) a else b }
-    else if (fa != fb) a
-    else if (total(b) < total(a)) b
-    else a
+  def crossTierViolations(small: Seq[(String, Double)],
+                          big: Seq[(String, Double)],
+                          slack: Double = 1.5,
+                          floorSec: Double = 0.3): Seq[String] = {
+    val bigMap = big.toMap
+    small.collect {
+      case (q, ts) if ts > floorSec && bigMap.get(q).exists(tb =>
+        tb >= 0 && ts > slack * tb) => q
+    }
   }
+
 }

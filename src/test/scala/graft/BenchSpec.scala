@@ -23,9 +23,17 @@ class BenchSpec extends AnyFunSuite {
     assert(BenchGuard.quiet(1.5, 32, 0.272, 0.272))
     assert(BenchGuard.quiet(0.02, 32, 0.342, 0.28))
     // exactly at the gates is still quiet (bounds are inclusive)
-    assert(BenchGuard.quiet(8.0, 32, 0.56, 0.28))
-    assert(!BenchGuard.quiet(8.01, 32, 0.56, 0.28))
-    assert(!BenchGuard.quiet(8.0, 32, 0.561, 0.28))
+    assert(BenchGuard.quiet(4.8, 32, 0.56, 0.28))
+    assert(!BenchGuard.quiet(4.81, 32, 0.56, 0.28))
+    assert(!BenchGuard.quiet(4.8, 32, 0.561, 0.28))
+  }
+
+  test("r8 pre-tier telemetry (load 6.3-7.3/32) now classifies as hot") {
+    // the r8 sf0.1 tier started at load 6.3-7.3 against the old
+    // 0.25x-cores gate (8.0) and shipped inverted timings under
+    // clean:true — the 0.15x gate (4.8 on 32 cpus) refuses to start
+    assert(!BenchGuard.quiet(6.3, 32, 0.30, 0.28))
+    assert(!BenchGuard.quiet(7.3, 32, 0.30, 0.28))
   }
 
   test("unreadable loadavg (-1) falls back to sentinel-only gating") {
@@ -42,27 +50,25 @@ class BenchSpec extends AnyFunSuite {
     assert(!BenchGuard.quietPost(0.661, 0.28))
   }
 
-  test("pickCleaner prefers fewer failures over a smaller total") {
-    val clean = Seq("a" -> 5.0, "b" -> 6.0)          // slower but complete
-    val crashed = Seq("a" -> 1.0, "b" -> -1.0)       // "faster" by omission
-    assert(BenchGuard.pickCleaner(clean, crashed) == clean)
-    assert(BenchGuard.pickCleaner(crashed, clean) == clean)
+  test("crossTierViolations catches the r8 inverted timings") {
+    // r8 artifact: q_passage_dedup 0.72 s at sf0.1 vs 0.17 s at sf10,
+    // q_v4_ml_dataset 1.28 s at sf0.1 vs 0.77 s at sf1 — physically
+    // backwards, yet the tier shipped clean:true
+    val small = Seq("q_passage_dedup" -> 0.72, "q_v4_ml_dataset" -> 1.28)
+    assert(BenchGuard.crossTierViolations(small,
+      Seq("q_passage_dedup" -> 0.17, "q_v4_ml_dataset" -> 0.77))
+      == Seq("q_passage_dedup", "q_v4_ml_dataset"))
   }
 
-  test("pickCleaner compares totals only between identical failure sets") {
-    val a = Seq("a" -> 3.0, "b" -> -1.0, "c" -> 2.0)
-    val b = Seq("a" -> 1.0, "b" -> -1.0, "c" -> 1.5) // same failed set, faster
-    assert(BenchGuard.pickCleaner(a, b) == b)
-    // equal-sized but DIFFERENT failure sets: totals sum different queries,
-    // incomparable — keep the first attempt deterministically
-    val c = Seq("a" -> -1.0, "b" -> 0.1, "c" -> 0.1)
-    assert(BenchGuard.pickCleaner(a, c) == a)
-  }
-
-  test("pickCleaner on two clean attempts keeps the faster") {
-    val a = Seq("a" -> 3.0, "b" -> 3.0)
-    val b = Seq("a" -> 2.0, "b" -> 2.0)
-    assert(BenchGuard.pickCleaner(a, b) == b)
-    assert(BenchGuard.pickCleaner(b, a) == b)
+  test("crossTierViolations tolerates floor jitter and missing/failed rows") {
+    // sub-floor times jitter freely (scheduling noise dominates)
+    assert(BenchGuard.crossTierViolations(
+      Seq("a" -> 0.29), Seq("a" -> 0.05)).isEmpty)
+    // within the 1.5x slack is noise, not inversion
+    assert(BenchGuard.crossTierViolations(
+      Seq("a" -> 0.9), Seq("a" -> 0.7)).isEmpty)
+    // queries absent from (or failed, -1.0, in) the big tier can't vote
+    assert(BenchGuard.crossTierViolations(
+      Seq("a" -> 5.0, "b" -> 5.0), Seq("b" -> -1.0)).isEmpty)
   }
 }

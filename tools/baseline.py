@@ -24,7 +24,8 @@ HEADLINERS = [
     "q_quality_score", "q_event_windows", "q_sessionize",
     "q_medallion_silver", "q_corpus_prep", "q_asof_join", "q_range_join",
     "q_window_analytics", "q_dedup_clusters",
-    "q_tfidf", "q_unigram_logprob", "q_passage_dedup", "q_rolling_agg"]
+    "q_tfidf", "q_unigram_logprob", "q_passage_dedup", "q_rolling_agg",
+    "q_line_dedup", "q_shuffle_corpus"]
 
 sf_dir = sys.argv[1]
 oracle = json.load(open(sys.argv[2]))
