@@ -25,6 +25,25 @@ object SparkEntry {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
+  private val Gi = 1L << 30
+
+  /** Size-gated broadcast hint (r8 verdict item 1: the q3/q5 hints
+    * were hard-coded, so the written plan was NOT the one a 100×
+    * run should execute). Emits the hint only while `table`'s
+    * on-disk footprint is under `capDiskBytes`; each call site
+    * derives its cap from the payload the hinted side actually
+    * builds (arithmetic in the site comment, targeting ≤~256 MB
+    * built). Above the cap NO hint is emitted and AQE plans the
+    * join unaided — it keeps the key-shuffled hash join once the
+    * built side outgrows the broadcast ceiling, which is the
+    * correct cluster plan. The gate is one filesystem metadata
+    * call ([[Tables.bytesOnDisk]]): no Spark job, no collect, and
+    * deterministic for a given tier.
+    */
+  private[graft] def broadcastIfUnder(s: SparkSession, d: String, table: String,
+                                      capDiskBytes: Long)(df: DataFrame): DataFrame =
+    if (Tables.bytesOnDisk(s, d, table) <= capDiskBytes) broadcast(df) else df
+
   /** Engine-portable half-up rounding on non-negative doubles:
     * `floor(x*10^dp + 0.5)/10^dp`. Unlike `round()`, both engines
     * apply identical IEEE ops to the identical binary double, so a
@@ -214,9 +233,14 @@ object SparkEntry {
       // Without the hint AQE still picks a broadcast join at the bench
       // SFs, but only after the lineitem exchange has materialized —
       // the runtime conversion happens at a stage boundary, so the
-      // fact shuffle is paid and then thrown away. At a corpus where
-      // c⨝o outgrows executor memory the hint must go (AQE then keeps
-      // the orderkey-shuffled hash join, the correct fallback plan).
+      // fact shuffle is paid and then thrown away. Both hints are
+      // SIZE-GATED on the source tables' on-disk bytes (r9): orders
+      // packs ~18 B/row snappy and the broadcast side carries ~10%
+      // of orders at 16 B/row, so the 3 GiB orders cap ≈ 160M orders
+      // ≈ 16M broadcast rows ≈ 256 MB built — at any larger tier the
+      // hints drop and AQE keeps the orderkey-shuffled hash join,
+      // the correct cluster plan. customer (~21 B/row on disk,
+      // ~20% × 16 B/row built) gates at 2 GiB by the same arithmetic.
       // Group on the RAW 8-byte timestamp, not a formatted string
       // (the r7 plan's per-row date_format string grouping key was
       // the other sf10 cost); o_orderdate is functionally dependent
@@ -234,9 +258,11 @@ object SparkEntry {
       // (no change). The residual vs the single-process oracle
       // engine is the two broadcast driver round-trips — fixed cost
       // that amortizes at cluster scale, not plan waste.
-      val co = broadcast(c).join(o, col("c_custkey") === col("o_custkey"))
+      val co = broadcastIfUnder(s, d, "customer", 2 * Gi)(c)
+        .join(o, col("c_custkey") === col("o_custkey"))
         .select("o_orderkey", "o_orderdate")
-      l.join(broadcast(co), col("o_orderkey") === col("l_orderkey"))
+      l.join(broadcastIfUnder(s, d, "orders", 3 * Gi)(co),
+          col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
@@ -265,19 +291,27 @@ object SparkEntry {
       // the 100× table never shuffles at all. The group key is the
       // 25-value nationkey (map-side partial agg collapses each task
       // to ≤25 rows; the exchange moves a few hundred bytes), and
-      // n_name joins after the agg on ≤25 rows. At a scale where
-      // asian-orders outgrows executor memory, drop the broadcast
-      // hints: AQE falls back to the orderkey-shuffled join, which
-      // is the correct cluster plan.
+      // n_name joins after the agg on ≤25 rows. The sized hints are
+      // GATED on source-table on-disk bytes (r9, same form as q3):
+      // asianCust builds ~20% of customer at 12 B/row (2 GiB cap ≈
+      // 100M customers ≈ 240 MB built); asianOrders builds ~6% of
+      // orders at 16 B/row (3 GiB cap ≈ 160M orders ≈ 150 MB
+      // built); the full projected supplier is 16 B/row with no
+      // filter, so it gates tightest (512 MiB cap ≈ 24M suppliers ≈
+      // 390 MB built). Past any cap that hint drops and AQE keeps
+      // the key-shuffled hash join — the correct cluster plan.
+      // region⨝nation is ≤25 rows at every scale: hinted always.
       val asianNations = broadcast(n.join(broadcast(r),
         col("n_regionkey") === col("r_regionkey")))
       val asianCust = c.join(asianNations, col("c_nationkey") === col("n_nationkey"))
         .select("c_custkey", "c_nationkey")
-      val asianOrders = broadcast(asianCust)
+      val asianOrders = broadcastIfUnder(s, d, "customer", 2 * Gi)(asianCust)
         .join(o, col("o_custkey") === col("c_custkey"))
         .select("o_orderkey", "c_nationkey")
-      l.join(broadcast(asianOrders), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(sup.select("s_suppkey", "s_nationkey")),
+      l.join(broadcastIfUnder(s, d, "orders", 3 * Gi)(asianOrders),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcastIfUnder(s, d, "supplier", Gi / 2)(
+            sup.select("s_suppkey", "s_nationkey")),
           col("l_suppkey") === col("s_suppkey") &&
             col("s_nationkey") === col("c_nationkey"))
         .groupBy("c_nationkey")

@@ -39,4 +39,20 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** On-disk bytes of a table's parquet file/directory — the cheap,
+    * deterministic size signal the q3/q5 broadcast gates key on
+    * (one filesystem content summary; no Spark job, no driver
+    * collect). Goes through the Hadoop FileSystem API so the same
+    * gate works against an object store at cluster scale. A missing
+    * table reads as infinitely large: the gate then emits no hint
+    * and AQE plans the join unaided — the safe default.
+    */
+  def bytesOnDisk(s: SparkSession, sfDir: String, name: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$sfDir/$name.parquet")
+    try {
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else Long.MaxValue
+    } catch { case _: java.io.IOException => Long.MaxValue }
+  }
 }

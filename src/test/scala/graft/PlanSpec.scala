@@ -22,6 +22,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q3/q5 broadcast hints are size-gated, both branches") {
+    // the on-disk signal: real tables read finite-positive, a missing
+    // table reads as infinitely large (gate then emits no hint)
+    val b = Tables.bytesOnDisk(spark, sf(), "orders")
+    assert(b > 0 && b < Long.MaxValue, b)
+    assert(Tables.bytesOnDisk(spark, sf(), "no_such_table") == Long.MaxValue)
+    // drop branch: a zero cap must return the frame UNhinted — the
+    // identical object, so the plan is exactly what AQE sees unaided
+    val o = Tables.orders(spark, sf())
+    assert(SparkEntry.broadcastIfUnder(spark, sf(), "orders", 0L)(o) eq o)
+    // pass branch: a generous cap injects the hint node
+    val hinted = SparkEntry.broadcastIfUnder(spark, sf(), "orders", Long.MaxValue)(o)
+    assert(hinted.queryExecution.logical.toString.contains("Hint"), hinted.queryExecution.logical)
+  }
+
   test("window dedup: partial top-k below the shuffle (WindowGroupLimit)") {
     val p = plan("q_window_dedup")
     assert(p.contains("WindowGroupLimit"), p)
