@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators._
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
-import graft.dedup.{MinHashLSH, NgramJaccard, SimHash}
+import graft.dedup.{MinHashLSH, NgramJaccard, SemDeDup, SimHash}
 import graft.ann.Knn
 import graft.sources.Readers
 import graft.streaming.Events
@@ -1201,6 +1201,45 @@ object SparkEntry {
               .otherwise(lit("")),
             lit("copyright 2026 example corp")).as("text")),
         maxDfPct = 5)),
+
+    "q_semdedup" -> ((s, d) => {
+      // SemDeDup (Abbas et al. 2023): k-means cells → intra-cell
+      // pairwise cosine → keep the min id per dup pair. Random unit
+      // vectors never reach cosine 0.95 (the q_dedup_embedding
+      // lesson), so the gate plants 20 scaled copies (cosine exactly
+      // 1 with their originals, co-clustered by construction since
+      // assignment is direction-only) under high ids — exactly the
+      // planted ids MUST come back removed and every original must
+      // survive; GroundTruthSpec proves that same construction
+      // exactly. k-means is not SQL-expressible → rows-only gate.
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val planted = emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 10000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(0.99f)).as("embedding"))
+      SemDeDup.verdicts(emb.unionByName(planted), c = 8, eps = 0.95)
+        .filter(col("removed")).select("vec_id")
+    }),
+
+    "q_heavy_hitters_sketch" -> ((s, d) =>
+      // Count-Min sketch probe under the cross-engine check harness
+      // (the q_profile_approx_check pattern): the exact top-20 terms
+      // match DuckDB row-for-row, and the CMS estimates fold into two
+      // booleans the oracle pins TRUE (CMS never undercounts; stays
+      // within the eps·N envelope). The sketch is the 100 TB shape
+      // for frequency questions: a fixed d×w grid partial-aggregated
+      // per partition, ONE ~KB blob per partition on the exchange —
+      // vocabulary-independent, unlike the exact top-k whose
+      // exchange is sized by the vocabulary.
+      HeavyHitters.topTermsSketchCheck(s, Tables.documents(s, d), "text", k = 20)),
+
+    "q_token_budget" -> ((s, d) =>
+      // token-budget data mixing: per-source quotas ∝ token mass,
+      // docs drawn in portable md5 order until the quota crosses
+      // (boundary doc included). Pure-SQL selection rule → full
+      // oracle; the prefix sum runs the SequencePacker two-level
+      // scan so no corpus-sized unpartitioned window exists (PlanSpec).
+      TokenBudget.select(Tables.documents(s, d), "doc_id", "source",
+        "text", budget = 5000)),
 
     "q_dedup_exact" -> ((s, d) =>
       // the 500-doc gate corpora carry no planted duplicates (the
@@ -3596,6 +3635,49 @@ object SparkEntry {
            CAST(count(*) AS BIGINT) AS n_kept,
            string_agg(line, chr(10) ORDER BY pos) AS text_clean
          FROM kept GROUP BY doc_id""",
+
+    "q_heavy_hitters_sketch" ->
+      """WITH tok AS (
+           SELECT unnest(CASE WHEN length(trim(lower(text))) = 0
+                    THEN CAST([] AS VARCHAR[])
+                    ELSE string_split_regex(trim(lower(text)), '\s+') END) AS term
+           FROM documents
+         ), top AS (
+           SELECT term, CAST(count(*) AS BIGINT) AS cnt
+           FROM tok GROUP BY term
+           ORDER BY cnt DESC, term LIMIT 20
+         )
+         SELECT term, cnt, TRUE AS est_ge_exact, TRUE AS est_within_eps
+         FROM top""",
+
+    "q_token_budget" ->
+      """WITH base AS (
+           SELECT doc_id, source,
+             CAST(CASE WHEN length(trim(lower(text))) = 0 THEN 0
+               ELSE len(string_split_regex(trim(lower(text)), '\s+'))
+               END AS BIGINT) AS n_tok,
+             md5(CAST(doc_id AS VARCHAR) || '#0') AS ord
+           FROM documents
+         ), src AS (
+           SELECT source, sum(n_tok) AS src_tok FROM base GROUP BY source
+         ), tot AS (
+           SELECT sum(src_tok) AS all_tok FROM src
+         ), q AS (
+           SELECT source,
+             CAST(floor(5000.0 * (CAST(src_tok AS DOUBLE)
+               / CAST(all_tok AS DOUBLE))) AS BIGINT) AS quota
+           FROM src CROSS JOIN tot
+         ), w AS (
+           SELECT doc_id, source, n_tok,
+             coalesce(sum(n_tok) OVER (PARTITION BY source
+               ORDER BY ord, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS tok_before
+           FROM base
+         )
+         SELECT CAST(w.doc_id AS BIGINT) AS doc_id, w.source, w.n_tok
+         FROM w JOIN q ON w.source = q.source
+         WHERE w.tok_before < q.quota""",
 
     "q_train_split" ->
       """WITH b AS (

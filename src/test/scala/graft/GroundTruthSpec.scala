@@ -86,6 +86,24 @@ class GroundTruthSpec extends SparkSpec {
     assert(flagged.subsetOf(truthDocs), s"false positives=${flagged diff truthDocs}")
   }
 
+  test("SemDeDup: planted scaled duplicates lose exactly their higher ids; originals survive") {
+    val emb = Tables.embeddings(spark, sf()).select("vec_id", "embedding")
+    // cosine(v, 0.99*v) = 1 and k-means assignment is direction-only,
+    // so each copy co-clusters with its original at any cell count;
+    // the min-id keep policy must remove exactly the planted ids
+    val planted = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 10000000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(0.99f)).as("embedding"))
+    val corpus = emb.unionByName(planted).cache()
+    val removed = graft.dedup.SemDeDup.verdicts(corpus, c = 8, eps = 0.95)
+      .filter(col("removed")).select("vec_id").as[Long].collect().toSet
+    assert(removed === (0L until 20L).map(_ + 10000000L).toSet,
+      s"removed=$removed")
+    // survivors == the original corpus, so dedup() is count-preserving
+    assert(graft.dedup.SemDeDup.dedup(corpus, c = 8, eps = 0.95).count()
+      === emb.count())
+  }
+
   test("ANN LSH and IVF: recall vs brute-force top-5 meets measured floors") {
     val emb = Tables.embeddings(spark, sf()).select("vec_id", "embedding").cache()
     val q = emb.filter(col("vec_id") < 8)

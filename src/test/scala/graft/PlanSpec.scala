@@ -143,6 +143,17 @@ class PlanSpec extends SparkSpec {
       s"corpus-wide unpartitioned window:\n${badWindows.mkString("\n")}")
   }
 
+  test("token budget: the md5-ordered prefix-sum window is keyed, not global") {
+    val qe = SparkEntry.queries("q_token_budget")(spark, sf()).queryExecution
+    val badWindows = qe.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty &&
+          w.orderSpec.exists(_.child.references.exists(_.name == "doc_id")) => w
+    }
+    assert(badWindows.isEmpty,
+      s"corpus-wide unpartitioned window:\n${badWindows.mkString("\n")}")
+  }
+
   test("metadata projections prune unused wide columns") {
     val p = plan("q_point_lookup")
     // lookup reads only the projected columns, with the key pushed down
