@@ -111,6 +111,16 @@ object Bench {
         // cost (some pipelines cache internally); repeated runs then
         // control for CPU noise only, not for cached reuse
         spark.sharedState.cacheManager.clearCache()
+        // Release the previous runs' shuffle deps and broadcasts so
+        // the ContextCleaner frees their tmpfs files OUTSIDE the
+        // timed window. Without this the 48g AlwaysPreTouch heap
+        // almost never GCs, weak refs never enqueue, and a long
+        // bench accumulates every prior query's shuffle blocks in
+        // /dev/shm — measured r9: q_range_join read 10.2 s inside
+        // the full-tier sequence vs 1.65 s standalone at sf10, and
+        // back-to-back sf30 runs of one query degraded 14 s → 24 s
+        // → 34 s until a System.gc() between runs cured both.
+        System.gc(); Thread.sleep(300)
         val t0 = System.nanoTime()
         val ok = try { fn(spark, dir).count(); true }
                  catch { case _: Throwable => false }

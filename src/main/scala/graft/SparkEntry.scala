@@ -227,42 +227,40 @@ object SparkEntry {
       val c = Tables.customer(s, d).filter(upper(trim(col("c_mktsegment"))) === "BUILDING")
       val o = Tables.orders(s, d).filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp_ntz"))
       val l = Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp_ntz"))
-      // BUILDING ⨝ date-filtered orders collapses to ~10% of orders —
-      // broadcast that joined side explicitly so lineitem (the 100×
-      // table) is probed inline in its scan stage and NEVER shuffles.
-      // Without the hint AQE still picks a broadcast join at the bench
-      // SFs, but only after the lineitem exchange has materialized —
-      // the runtime conversion happens at a stage boundary, so the
-      // fact shuffle is paid and then thrown away. Both hints are
-      // SIZE-GATED on the source tables' on-disk bytes (r9): orders
-      // packs ~18 B/row snappy and the broadcast side carries ~10%
-      // of orders at 16 B/row, so the 3 GiB orders cap ≈ 160M orders
-      // ≈ 16M broadcast rows ≈ 256 MB built — at any larger tier the
-      // hints drop and AQE keeps the orderkey-shuffled hash join,
-      // the correct cluster plan. customer (~21 B/row on disk,
-      // ~20% × 16 B/row built) gates at 2 GiB by the same arithmetic.
-      // Group on the RAW 8-byte timestamp, not a formatted string
-      // (the r7 plan's per-row date_format string grouping key was
-      // the other sf10 cost); o_orderdate is functionally dependent
-      // on l_orderkey so the groups are identical, and the string
-      // render runs on 10 rows after the TakeOrdered.
+      // BUILDING customers broadcast into the date-filtered orders
+      // (the only broadcast left in this query — ~20% of customer,
+      // one join key + date column built; size-gated below so a 100×
+      // customer falls back to AQE's key-shuffled join). Group on
+      // the RAW 8-byte timestamp, not a formatted string (the r7
+      // plan's per-row date_format string grouping key was an sf10
+      // cost); o_orderdate is functionally dependent on l_orderkey
+      // so the groups are identical, and the string render runs on
+      // 10 rows after the TakeOrdered.
       //
-      // Measured floor (sf10, r8): ~1.27 s, decomposed as four
-      // SEQUENTIAL stages — c scan→broadcast ~0.12, o probe→collect
-      // co (1.45M keys) to driver→rebroadcast ~0.35, l scan+probe+
-      // partial agg ~0.5, final agg+TakeOrdered over 1.28M groups
-      // ~0.25. A/B'd alternatives that did NOT beat it: repartition-
-      // instead-of-partial-agg (tied, 1.26), orderkey-only group key
-      // with the date joined after the top-10 (tied), runtime bloom
-      // filter + shuffled hash join (1.9), bigger codegen fast-map
-      // (no change). The residual vs the single-process oracle
-      // engine is the two broadcast driver round-trips — fixed cost
-      // that amortizes at cluster scale, not plan waste.
+      // History: r8 broadcast the c⨝o side into lineitem too and
+      // attributed the residual vs DuckDB to "fixed broadcast driver
+      // round-trips that amortize at cluster scale". The r9 sf30
+      // tier DISPROVED the amortization half: co grows linearly with
+      // SF (~10% of orders), so its single-threaded broadcast build
+      // grows too — the measured fit was time ≈ 1.4 s + 2.5×DuckDB's
+      // per-byte cost, a ratio that never falls below ~2.5. The
+      // shuffled form (below) removed the linear broadcast term.
       val co = broadcastIfUnder(s, d, "customer", 2 * Gi)(c)
         .join(o, col("c_custkey") === col("o_custkey"))
         .select("o_orderkey", "o_orderdate")
-      l.join(broadcastIfUnder(s, d, "orders", 3 * Gi)(co),
-          col("o_orderkey") === col("l_orderkey"))
+      // The c⨝o side probes lineitem via SHUFFLED hash join, not a
+      // broadcast (r9 A/B with per-run GC'd measurements): the co
+      // build grows LINEARLY with SF (~10% of orders), so its
+      // single-threaded broadcast construction never amortizes —
+      // broadcast 3.26 s vs shuffle-hash 1.54 s at sf10, 1.15 vs
+      // 0.65 at sf1, ≈even at sf30 — while the shuffled probe side
+      // is the date-FILTERED fact (~46% of lineitem, 3 narrow cols).
+      // This is also the only 100×-safe shape: co outgrows any
+      // broadcast ceiling long before lineitem stops fitting a
+      // shuffle. (q5 keeps its broadcast chain: its probe is the
+      // UNFILTERED fact, and shuffling 100% of lineitem measured 2×
+      // worse than building its smaller asian-orders broadcast.)
+      l.join(co.hint("shuffle_hash"), col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey").asc)

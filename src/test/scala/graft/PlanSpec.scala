@@ -172,7 +172,11 @@ class PlanSpec extends SparkSpec {
     val golden = Seq(
       //  query                  maxShuffles maxLeaves bnljOk
       ("q1_pricing_summary",     1, 1, false),
-      ("q3_shipping_priority",   1, 3, false),
+      // r9 rework: the filtered fact and the c⨝o side shuffle into
+      // the hash join (broadcast build grew linearly with SF); the
+      // post-join agg reuses the l_orderkey partitioning (subset
+      // cluster-key satisfaction), so exactly 2 exchanges
+      ("q3_shipping_priority",   2, 3, false),
       // r8 rework: 7 leaves — nation is scanned twice (once in the
       // region semi-reduction, once as the 25-row post-agg name
       // join); the win is that lineitem no longer shuffles at all
