@@ -56,10 +56,16 @@ object HeavyHitters {
     val cms = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
     val slack = math.ceil(eps * cms.totalCount()).toLong
     val exact = topTerms(docs, textCol, k)
-    // k-row broadcast probe table: (term, est) straight off the sketch
+    // k-row broadcast probe table: (term, est) straight off the
+    // sketch. Explicit schema (not a product-encoder toDF): the
+    // runtime TypeTag reflection behind implicits breaks under REPL
+    // classloaders, and a literal schema needs no reflection at all.
     val probes = exact.select("term").collect().map(_.getString(0)).toSeq
-    import spark.implicits._
-    val est = probes.map(t => (t, cms.estimateCount(t))).toDF("term", "est")
+    val est = spark.createDataFrame(
+      java.util.Arrays.asList(probes.map(t => Row(t, cms.estimateCount(t))): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("term", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("est", org.apache.spark.sql.types.LongType))))
     exact.join(broadcast(est), Seq("term"))
       .select(col("term"), col("cnt"),
         (col("est") >= col("cnt")).as("est_ge_exact"),
