@@ -37,13 +37,19 @@ object Bench {
     // round-9 additions (r8 verdict item 7): the two r8 operators are
     // corpus-wide shuffles (line-keyed grid; shard window) that had no
     // bench row at any tier
-    "q_line_dedup", "q_shuffle_corpus")
+    "q_line_dedup", "q_shuffle_corpus",
+    // round-9 operators, same policy — corpus-wide work gets a bench
+    // row from birth: token-budget mixing (two corpus exchanges),
+    // CMS heavy hitters (sketch-per-partition exchange + exact top-k)
+    "q_token_budget", "q_heavy_hitters_sketch")
 
   // Timed every tier but EXCLUDED from the headline totals: these have
   // no DuckDB oracle (not SQL-expressible), so including them would make
   // every Spark-vs-baseline total need a "comparable subset" footnote
   // (r7 verdict item 8). Reported under "extras" in each tier block.
-  private val extras = Seq("q_dedup_minhash")
+  // q_semdedup joins q_dedup_minhash here: embeddings-wide k-means +
+  // intra-cell pair grid, rows-only by nature.
+  private val extras = Seq("q_dedup_minhash", "q_semdedup")
 
   // sf30 demonstration subset (r8 verdict item 1): the queries whose
   // sf10 ratios were adjudicated floor-or-weak — if the residual cost

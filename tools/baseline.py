@@ -25,15 +25,29 @@ HEADLINERS = [
     "q_medallion_silver", "q_corpus_prep", "q_asof_join", "q_range_join",
     "q_window_analytics", "q_dedup_clusters",
     "q_tfidf", "q_unigram_logprob", "q_passage_dedup", "q_rolling_agg",
-    "q_line_dedup", "q_shuffle_corpus"]
+    "q_line_dedup", "q_shuffle_corpus",
+    # round-9 operators (bench rows from birth): token-budget mixing,
+    # CMS heavy hitters (its exact top-k columns are the oracle side)
+    "q_token_budget", "q_heavy_hitters_sketch"]
 
 sf_dir = sys.argv[1]
 oracle = json.load(open(sys.argv[2]))
 runs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 out_md = sys.argv[4] if len(sys.argv) > 4 else "BASELINE.md"
+merged = {}
+FULL_LIST = list(HEADLINERS)
 if len(sys.argv) > 5:
     subset = sys.argv[5].split(",")
     HEADLINERS = [q for q in HEADLINERS if q in subset]
+    # subset runs MERGE into the existing record (re-measuring only the
+    # named queries) instead of overwriting the whole tier with a
+    # subset-only file — the embedded json block is the merge source
+    if os.path.exists(out_md):
+        import re as _re
+        m = _re.search(r"```json\n(.*?)\n```", open(out_md).read(), _re.S)
+        if m:
+            prev = json.loads(m.group(1))
+            merged = dict(prev.get("queries", {}))
 
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
@@ -57,6 +71,12 @@ for q in HEADLINERS:
         best = dt if best is None else min(best, dt)
     timings[q] = best
 
+if merged:
+    merged.update(timings)
+    timings = merged
+    # full-list ordering for the merged table (plus any stragglers)
+    HEADLINERS = [q for q in FULL_LIST if q in timings] + \
+        [q for q in timings if q not in FULL_LIST]
 total = sum(timings.values())
 lines = [
     "# BASELINE — oracle-engine (DuckDB) headliner timings",
