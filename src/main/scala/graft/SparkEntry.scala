@@ -1239,6 +1239,23 @@ object SparkEntry {
       TokenBudget.select(Tables.documents(s, d), "doc_id", "source",
         "text", budget = 5000)),
 
+    "q_dsir_weights" -> ((s, d) =>
+      // DSIR importance weights (Xie et al. 2023): mean hashed-unigram
+      // log-ratio ln(p_target/p_source) per doc, target = the English
+      // subset. md5 bucketing + integerized log-ratios make every
+      // weight engine-portable → full DuckDB oracle. One bucket-keyed
+      // token exchange; the B-row model broadcasts (PlanSpec).
+      graft.operators.Dsir.weights(Tables.documents(s, d), "doc_id",
+        "text", col("lang") === "en")),
+
+    "q_dsir_sample" -> ((s, d) =>
+      // the resampling half: keep docs with portable-uniform
+      // u < sigmoid(3·weight) — a pure per-row filter (never a
+      // corpus-wide Gumbel top-k sort), tilting the corpus toward
+      // the target distribution
+      graft.operators.Dsir.sample(Tables.documents(s, d), "doc_id",
+        "text", col("lang") === "en")),
+
     "q_dedup_exact" -> ((s, d) =>
       // the 500-doc gate corpora carry no planted duplicates (the
       // generator plants 1/625), so the gate re-crawls a deterministic
@@ -3676,6 +3693,85 @@ object SparkEntry {
          SELECT CAST(w.doc_id AS BIGINT) AS doc_id, w.source, w.n_tok
          FROM w JOIN q ON w.source = q.source
          WHERE w.tok_before < q.quota""",
+
+    "q_dsir_weights" ->
+      """WITH t AS (
+           SELECT doc_id, lang = 'en' AS is_t,
+             CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+           FROM documents
+         ), tok AS (
+           SELECT doc_id, is_t, unnest(toks) AS term FROM t
+         ), tok2 AS (
+           SELECT doc_id, is_t,
+             ('0x' || substr(md5(term || '#13'), 1, 8))::BIGINT % 1024 AS b
+           FROM tok WHERE length(term) > 0
+         ), dist AS (
+           SELECT b, CAST(count(*) AS BIGINT) AS src,
+             CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS tgt
+           FROM tok2 GROUP BY b
+         ), tot AS (
+           SELECT sum(src) AS src_tot, sum(tgt) AS tgt_tot FROM dist
+         ), ilr AS (
+           SELECT b,
+             CAST(floor(ln(
+               ((tgt + 1.0) / (tgt_tot + 1024.0)) /
+               ((src + 1.0) / (src_tot + 1024.0))) * 1000000.0 + 0.5)
+               AS BIGINT) AS ilr
+           FROM dist, tot
+         ), pd AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok, sum(ilr) AS s
+           FROM tok2 JOIN ilr USING (b) GROUP BY doc_id
+         )
+         SELECT d.doc_id, coalesce(n_tok, 0) AS n_tok,
+           CASE WHEN n_tok IS NULL THEN 0.0
+                ELSE floor(CAST(s AS DOUBLE) / (n_tok * 1000000.0)
+                       * 10000.0 + 0.5) / 10000.0 END AS dsir_logratio
+         FROM documents d LEFT JOIN pd USING (doc_id)""",
+
+    "q_dsir_sample" ->
+      """WITH t AS (
+           SELECT doc_id, lang = 'en' AS is_t,
+             CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+           FROM documents
+         ), tok AS (
+           SELECT doc_id, is_t, unnest(toks) AS term FROM t
+         ), tok2 AS (
+           SELECT doc_id, is_t,
+             ('0x' || substr(md5(term || '#13'), 1, 8))::BIGINT % 1024 AS b
+           FROM tok WHERE length(term) > 0
+         ), dist AS (
+           SELECT b, CAST(count(*) AS BIGINT) AS src,
+             CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS tgt
+           FROM tok2 GROUP BY b
+         ), tot AS (
+           SELECT sum(src) AS src_tot, sum(tgt) AS tgt_tot FROM dist
+         ), ilr AS (
+           SELECT b,
+             CAST(floor(ln(
+               ((tgt + 1.0) / (tgt_tot + 1024.0)) /
+               ((src + 1.0) / (src_tot + 1024.0))) * 1000000.0 + 0.5)
+               AS BIGINT) AS ilr
+           FROM dist, tot
+         ), pd AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok, sum(ilr) AS s
+           FROM tok2 JOIN ilr USING (b) GROUP BY doc_id
+         ), w AS (
+           SELECT d.doc_id,
+             CASE WHEN n_tok IS NULL THEN 0.0
+                  ELSE floor(CAST(s AS DOUBLE) / (n_tok * 1000000.0)
+                         * 10000.0 + 0.5) / 10000.0 END AS dsir_logratio
+           FROM documents d LEFT JOIN pd USING (doc_id)
+         ), p AS (
+           SELECT doc_id, dsir_logratio,
+             floor(1.0 / (1.0 + exp(dsir_logratio * -3.0))
+               * 10000.0 + 0.5) / 10000.0 AS accept_p
+           FROM w
+         )
+         SELECT doc_id, dsir_logratio, accept_p FROM p
+         WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#29'), 1, 8))::BIGINT
+                 / 4294967296.0 < accept_p""",
 
     "q_train_split" ->
       """WITH b AS (

@@ -3,10 +3,10 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.util.sketch.CountMinSketch
-import graft.operators.{HeavyHitters, Sampling, TokenBudget}
+import graft.operators.{Dsir, HeavyHitters, Sampling, TokenBudget}
 
-/** Round-9 operators: Count-Min heavy hitters and token-budget
-  * corpus mixing.
+/** Round-9 operators: Count-Min heavy hitters, token-budget corpus
+  * mixing, and DSIR importance resampling.
   */
 class Round9OpsSpec extends SparkSpec {
   import spark.implicits._
@@ -82,5 +82,97 @@ class Round9OpsSpec extends SparkSpec {
 
   test("token budget: zero budget selects nothing") {
     assert(TokenBudget.select(docs, "doc_id", "source", "text", 0L).count() === 0L)
+  }
+
+  test("DSIR: target-like docs outscore source-typical docs; empty doc is (0, 0.0)") {
+    // planted construction: the target subset speaks "alpha beta
+    // gamma", the rest speaks "zork quux blarg"; a held-out doc in
+    // each dialect must land on the matching side of zero. Token
+    // counts are large relative to nBuckets so the add-1 smoothing
+    // can't flatten the signal (at count ≪ B the smoothed target and
+    // source distributions both collapse toward uniform).
+    val tgt = "alpha beta gamma " * 10 // 30 tokens
+    val src = "zork quux blarg " * 10
+    val corpus = Seq(
+      (1L, tgt.trim, true),
+      (2L, tgt.trim, true),
+      (3L, tgt.trim, true),
+      (4L, src.trim, false),
+      (5L, src.trim, false),
+      (6L, tgt.trim, false), // target-dialect text OUTSIDE the target set
+      (7L, src.trim, false),
+      (8L, "", false)
+    ).toDF("doc_id", "text", "is_t")
+    val w = Dsir.weights(corpus, "doc_id", "text", col("is_t"), nBuckets = 8)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(w(8L) === ((0L, 0.0)), "token-less doc carries (0, 0.0)")
+    assert(w(1L)._2 > 0.0, s"in-target doc must score positive: ${w(1L)}")
+    assert(w(6L)._2 > 0.0,
+      s"target-DIALECT doc outside the target set still scores positive: ${w(6L)}")
+    assert(w(4L)._2 < 0.0, s"source-only dialect scores negative: ${w(4L)}")
+    assert(w(6L)._2 > w(4L)._2 + 0.5, "separation is material, not rounding noise")
+    assert(w(1L)._1 === 30L, "n_tok counts whitespace tokens")
+    assert(w(1L)._2 === w(6L)._2,
+      "identical text scores identically regardless of target membership")
+  }
+
+  test("DSIR: weights are invariant to input partitioning (integerized sums)") {
+    val a = Dsir.weights(docs, "doc_id", "text", col("lang") === "en")
+      .as[(Long, Long, Double)].collect().toSet
+    val b = Dsir.weights(docs.repartition(17), "doc_id", "text", col("lang") === "en")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(a === b)
+  }
+
+  test("DSIR sample: accepted set == independent u < sigmoid(weight) replay") {
+    val sel = Dsir.sample(docs, "doc_id", "text", col("lang") === "en")
+      .cache()
+    val w = Dsir.weights(docs, "doc_id", "text", col("lang") === "en")
+    val expected = w.select(col("doc_id"), col("dsir_logratio"),
+        (floor(lit(1.0) / (lit(1.0) + exp(col("dsir_logratio") * lit(-3.0)))
+          * lit(1e4) + lit(0.5)) / lit(1e4)).as("p"))
+      .filter(Sampling.portableUniform("doc_id", 29) < col("p"))
+      .select("doc_id").as[Long].collect().toSet
+    val got = sel.select("doc_id").as[Long].collect().toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "resample keeps a non-trivial subset")
+    assert(got.size < docs.count(), "resample must not keep everything")
+    // the tilt is real: the mean weight of the target language sits
+    // strictly above the rest (the synthetic corpus shares one
+    // vocabulary across langs, so the signal is relative frequency —
+    // keep-RATE comparison would be binomial noise at 500 docs)
+    val means = Dsir.weights(docs, "doc_id", "text", col("lang") === "en")
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy((col("lang") === "en").as("en"))
+      .agg(avg("dsir_logratio").as("m"))
+      .as[(Boolean, Double)].collect().toMap
+    assert(means(true) > means(false),
+      s"target mean weight must exceed source mean weight: $means")
+  }
+
+  test("DSIR plan: corpus tokenizes ONCE (exchange reused); B-row model broadcasts; no global window/sort") {
+    // uncached frame — the gate path. Earlier tests cached this
+    // parquet, and cache substitution would rewrite every branch to
+    // InMemoryTableScans whose canonicalized subtrees differ, so
+    // stage reuse can't be asserted through it.
+    spark.sharedState.cacheManager.clearCache()
+    val df = Dsir.weights(Tables.documents(spark, sf()), "doc_id", "text",
+      col("lang") === "en")
+    val globalWindows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty, globalWindows.mkString("\n"))
+    df.collect() // finalize AQE so stage reuse is visible
+    val p = df.queryExecution.executedPlan.toString
+    val cut = p.indexOf("== Initial Plan ==")
+    val finalP = if (cut >= 0) p.substring(0, cut) else p
+    assert(finalP.contains("BroadcastHashJoin"), finalP)
+    assert(!finalP.contains("Cartesian"), finalP)
+    assert(!finalP.contains("Exchange rangepartitioning"), finalP)
+    // the histogram and totals branches consume the SAME token
+    // exchange the per-doc branch built: 1 real tokenize, 2 reuses
+    assert("Generate explode".r.findAllIn(finalP).size === 1, finalP)
+    assert("ReusedExchange".r.findAllIn(finalP).size === 2, finalP)
   }
 }
