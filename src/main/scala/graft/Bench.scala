@@ -40,8 +40,9 @@ object Bench {
     "q_line_dedup", "q_shuffle_corpus",
     // round-9 operators, same policy — corpus-wide work gets a bench
     // row from birth: token-budget mixing (two corpus exchanges),
-    // CMS heavy hitters (sketch-per-partition exchange + exact top-k)
-    "q_token_budget", "q_heavy_hitters_sketch")
+    // CMS heavy hitters (sketch-per-partition exchange + exact top-k),
+    // DSIR importance weights (one reused token exchange + doc agg)
+    "q_token_budget", "q_heavy_hitters_sketch", "q_dsir_weights")
 
   // Timed every tier but EXCLUDED from the headline totals: these have
   // no DuckDB oracle (not SQL-expressible), so including them would make

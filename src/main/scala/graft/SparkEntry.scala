@@ -1409,6 +1409,21 @@ object SparkEntry {
       // not SQL-expressible; BpeSpec hand-verifies the merge order)
       graft.operators.Bpe.train(Tables.documents(s, d), "text", nMerges = 12)),
 
+    "q_bpe_encode" -> ((s, d) => {
+      // apply-time BPE: encode the distinct vocabulary once under the
+      // trained merge table, broadcast-join tokens, reassemble each
+      // doc's subword sequence in token order (one doc-keyed
+      // exchange). The gate folds the sequence to (count, md5) and an
+      // independent pure-Python encoder (tools/bpe_oracle.py) provides
+      // the exact expected rows per sf fixture.
+      val docs = Tables.documents(s, d)
+      val merges = graft.operators.Bpe.train(docs, "text", nMerges = 12)
+      graft.operators.Bpe.encodeDocs(docs, "doc_id", "text", merges)
+        .select(col("doc_id"),
+          size(col("bpe")).cast("long").as("n_bpe"),
+          md5(concat_ws(" ", col("bpe")).cast("binary")).as("bpe_md5"))
+    }),
+
     "q_bigram_logprob" -> ((s, d) =>
       // bigram LM quality score (add-1 smoothing): captures local word
       // order, which the unigram proxy cannot — shuffled gibberish
@@ -3525,6 +3540,15 @@ object SparkEntry {
       // and fails the gate loudly instead of passing vacuously
       """SELECT rank, "left", "right", merged, pair_count
          FROM read_parquet('/root/repo/tools/fixtures/bpe_expected_*.parquet')
+         WHERE n_docs = (SELECT count(*) FROM documents)
+           AND sum_chars = (SELECT sum(n_chars) FROM documents)""",
+
+    "q_bpe_encode" ->
+      // exact expected (count, md5-of-sequence) per doc from the same
+      // independent Python implementation, fixtures keyed like
+      // q_bpe_train's (unknown sf dir -> zero rows -> loud fail)
+      """SELECT doc_id, n_bpe, bpe_md5
+         FROM read_parquet('/root/repo/tools/fixtures/bpe_enc_*.parquet')
          WHERE n_docs = (SELECT count(*) FROM documents)
            AND sum_chars = (SELECT sum(n_chars) FROM documents)""",
 

@@ -325,4 +325,115 @@ object Bpe {
     }
     out.withColumn("n_bpe_tokens", size(col("bpe_sym")).cast("long"))
   }
+
+  /** Encode ONE word imperatively: repeatedly merge the lowest-rank
+    * adjacent pair present, greedy left-to-right non-overlapping per
+    * pick — the HuggingFace-style apply algorithm. This is EXACTLY
+    * equivalent to replaying every merge in rank order ([[mergeOnce]]
+    * / [[encodeWords]] semantics): merging rank r can only create
+    * pairs whose own merge rank is > r (a rule for a pair containing
+    * the merged symbol can only have been trained after that symbol
+    * existed), so no lower-rank pair ever (re)appears once passed.
+    * BpeSpec pins the two paths bit-identical on a trained table.
+    */
+  private[operators] def encodeWordLocal(
+      w: String, ranks: Map[(String, String), Int]): Array[String] = {
+    val syms = scala.collection.mutable.ArrayBuffer.from(
+      w.split("").filter(_.nonEmpty)) += EndMark
+    var continue = true
+    while (continue && syms.length > 1) {
+      var bestRank = Int.MaxValue
+      var bestPair: (String, String) = null
+      var j = 0
+      while (j < syms.length - 1) {
+        val p = (syms(j), syms(j + 1))
+        ranks.get(p).foreach { r =>
+          if (r < bestRank) { bestRank = r; bestPair = p }
+        }
+        j += 1
+      }
+      if (bestPair == null) continue = false
+      else {
+        // greedy left-to-right non-overlapping replay of that one merge
+        val (a, b) = bestPair
+        val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms.clear(); syms ++= out
+      }
+    }
+    syms.toArray
+  }
+
+  /** [[encodeWords]] for merge tables too deep to bake into a
+    * projection chain (a 32k-merge vocabulary would be 32k stacked
+    * projections): broadcast the rank map, encode each distinct word
+    * per-partition with the lowest-rank-first algorithm. Same output
+    * as [[encodeWords]] (spec-pinned); `mapPartitions` is the
+    * documented last-resort here — the work is genuinely per-row
+    * imperative and the input is the VOCABULARY table, not the corpus.
+    */
+  def encodeWordsImperative(words: DataFrame, wordCol: String,
+                            merges: Seq[(String, String)]): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val ranks = merges.zipWithIndex.toMap
+    val bc = spark.sparkContext.broadcast(ranks)
+    val inCols = words.columns.toIndexedSeq
+    words.select(col(wordCol).cast("string")).as[String]
+      .mapPartitions { it =>
+        val r = bc.value
+        it.map(w => (w, encodeWordLocal(w, r)))
+      }
+      .toDF("__w", "bpe_sym")
+      .join(words, col("__w") === col(wordCol))
+      .select((inCols.map(col) :+ col("bpe_sym")): _*)
+      .withColumn("n_bpe_tokens", size(col("bpe_sym")).cast("long"))
+  }
+
+  /** Document-level BPE encoding — the 100 TB apply path: encode the
+    * DISTINCT-WORD table once (the working set is the vocabulary, not
+    * the corpus), then stream the corpus through one posexplode ⋈
+    * encoded-vocab join and reassemble each document's subword
+    * sequence in token order. The vocab side broadcasts when small;
+    * at web scale it becomes a word-keyed shuffled join — either way
+    * the per-document replay cost is paid |vocab| times, not |corpus|
+    * times. The one unavoidable exchange is the doc-keyed reassembly
+    * (order restored by sorting the collected (pos, sym) pairs — never
+    * a window). Returns (idCol, bpe: array<string>).
+    *
+    * `hofCap`: merge tables at most this deep replay as chained
+    * [[mergeOnce]] projections (plan-transparent, zero driver maps);
+    * deeper tables switch to [[encodeWordsImperative]].
+    */
+  def encodeDocs(docs: DataFrame, idCol: String, textCol: String,
+                 mergesDf: DataFrame, hofCap: Int = 64): DataFrame = {
+    // bounded collect: the merge table is |vocab|-sized by construction
+    val merges = mergesDf.select("rank", "left", "right")
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val words = docs
+      .select(explode(TF.tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0).distinct()
+    val encoded =
+      (if (merges.size <= hofCap) encodeWords(words, "w", merges)
+       else encodeWordsImperative(words, "w", merges))
+        .select(col("w"), col("bpe_sym"))
+    val toks = docs.select(col(idCol),
+        posexplode(TF.tokens(col(textCol))).as(Seq("__pos", "w")))
+      .filter(length(col("w")) > 0)
+    toks.join(broadcast(encoded), "w")
+      .groupBy(idCol)
+      .agg(collect_list(struct(col("__pos"), col("bpe_sym"))).as("__ps"))
+      .select(col(idCol),
+        flatten(transform(array_sort(col("__ps")), p => p("bpe_sym"))).as("bpe"))
+      // token-less docs reassemble to the empty sequence, not a miss
+      .join(docs.select(col(idCol)), Seq(idCol), "right")
+      .select(col(idCol),
+        coalesce(col("bpe"), array().cast("array<string>")).as("bpe"))
+  }
 }

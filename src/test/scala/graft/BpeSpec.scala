@@ -88,4 +88,46 @@ class BpeSpec extends SparkSpec {
       .agg(sum("n_bpe_tokens")).as[Long].head()
     assert(n2 < n0)
   }
+
+  test("imperative (lowest-rank-first) word encode == HOF rank-order replay on a trained table") {
+    val docs = Tables.documents(spark, sf())
+    val merges = Bpe.train(docs, "text", nMerges = 12)
+      .select("left", "right").orderBy(col("rank"))
+      .as[(String, String)].collect().toSeq
+    assert(merges.size === 12)
+    val words = docs
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0).distinct()
+    val hof = Bpe.encodeWords(words, "w", merges)
+      .select("w", "bpe_sym").as[(String, Seq[String])].collect().toMap
+    val imp = Bpe.encodeWordsImperative(words, "w", merges)
+      .select("w", "bpe_sym").as[(String, Seq[String])].collect().toMap
+    assert(hof.keySet === imp.keySet)
+    // bit-identical sequences word for word — the two algorithms are
+    // provably equivalent (created pairs always rank LATER than their
+    // creator), and this pins the implementations to the proof
+    hof.foreach { case (w, s) => assert(imp(w) === s, s"word '$w'") }
+    // and they genuinely merged something (not all-singleton output)
+    assert(hof.values.exists(_.length > 1))
+    assert(hof.values.exists(s => s.exists(_.length > 2)))
+  }
+
+  test("encodeDocs reassembles per-doc subword sequences in token order; empty doc -> []") {
+    val docs = Seq(
+      (1L, "ab aab ba"),
+      (2L, "ba ab"),     // same words, different order — order must survive
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val merges = Seq((0L, "a", "b", "ab", 9L), (1L, "ab", "</w>", "ab</w>", 9L))
+      .toDF("rank", "left", "right", "merged", "pair_count")
+    val out = Bpe.encodeDocs(docs, "doc_id", "text", merges)
+      .as[(Long, Seq[String])].collect().toMap
+    assert(out(1L) === Seq("ab</w>", "a", "ab</w>", "b", "a", "</w>"))
+    assert(out(2L) === Seq("b", "a", "</w>", "ab</w>"))
+    assert(out(3L) === Seq.empty[String])
+    // both replay depths produce the same documents
+    val imp = Bpe.encodeDocs(docs, "doc_id", "text", merges, hofCap = 0)
+      .as[(Long, Seq[String])].collect().toMap
+    assert(imp === out)
+  }
 }

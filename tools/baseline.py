@@ -27,8 +27,9 @@ HEADLINERS = [
     "q_tfidf", "q_unigram_logprob", "q_passage_dedup", "q_rolling_agg",
     "q_line_dedup", "q_shuffle_corpus",
     # round-9 operators (bench rows from birth): token-budget mixing,
-    # CMS heavy hitters (its exact top-k columns are the oracle side)
-    "q_token_budget", "q_heavy_hitters_sketch"]
+    # CMS heavy hitters (its exact top-k columns are the oracle side),
+    # DSIR importance weights
+    "q_token_budget", "q_heavy_hitters_sketch", "q_dsir_weights"]
 
 sf_dir = sys.argv[1]
 oracle = json.load(open(sys.argv[2]))

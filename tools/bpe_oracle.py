@@ -62,21 +62,42 @@ def train(word_freqs, n_merges, min_count):
     return merges
 
 
+def encode_word(w, merges):
+    """Replay merges in rank order, greedy L2R non-overlapping — the
+    trainer's replay semantics (graft.operators.Bpe.encodeWords /
+    encodeWordLocal produce the identical sequence)."""
+    s = list(w) + [END]
+    for (_, a, b, _, _) in merges:
+        out, j = [], 0
+        while j < len(s):
+            if j < len(s) - 1 and s[j] == a and s[j + 1] == b:
+                out.append(a + b)
+                j += 2
+            else:
+                out.append(s[j])
+                j += 1
+        s = out
+    return s
+
+
 def main():
+    import hashlib
     os.makedirs("tools/fixtures", exist_ok=True)
     con = duckdb.connect()
     for sf_dir in sys.argv[1:]:
         p = f"{sf_dir}/documents.parquet"
         src = p if os.path.isfile(p) else f"{p}/*.parquet"
         rows = con.execute(
-            f"SELECT text, n_chars FROM read_parquet('{src}')").fetchall()
-        sum_chars = sum(n for _, n in rows)
+            f"SELECT doc_id, text, n_chars FROM read_parquet('{src}')").fetchall()
+        sum_chars = sum(n for _, _, n in rows)
         wf = {}
-        for (text, _) in rows:
+        doc_words = {}
+        for (doc_id, text, _) in rows:
             t = (text or "").strip().lower()
-            for w in (re.split(r"\s+", t) if t else []):
-                if w:
-                    wf[w] = wf.get(w, 0) + 1
+            ws = [w for w in (re.split(r"\s+", t) if t else []) if w]
+            doc_words[doc_id] = ws
+            for w in ws:
+                wf[w] = wf.get(w, 0) + 1
         merges = train(wf, N_MERGES, MIN_COUNT)
         df = pd.DataFrame(merges,
                           columns=["rank", "left", "right", "merged", "pair_count"])
@@ -87,6 +108,25 @@ def main():
         out = f"tools/fixtures/bpe_expected_{len(rows)}_{sum_chars}.parquet"
         con.execute(f"COPY (SELECT * FROM df) TO '{out}' (FORMAT PARQUET)")
         print(f"{sf_dir}: {len(rows)} docs -> {out} ({len(merges)} merges)")
+
+        # expected document ENCODINGS under that merge table: vocabulary
+        # encoded once, docs reassembled in token order (the
+        # q_bpe_encode oracle; mirrors Bpe.encodeDocs)
+        vocab = {w: encode_word(w, merges) for w in wf}
+        enc_rows = []
+        for (doc_id, _, _) in rows:
+            toks = [t for w in doc_words[doc_id] for t in vocab[w]]
+            enc_rows.append(
+                (doc_id, len(toks),
+                 hashlib.md5(" ".join(toks).encode("utf-8")).hexdigest()))
+        edf = pd.DataFrame(enc_rows, columns=["doc_id", "n_bpe", "bpe_md5"])
+        edf["n_docs"] = len(rows)
+        edf["sum_chars"] = sum_chars
+        edf = edf.astype({"doc_id": "int64", "n_bpe": "int64",
+                          "n_docs": "int64", "sum_chars": "int64"})
+        eout = f"tools/fixtures/bpe_enc_{len(rows)}_{sum_chars}.parquet"
+        con.execute(f"COPY (SELECT * FROM edf) TO '{eout}' (FORMAT PARQUET)")
+        print(f"{sf_dir}: encodings -> {eout}")
 
 
 if __name__ == "__main__":
