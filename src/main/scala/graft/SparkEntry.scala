@@ -1294,6 +1294,19 @@ object SparkEntry {
         pround(TF.meanTokenLen(col("text")), 2).as("mean_token_len"),
         pround(TF.alphaRatio(col("text")), 4).as("alpha_ratio"))),
 
+    "q_ccnet_buckets" -> ((s, d) =>
+      // CCNet-style relative quality bucketing: head/middle/tail by
+      // the score's percentile WITHIN ITS LANGUAGE (value-based, ties
+      // share a bucket). Exact without any doc-keyed shuffle: the
+      // integerized score makes the per-lang histogram bounded, the
+      // cumulative runs over histogram rows, and docs join the
+      // broadcast (lang, score) percentile table in-scan.
+      graft.operators.QuantileFilter.buckets(
+        Tables.documents(s, d).select("doc_id", "lang", "text"),
+        "lang", TF.qualityScore(col("text"), stopwords))
+        .select(col("doc_id"), col("lang"), col("score"),
+          pround(col("frac_better"), 4).as("frac_better"), col("bucket"))),
+
     "q_weighted_sample" -> ((s, d) =>
       // quality-weighted importance sampling: keep each doc with
       // probability = its quality score, via the portable md5 uniform
@@ -2825,6 +2838,42 @@ object SparkEntry {
                               OR mean_word_len < 2.0 THEN 1 ELSE 0 END AS BIGINT)
            AS flagged
          FROM r""",
+
+    "q_ccnet_buckets" ->
+      """WITH t AS (
+           SELECT doc_id, lang,
+             CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks,
+             text
+           FROM documents
+         ), q AS (
+           SELECT doc_id, lang,
+             floor((least(CAST(len(toks) AS DOUBLE) / 50.0, 1.0)
+               + (CASE WHEN length(text) = 0 THEN 0.0
+                       ELSE CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) / length(text) END)
+               + least((CASE WHEN len(toks) = 0 THEN 0.0
+                             ELSE CAST(len(list_filter(toks,
+                                    x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE)
+                                  / len(toks) END) * 4.0, 1.0)
+               ) / 3.0 * 10000.0 + 0.5) / 10000.0 AS score
+           FROM t
+         ), h AS (
+           SELECT lang, score, CAST(count(*) AS BIGINT) AS c
+           FROM q GROUP BY 1, 2
+         ), cum AS (
+           SELECT lang, score,
+             coalesce(sum(c) OVER (PARTITION BY lang ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS better,
+             sum(c) OVER (PARTITION BY lang) AS n
+           FROM h
+         )
+         SELECT q.doc_id, q.lang, q.score,
+           floor(CAST(better AS DOUBLE) / n * 10000.0 + 0.5) / 10000.0
+             AS frac_better,
+           CASE WHEN CAST(better AS DOUBLE) / n < 0.3 THEN 'head'
+                WHEN CAST(better AS DOUBLE) / n < 0.7 THEN 'middle'
+                ELSE 'tail' END AS bucket
+         FROM q JOIN cum ON q.lang = cum.lang AND q.score = cum.score""",
 
     "q_weighted_sample" ->
       """WITH t AS (

@@ -150,6 +150,43 @@ class Round9OpsSpec extends SparkSpec {
       s"target mean weight must exceed source mean weight: $means")
   }
 
+  test("CCNet buckets: order-consistent per group, value-based ties, doc shuffle-free plan") {
+    import graft.operators.QuantileFilter
+    val out = QuantileFilter.buckets(docs.select("doc_id", "lang", "text"),
+      "lang", graft.functions.TextFunctions.qualityScore(col("text"),
+        Seq("the", "a", "of", "and", "to", "in"))).cache()
+    assert(out.count() === docs.count(), "every doc gets a bucket")
+    // within a language, head scores >= middle scores >= tail scores
+    val rng = out.groupBy("lang", "bucket")
+      .agg(min("score").as("lo"), max("score").as("hi"))
+      .as[(String, String, Double, Double)].collect()
+      .map { case (l, b, lo, hi) => (l, b) -> ((lo, hi)) }.toMap
+    rng.keys.map(_._1).toSet.foreach { (l: String) =>
+      for {
+        (hb, lb) <- Seq(("head", "middle"), ("middle", "tail"))
+        h <- rng.get((l, hb)); t <- rng.get((l, lb))
+      } assert(h._1 >= t._2, s"$l: $hb min ${h._1} < $lb max ${t._2}")
+    }
+    // value-based buckets: equal (lang, score) => equal bucket
+    assert(out.groupBy("lang", "score")
+      .agg(countDistinct("bucket").as("nb"))
+      .filter(col("nb") > 1).count() === 0L)
+    // all three buckets materialize and head is a minority
+    val sizes = out.groupBy("bucket").count()
+      .as[(String, Long)].collect().toMap
+    assert(sizes.keySet === Set("head", "middle", "tail"))
+    assert(sizes("head") < docs.count() / 2)
+    // plan: no document-keyed exchange, no corpus-wide window — the
+    // only window runs over bounded (lang, score) histogram rows
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("hashpartitioning(doc_id"), p)
+    val globalWindows = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty)
+  }
+
   test("DSIR plan: corpus tokenizes ONCE (exchange reused); B-row model broadcasts; no global window/sort") {
     // uncached frame — the gate path. Earlier tests cached this
     // parquet, and cache substitution would rewrite every branch to
