@@ -41,8 +41,13 @@ object Bench {
     // round-9 operators, same policy — corpus-wide work gets a bench
     // row from birth: token-budget mixing (two corpus exchanges),
     // CMS heavy hitters (sketch-per-partition exchange + exact top-k),
-    // DSIR importance weights (one reused token exchange + doc agg)
-    "q_token_budget", "q_heavy_hitters_sketch", "q_dsir_weights")
+    // DSIR importance weights (one reused token exchange + doc agg),
+    // CCNet quality buckets (histogram exchange + broadcast-join scan).
+    // q_bpe_encode is NOT here: its oracle is a committed fixture
+    // READ, so a DuckDB "baseline" for it would time a file scan,
+    // not the computation.
+    "q_token_budget", "q_heavy_hitters_sketch", "q_dsir_weights",
+    "q_ccnet_buckets")
 
   // Timed every tier but EXCLUDED from the headline totals: these have
   // no DuckDB oracle (not SQL-expressible), so including them would make

@@ -28,8 +28,10 @@ HEADLINERS = [
     "q_line_dedup", "q_shuffle_corpus",
     # round-9 operators (bench rows from birth): token-budget mixing,
     # CMS heavy hitters (its exact top-k columns are the oracle side),
-    # DSIR importance weights
-    "q_token_budget", "q_heavy_hitters_sketch", "q_dsir_weights"]
+    # DSIR importance weights, CCNet quality buckets (q_bpe_encode is
+    # absent on purpose: its oracle is a fixture read, not a baseline)
+    "q_token_budget", "q_heavy_hitters_sketch", "q_dsir_weights",
+    "q_ccnet_buckets"]
 
 sf_dir = sys.argv[1]
 oracle = json.load(open(sys.argv[2]))
