@@ -1542,6 +1542,20 @@ object SparkEntry {
       // encode; all-integer outputs (code checksum + ppb error bounds)
       graft.ann.Quantize.sq8Report(Tables.embeddings(s, d), "vec_id", "embedding")),
 
+    "q_pca_project" -> ((s, d) => {
+      // PCA reduce-before-index: fit = ONE corpus moment pass
+      // (per-partition d×d blocks → driver Jacobi eigensolve, the
+      // MLlib computeCovariance shape), project = pure narrow HOF.
+      // rows-only: the eigensolve is not SQL-expressible; ground
+      // truth (planted axis recovery, orthonormality, full-rank
+      // isometry, trace invariance) lives in GroundTruthSpec.
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val dim = emb.select(size(col("embedding"))).as[Int](org.apache.spark.sql.Encoders.scalaInt).head()
+      graft.ann.Pca.fitProject(emb, "embedding", k = math.max(dim / 2, 2))
+        .select(col("vec_id"),
+          transform(col("pca"), x => pround(x, 4)).as("pca"))
+    }),
+
     "q_dedup_minhash" -> ((s, d) =>
       MinHashLSH.nearDupSummary(Tables.documents(s, d), "doc_id", "text")),
 

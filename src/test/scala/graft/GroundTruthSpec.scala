@@ -209,4 +209,80 @@ class GroundTruthSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(pairwise == Set(1L, 2L, 9L))
   }
+
+  test("PCA: recovers a planted principal axis; orthonormal, variance-ordered, centered") {
+    import graft.ann.Pca
+    // planted anisotropy in d=6: points stretch 10x along a known unit
+    // axis, plus small deterministic per-coordinate jitter
+    val d = 6
+    val axis = Array(3.0, 1.0, -2.0, 0.5, -1.0, 2.0)
+    val an = math.sqrt(axis.map(x => x * x).sum)
+    val unit = axis.map(_ / an)
+    def jitter(i: Long, c: Int): Double =
+      (((i * 31 + c) * 2654435761L % 1000) / 1000.0 - 0.5) * 0.2
+    val rows = (0L until 400L).map { i =>
+      val t = (i % 41).toDouble - 20.0 // spread in [-20, 20]
+      (i, (0 until d).map(c => (t * unit(c) + jitter(i, c)).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val m = Pca.fit(df, "embedding", k = 3)
+    // component 1 is the planted axis (up to sign — canon makes it deterministic)
+    val c1 = m.components(0)
+    val cos = c1.zip(unit).map { case (a, b) => a * b }.sum
+    assert(math.abs(cos) > 0.99, s"axis cosine ${cos}")
+    // orthonormal rows
+    for (a <- 0 until m.k; b <- a until m.k) {
+      val dot = m.components(a).zip(m.components(b)).map { case (x, y) => x * y }.sum
+      val expect = if (a == b) 1.0 else 0.0
+      assert(math.abs(dot - expect) < 1e-6, s"W[$a]·W[$b] = $dot")
+    }
+    // eigenvalues descending, dominant one dominant
+    assert(m.eigenvalues.sliding(2).forall(p => p(0) >= p(1) - 1e-9))
+    assert(m.eigenvalues(0) > 10 * m.eigenvalues(1),
+      s"planted axis must dominate: ${m.eigenvalues.toSeq}")
+    // projection: centered, variance-ordered per component
+    val proj = Pca.fitProject(df, "embedding", 3)
+      .select("pca").as[Seq[Double]].collect()
+    val n = proj.length.toDouble
+    for (c <- 0 until 3) {
+      val mean = proj.map(_(c)).sum / n
+      assert(math.abs(mean) < 1e-6, s"component $c mean $mean")
+    }
+    val vars = (0 until 3).map(c => proj.map(v => v(c) * v(c)).sum / n)
+    assert(vars(0) >= vars(1) && vars(1) >= vars(2), vars.toString)
+    // determinism under re-partitioning (covariance rounding kills
+    // partition-order float drift)
+    val m2 = Pca.fit(df.repartition(13), "embedding", k = 3)
+    assert(m2.components.map(_.toSeq).toSeq == m.components.map(_.toSeq).toSeq)
+    assert(m2.mean.toSeq == m.mean.toSeq)
+  }
+
+  test("PCA at full rank is a rotation of centered data: L2 distances and variance preserved") {
+    import graft.ann.Pca
+    val emb = Tables.embeddings(spark, sf()).select("vec_id", "embedding").cache()
+    val dim = emb.select(size(col("embedding"))).as[Int].head()
+    val m = Pca.fit(emb, "embedding", k = dim)
+    val proj = Pca.fitProject(emb, "embedding", dim).filter(col("vec_id") < 30)
+      .select("vec_id", "embedding", "pca")
+      .as[(Long, Seq[Float], Seq[Double])].collect()
+    def l2(a: Seq[Double], b: Seq[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    // full-rank W is orthonormal, so projection = rotation after the
+    // mean shift: every pairwise Euclidean distance is invariant —
+    // a guaranteed property (unlike neighbor sets under truncation,
+    // which isotropic random vectors don't owe anybody)
+    for (i <- proj.indices; j <- (i + 1) until math.min(proj.length, i + 6)) {
+      val orig = l2(proj(i)._2.map(_.toDouble), proj(j)._2.map(_.toDouble))
+      val rot = l2(proj(i)._3, proj(j)._3)
+      assert(math.abs(orig - rot) < 1e-3, s"pair ($i,$j): $orig vs $rot")
+    }
+    // total variance = Σ eigenvalues (trace invariance)
+    val n = emb.count().toDouble
+    val totVar = Pca.fitProject(emb, "embedding", dim)
+      .select(explode(col("pca")).as("y")).agg(sum(col("y") * col("y")))
+      .as[Double].head() / n
+    val eigSum = m.eigenvalues.sum
+    assert(math.abs(totVar - eigSum) / eigSum < 1e-6,
+      s"trace $totVar vs eigenvalue sum $eigSum")
+  }
 }
