@@ -1,9 +1,10 @@
 package graft
 
 /** Dev-loop timing harness: time named SparkEntry queries on a data
-  * dir (count() action, cache cleared between runs — the same
-  * measurement discipline as [[Bench.timeQueries]], without the tier
-  * machinery). Not part of the driver contract.
+  * dir (FULL materialization via toRdd — count() would let Catalyst
+  * prune computed projections the baseline engine pays for; the same
+  * measurement discipline as Bench, without the tier machinery).
+  * Not part of the driver contract.
   *
   * usage: runMain graft.TimeQ <sfDir> <runs> <q1> [q2...]
   */
@@ -15,10 +16,12 @@ object TimeQ {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def exec(df: org.apache.spark.sql.DataFrame): Unit =
+      df.queryExecution.toRdd.foreach(_ => ())
     // JIT warm-up on the smallest SF
     names.foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
-        try fn(spark, "/root/testdata/sf0.001").count()
+        try exec(fn(spark, "/root/testdata/sf0.001"))
         catch { case _: Throwable => () }
       }
     }
@@ -28,7 +31,7 @@ object TimeQ {
           val ts = (1 to runs).map { _ =>
             spark.sharedState.cacheManager.clearCache()
             val t0 = System.nanoTime()
-            fn(spark, dir).count()
+            exec(fn(spark, dir))
             (System.nanoTime() - t0) / 1e9
           }
           println(f"TIMEQ $n min=${ts.min}%.3f runs=${ts.map(t => f"$t%.3f").mkString(",")}")

@@ -66,13 +66,22 @@ object TextFunctions {
     * across engines).
     */
   def qualityScore(text: Column, stopwords: Seq[String]): Column = {
-    val nTok = tokenCount(text).cast("double")
-    val lengthTerm = least(nTok / lit(50.0), lit(1.0))
-    val alphaTerm = alphaRatio(text)
-    val stopTerm = least(stopwordRatio(text, stopwords) * lit(4.0), lit(1.0))
-    // floor(x*1e4+0.5)/1e4 instead of round(): identical IEEE ops on
-    // the identical binary double in every engine (see SparkEntry).
-    floor((lengthTerm + alphaTerm + stopTerm) / lit(3.0) * lit(10000.0) + lit(0.5)) / lit(10000.0)
+    val stops = array(stopwords.map(lit): _*)
+    // ONE tokenize for both the length and stopword terms — the naive
+    // composition split the text twice per row, which is the dominant
+    // cost of this (interpreted-HOF) expression on a corpus pass
+    bindOnce(tokens(text), ts => {
+      val nTok = size(ts).cast("double")
+      val lengthTerm = least(nTok / lit(50.0), lit(1.0))
+      val alphaTerm = alphaRatio(text)
+      val stopTerm = least(
+        when(size(ts) === 0, lit(0.0)).otherwise(
+          size(filter(ts, t => array_contains(stops, t))).cast("double") / nTok)
+          * lit(4.0), lit(1.0))
+      // floor(x*1e4+0.5)/1e4 instead of round(): identical IEEE ops on
+      // the identical binary double in every engine (see SparkEntry).
+      floor((lengthTerm + alphaTerm + stopTerm) / lit(3.0) * lit(10000.0) + lit(0.5)) / lit(10000.0)
+    })
   }
 
   /** Language scores: for each (lang, markers) pair, the count of

@@ -39,7 +39,15 @@ object QuantileFilter {
               headFrac: Double = 0.3, midFrac: Double = 0.4): DataFrame = {
     require(headFrac > 0 && midFrac > 0 && headFrac + midFrac < 1.0,
       s"bucket fractions must be positive and sum below 1: $headFrac, $midFrac")
-    val scored = df.withColumn("score", score)
+    // coalesce makes the attribute NON-NULLABLE (null scores rank as
+    // 0.0 = worst). This is a performance load-bearer, not just a
+    // convention: `score` becomes a join key below, and a nullable
+    // computed key makes Catalyst infer isnotnull(<the whole score
+    // expression>) into a separate non-codegen Filter that
+    // re-evaluates the expression per row — measured 60× on the
+    // sf10 corpus (6.1 s vs 0.1 s for the identical q_quality_score
+    // projection).
+    val scored = df.withColumn("score", coalesce(score, lit(0.0)))
     val hist = scored.groupBy(col(groupCol), col("score"))
       .agg(count(lit(1)).as("__c"))
     // per-group cumulative over HISTOGRAM rows (bounded by the score
