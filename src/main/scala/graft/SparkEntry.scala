@@ -1501,6 +1501,14 @@ object SparkEntry {
       Knn.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
     }),
 
+    "q_hard_negatives" -> ((s, d) => {
+      // contrastive hard-negative mining: top-5 nearest with a
+      // DIFFERENT label per query — label filter prunes before the
+      // cosine, corpus never shuffles, WindowGroupLimit top-k
+      val emb = Tables.embeddings(s, d)
+      Knn.hardNegatives(emb, emb.filter(col("vec_id") < 8), k = 5)
+    }),
+
     "q_ann_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       // 16 tables: 1-(1-p^4)^16 ~ 0.94 expected recall at the top-5
@@ -3895,6 +3903,28 @@ object SparkEntry {
            FROM scored
          )
          SELECT query_id, CAST(rnk AS BIGINT) AS rank, nbr_id, sim
+         FROM ranked WHERE rnk <= 5""",
+
+    "q_hard_negatives" ->
+      """WITH q AS (
+           SELECT vec_id AS query_id, label AS q_label,
+             CAST(embedding AS DOUBLE[]) AS q_emb
+           FROM embeddings WHERE vec_id < 8
+         ), c AS (
+           SELECT vec_id AS nbr_id, label AS nbr_label,
+             CAST(embedding AS DOUBLE[]) AS c_emb
+           FROM embeddings
+         ), scored AS (
+           SELECT query_id, nbr_id, nbr_label,
+             round(list_dot_product(q_emb, c_emb)
+               / (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(c_emb, c_emb))), 4)
+               AS sim
+           FROM c CROSS JOIN q WHERE nbr_label <> q_label
+         ), ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr_id ASC) AS rnk
+           FROM scored
+         )
+         SELECT query_id, CAST(rnk AS BIGINT) AS rank, nbr_id, nbr_label, sim
          FROM ranked WHERE rnk <= 5""",
 
     // exact mirror of q_pii_redact: identical planted PII, identical

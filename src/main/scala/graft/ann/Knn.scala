@@ -39,6 +39,34 @@ object Knn {
         col("nbr_id"), col("sim"))
   }
 
+  /** Contrastive hard-negative mining: per query, the top-k
+    * most-cosine-similar corpus vectors carrying a DIFFERENT label —
+    * the "closest wrong answers" a contrastive/triplet trainer wants
+    * as negatives (in-batch random negatives are mostly easy; the
+    * gradient lives in the hard ones). Same scale shape as
+    * [[bruteForceTopK]]: the query set broadcasts, the corpus never
+    * shuffles, the label mismatch prunes BEFORE the cosine is
+    * evaluated, and the per-query top-k plans as WindowGroupLimit
+    * (partial top-k below the exchange). Output: (query_id, rank,
+    * nbr_id, nbr_label, sim).
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+                    labelCol: String = "label"): DataFrame = {
+    val c = corpus.select(col("vec_id").as("nbr_id"),
+      col(labelCol).as("nbr_label"), col("embedding").as("c_emb"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col(labelCol).as("q_label"), col("embedding").as("q_emb"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("nbr_label") =!= col("q_label"))
+      .withColumn("sim", VectorFunctions.cosineRounded(col("q_emb"), col("c_emb"), 4))
+      .select("query_id", "nbr_id", "nbr_label", "sim")
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("nbr_id"), col("nbr_label"), col("sim"))
+  }
+
   /** Approximate top-k via multi-table SRP-LSH.
     *
     * Corpus explodes to `tables` (nbr_id, bucket) rows — ids only, the

@@ -187,6 +187,29 @@ class Round9OpsSpec extends SparkSpec {
     assert(globalWindows.isEmpty)
   }
 
+  test("hard negatives: labels always differ, sims bounded by unrestricted top-1, WindowGroupLimit plan") {
+    import graft.ann.Knn
+    val emb = Tables.embeddings(spark, sf()).cache()
+    val queries = emb.filter(col("vec_id") < 8)
+    val hn = Knn.hardNegatives(emb, queries, k = 5).cache()
+    val labels = queries.select("vec_id", "label")
+      .as[(Long, Int)].collect().toMap
+    val rows = hn.select("query_id", "nbr_label", "sim")
+      .as[(Long, Int, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, nl, _) =>
+      assert(nl !== labels(q), s"query $q got a same-label 'negative'")
+    }
+    // the unrestricted top-1 dominates the label-restricted top-1
+    val unrestricted = Knn.bruteForceTopK(emb, queries, k = 1)
+      .select("query_id", "sim").as[(Long, Double)].collect().toMap
+    hn.filter(col("rank") === 1).select("query_id", "sim")
+      .as[(Long, Double)].collect().foreach { case (q, s) =>
+        assert(s <= unrestricted(q) + 1e-9, s"query $q: $s > ${unrestricted(q)}")
+      }
+    assert(hn.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
+
   test("DSIR plan: corpus tokenizes ONCE (exchange reused); B-row model broadcasts; no global window/sort") {
     // uncached frame — the gate path. Earlier tests cached this
     // parquet, and cache substitution would rewrite every branch to
