@@ -1214,7 +1214,7 @@ object SparkEntry {
       val planted = emb.filter(col("vec_id") < 20)
         .select((col("vec_id") + 10000000L).as("vec_id"),
           transform(col("embedding"), x => x * lit(0.99f)).as("embedding"))
-      SemDeDup.verdicts(emb.unionByName(planted), c = 8, eps = 0.95)
+      SemDeDup.verdictsAuto(emb.unionByName(planted), eps = 0.95)
         .filter(col("removed")).select("vec_id")
     }),
 

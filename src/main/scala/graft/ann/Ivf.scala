@@ -26,7 +26,13 @@ object Ivf {
     * with `iters` Lloyd refinements.
     */
   def centroids(corpus: DataFrame, c: Int, iters: Int = 2): DataFrame = {
-    val emb = corpus.select(col("vec_id"), VectorFunctions.toDouble(col("embedding")).as("emb"))
+    // keep the STORED element width (float for the testdata corpus):
+    // the native cosine casts per element inside its fused loop, so
+    // results are bit-identical to an up-front toDouble while every
+    // assignment/pair pass moves half the bytes; Lloyd means still
+    // accumulate in double (Spark's avg) so centroids come out
+    // array<double> after the first refinement either way
+    val emb = corpus.select(col("vec_id"), col("embedding").as("emb"))
     // Seed selection: top-c by a pseudo-random hash order. The
     // orderBy().limit(c) plans as TakeOrderedAndProject — per-partition
     // top-c then c rows merged on one task — never a whole-corpus
@@ -72,9 +78,7 @@ object Ivf {
     * this partitioned by cluster_id once and reuse.
     */
   def index(corpus: DataFrame, cents: DataFrame): DataFrame =
-    assignTo(
-      corpus.select(col("vec_id"), VectorFunctions.toDouble(col("embedding")).as("emb")),
-      cents)
+    assignTo(corpus.select(col("vec_id"), col("embedding").as("emb")), cents)
 
   /** nprobe nearest cells per query: (query_id, cluster_id, q_emb). */
   private def probe(qEmb: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
@@ -101,8 +105,7 @@ object Ivf {
   }
 
   private def queryEmb(queries: DataFrame): DataFrame =
-    queries.select(col("vec_id").as("query_id"),
-      VectorFunctions.toDouble(col("embedding")).as("q_emb"))
+    queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
 
   /** Approximate top-k: probe the `nprobe` nearest cells per query. */
   def topK(corpus: DataFrame, queries: DataFrame, k: Int,
@@ -159,8 +162,7 @@ object Ivf {
     // exact rerank: candidate ids (≤ queries·k·refine rows) broadcast
     // against the raw corpus — a point lookup, not a corpus scan join
     val exact = candidates
-      .join(corpus.select(col("vec_id"),
-        VectorFunctions.toDouble(col("embedding")).as("emb")), Seq("vec_id"))
+      .join(corpus.select(col("vec_id"), col("embedding").as("emb")), Seq("vec_id"))
       .withColumn("sim", round(VectorFunctions.cosine(col("q_emb"), col("emb")), 4))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id").asc)
     exact.withColumn("rank", row_number().over(w))

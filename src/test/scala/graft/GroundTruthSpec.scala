@@ -102,6 +102,23 @@ class GroundTruthSpec extends SparkSpec {
     // survivors == the original corpus, so dedup() is count-preserving
     assert(graft.dedup.SemDeDup.dedup(corpus, c = 8, eps = 0.95).count()
       === emb.count())
+    // the auto-scaled form (corpus-sized cell count, sampled centroid
+    // training) must land on the identical verdict set: exact copies
+    // co-cluster at ANY cell count because assignment is direction-only
+    val removedAuto = graft.dedup.SemDeDup.verdictsAuto(corpus, eps = 0.95)
+      .filter(col("removed")).select("vec_id").as[Long].collect().toSet
+    assert(removedAuto === removed, s"auto=$removedAuto manual=$removed")
+  }
+
+  test("SemDeDup autoCells: paper's C ∝ corpus rule, clamped") {
+    import graft.dedup.SemDeDup.autoCells
+    assert(autoCells(36L) === 8)            // floor: tiny corpora
+    assert(autoCells(200000L) === 447)      // √n at the sf10 gate size
+    assert(autoCells(600000L) === 775)
+    assert(autoCells(100000000L) === 4096)  // ceiling: broadcast stays tiny
+    // monotone non-decreasing across 4 decades
+    val pts = Seq(1000L, 10000L, 100000L, 1000000L, 10000000L).map(autoCells)
+    assert(pts === pts.sorted, s"not monotone: $pts")
   }
 
   test("ANN LSH and IVF: recall vs brute-force top-5 meets measured floors") {
