@@ -260,9 +260,15 @@ object SparkEntry {
       // shuffle. (q5 keeps its broadcast chain: its probe is the
       // UNFILTERED fact, and shuffling 100% of lineitem measured 2×
       // worse than building its smaller asian-orders broadcast.)
-      l.join(co.hint("shuffle_hash"), col("o_orderkey") === col("l_orderkey"))
+      // revenue is computed BEFORE the fact exchange: the shuffle
+      // then moves (l_orderkey, rev) = 16 B/row instead of
+      // (l_orderkey, l_extendedprice, l_discount) = 24 B/row — same
+      // arithmetic, a third less fact-shuffle traffic
+      val lrev = l.select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      lrev.join(co.hint("shuffle_hash"), col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(round(sum(col("rev")), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
         .limit(10)
         .select(col("l_orderkey"),
@@ -1293,6 +1299,27 @@ object SparkEntry {
         TF.qualityScore(col("text"), stopwords).as("quality"),
         pround(TF.meanTokenLen(col("text")), 2).as("mean_token_len"),
         pround(TF.alphaRatio(col("text")), 4).as("alpha_ratio"))),
+
+    "q_gopher_rules" -> ((s, d) => {
+      // Gopher/MassiveText document-shape rules (Rae et al. 2021
+      // §A1.1) as one fused scan pass. The corpus rows run through
+      // unfiltered (their signals computed honestly); four planted
+      // docs under high ids — bullet-led, ellipsis-ended, too-short,
+      // symbol-heavy — guarantee each rule has a violator at every
+      // SF, plus one constructed doc that PASSES all seven rules, so
+      // a threshold or tokenizer regression flips the row hash red.
+      // Planting is literal VALUES mirrored verbatim in the oracle.
+      import s.implicits._
+      val planted = Seq(
+        (20000001L, ("- alpha beta gamma delta epsilon zeta eta theta iota kappa\n" * 10)),
+        (20000002L, ("we continued into the night...\n" * 10)),
+        (20000003L, "too short"),
+        (20000004L, ("the tag # of # and # that # have # with #\n" * 6)),
+        (20000005L, ("the quick brown fox jumps over that lazy dog to be of and have with great zeal " * 5)))
+        .toDF("doc_id", "text")
+      GopherRules.signals(
+        Tables.documents(s, d).select("doc_id", "text").unionByName(planted))
+    }),
 
     "q_ccnet_buckets" -> ((s, d) =>
       // CCNet-style relative quality bucketing: head/middle/tail by
@@ -2860,6 +2887,59 @@ object SparkEntry {
                               OR mean_word_len < 2.0 THEN 1 ELSE 0 END AS BIGINT)
            AS flagged
          FROM r""",
+
+    "q_gopher_rules" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT 20000001,
+             repeat('- alpha beta gamma delta epsilon zeta eta theta iota kappa' || chr(10), 10)
+           UNION ALL SELECT 20000002,
+             repeat('we continued into the night...' || chr(10), 10)
+           UNION ALL SELECT 20000003, 'too short'
+           UNION ALL SELECT 20000004,
+             repeat('the tag # of # and # that # have # with #' || chr(10), 6)
+           UNION ALL SELECT 20000005,
+             repeat('the quick brown fox jumps over that lazy dog to be of and have with great zeal ', 5)
+         ), t AS (
+           SELECT doc_id, text,
+             CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks,
+             string_split(text, chr(10)) AS lns
+           FROM corpus
+         ), sig AS (
+           SELECT doc_id,
+             len(toks) AS word_count,
+             len(list_filter(toks, x -> list_contains(
+               ['the','be','to','of','and','that','have','with'], x))) AS stopword_hits,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                       / len(toks) END AS alpha_word_ratio,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                       / len(toks) END AS mean_word_len,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE CAST(len(regexp_extract_all(text, '#|\.{3}|…')) AS DOUBLE)
+                       / len(toks) END AS symbol_word_ratio,
+             CAST(len(list_filter(lns, x -> regexp_matches(x, '^\s*[-*•]'))) AS DOUBLE)
+               / len(lns) AS bullet_line_ratio,
+             CAST(len(list_filter(lns, x -> regexp_matches(x, '(\.{3}|…)\s*$'))) AS DOUBLE)
+               / len(lns) AS ellipsis_line_ratio
+           FROM t
+         )
+         SELECT doc_id, word_count, stopword_hits,
+           floor(alpha_word_ratio*10000+0.5)/10000 AS alpha_word_ratio,
+           floor(mean_word_len*100+0.5)/100 AS mean_word_len,
+           floor(symbol_word_ratio*10000+0.5)/10000 AS symbol_word_ratio,
+           floor(bullet_line_ratio*10000+0.5)/10000 AS bullet_line_ratio,
+           floor(ellipsis_line_ratio*10000+0.5)/10000 AS ellipsis_line_ratio,
+           ((word_count BETWEEN 50 AND 100000)
+             AND (mean_word_len BETWEEN 3.0 AND 10.0)
+             AND symbol_word_ratio <= 0.1
+             AND bullet_line_ratio <= 0.9
+             AND ellipsis_line_ratio <= 0.3
+             AND alpha_word_ratio >= 0.8
+             AND stopword_hits >= 2) AS keep
+         FROM sig""",
 
     "q_ccnet_buckets" ->
       """WITH t AS (

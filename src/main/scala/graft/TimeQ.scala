@@ -30,6 +30,11 @@ object TimeQ {
         case Some(fn) =>
           val ts = (1 to runs).map { _ =>
             spark.sharedState.cacheManager.clearCache()
+            // same inter-run discipline as Bench: enqueue the prior
+            // run's weak refs so the ContextCleaner frees shuffle
+            // blocks/broadcasts OUTSIDE the timed window (without it
+            // sf30 back-to-back runs degraded 14 -> 24 -> 34 s)
+            System.gc(); Thread.sleep(300)
             val t0 = System.nanoTime()
             exec(fn(spark, dir))
             (System.nanoTime() - t0) / 1e9

@@ -235,4 +235,41 @@ class Round9OpsSpec extends SparkSpec {
     assert("Generate explode".r.findAllIn(finalP).size === 1, finalP)
     assert("ReusedExchange".r.findAllIn(finalP).size === 2, finalP)
   }
+
+  test("Gopher rules: each rule flips keep independently; signals plan is a pure scan pass") {
+    import graft.operators.GopherRules
+    // a doc that passes all seven rules, then seven single-rule
+    // mutations of it — each must fail ONLY its targeted rule
+    val passing = ("the quick brown fox jumps over that lazy dog " +
+      "to be of and have with great zeal ") * 5
+    val cases = Seq(
+      0L -> passing,
+      1L -> "the fox to be", // word_count < 50
+      2L -> (("ab " * 30) + "the to be of and that have with"), // mean_word_len < 3
+      3L -> (passing + ("# " * 12)), // symbol ratio > 0.1
+      4L -> (1 to 10).map(_ => "- " + passing.take(60)).mkString("\n"), // bullets
+      5L -> (1 to 10).map(_ => passing.take(60).trim + "...").mkString("\n"), // ellipsis
+      6L -> (passing + ("123 " * 30)), // alpha_word_ratio < 0.8
+      7L -> passing.replaceAll("\\b(the|that|to|be|of|and|have|with)\\b", "word")) // stopwords
+    val out = GopherRules.signals(cases.toDF("doc_id", "text"))
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(out(0L), "the base doc must pass all rules")
+    (1L to 7L).foreach(i => assert(!out(i), s"case $i should fail its rule"))
+    // per-signal spot checks on the targeted mutations
+    val sig = GopherRules.signals(cases.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(sig(1L).getLong(1) < 50L)                                  // word_count
+    assert(sig(2L).getDouble(4) < 3.0)                                // mean_word_len
+    assert(sig(3L).getDouble(5) > 0.1)                                // symbol_word_ratio
+    assert(sig(4L).getDouble(6) > 0.9)                                // bullet_line_ratio
+    assert(sig(5L).getDouble(7) > 0.3)                                // ellipsis_line_ratio
+    assert(sig(6L).getDouble(3) < 0.8)                                // alpha_word_ratio
+    assert(sig(7L).getLong(2) < 2L)                                   // stopword_hits
+    // 100 TB shape: the whole bundle fuses into the scan — zero
+    // exchanges, zero generates (no explode+groupBy tokenization)
+    val p = GopherRules.signals(Tables.documents(spark, sf()).select("doc_id", "text"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Generate"), p)
+  }
 }
