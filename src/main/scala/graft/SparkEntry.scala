@@ -263,7 +263,16 @@ object SparkEntry {
       // revenue is computed BEFORE the fact exchange: the shuffle
       // then moves (l_orderkey, rev) = 16 B/row instead of
       // (l_orderkey, l_extendedprice, l_discount) = 24 B/row — same
-      // arithmetic, a third less fact-shuffle traffic
+      // arithmetic, a third less fact-shuffle traffic (r9 A/B at
+      // sf30: 4.28 → 3.90 s min under like-for-like load). Also
+      // A/B'd and REJECTED: Spark's runtime bloom filter on the
+      // fact side (thresholds raised so InjectRuntimeFilter fires —
+      // verified in-plan). It cuts the fact shuffle 10× but pays
+      // 95M might_contain probes plus a second co evaluation for
+      // the bloom build; against local tmpfs shuffle that measured
+      // a net loss (min 4.8 vs 3.9 s). On a real cluster with
+      // network shuffle the trade reverses — the conf knob, not the
+      // plan, is the right place to flip it.
       val lrev = l.select(col("l_orderkey"),
         (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
       lrev.join(co.hint("shuffle_hash"), col("o_orderkey") === col("l_orderkey"))
