@@ -1408,6 +1408,20 @@ object SparkEntry {
         salt = 13)
         .select(col("doc_id"), col("lang"), pround(col("keep_rate"), 6).as("keep_rate"))),
 
+    "q_temperature_mix" -> ((s, d) =>
+      // temperature (alpha) sampling: the multilingual-pretraining
+      // mixture rule — target share p^alpha/sum(p^alpha), downsample-
+      // only keep rates. Per-stratum steering table (<=|langs| rows);
+      // ratios portably rounded, the pow-derived values at 6 dp
+      graft.operators.Sampling.temperatureRates(
+        Tables.documents(s, d).select(col("lang"),
+          TF.tokenCount(col("text")).as("n_tok")),
+        "lang", "n_tok", alpha = 0.5)
+        .select(col("lang"), col("actual"),
+          pround(col("share"), 6).as("share"),
+          pround(col("target_share"), 6).as("target_share"),
+          pround(col("keep_rate"), 6).as("keep_rate"))),
+
     "q_split_by_cluster" -> ((s, d) => {
       // leakage-safe train/test split: near-duplicate docs share a
       // connected-component id, and the split draw hashes the CLUSTER
@@ -3625,6 +3639,32 @@ object SparkEntry {
            floor(CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE)
              / count(*) * 1000000.0 + 0.5) / 1000000.0 AS dup_rate
          FROM documents GROUP BY 1""",
+
+    "q_temperature_mix" ->
+      """WITH t AS (
+           SELECT lang,
+             CAST(CASE WHEN length(trim(lower(text))) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(lower(text)), '\s+')) END AS BIGINT) AS n_tok
+           FROM documents
+         ), s AS (
+           SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS actual FROM t GROUP BY lang
+         ), w AS (
+           SELECT lang, actual,
+             CAST(actual AS DOUBLE) / SUM(actual) OVER () AS share,
+             pow(CAST(actual AS DOUBLE) / SUM(actual) OVER (), 0.5) AS pw,
+             SUM(actual) OVER () AS total
+           FROM s
+         ), r AS (
+           SELECT lang, actual, share,
+             pw / SUM(pw) OVER () AS target_share,
+             least(1.0, (pw / SUM(pw) OVER ()) * total / actual) AS keep_rate
+           FROM w
+         )
+         SELECT lang, actual,
+           floor(share*1000000+0.5)/1000000 AS share,
+           floor(target_share*1000000+0.5)/1000000 AS target_share,
+           floor(keep_rate*1000000+0.5)/1000000 AS keep_rate
+         FROM r""",
 
     "q_mix_rebalance" ->
       """WITH t AS (

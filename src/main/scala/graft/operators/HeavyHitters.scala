@@ -55,7 +55,14 @@ object HeavyHitters {
       .head().getAs[Array[Byte]](0)
     val cms = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
     val slack = math.ceil(eps * cms.totalCount()).toLong
-    val exact = topTerms(docs, textCol, k)
+    // cache the k-row top-k: it is referenced twice below (the probe
+    // collect and the final join), and uncached each reference would
+    // re-run the full tokenize+count pass — the harness then paid
+    // THREE corpus passes where two (sketch + exact) is the floor;
+    // the sketch pass itself must stay on the raw token stream (its
+    // whole point is the vocab-independent per-partition blob, so
+    // building it from the counted vocabulary would fake the shape)
+    val exact = topTerms(docs, textCol, k).cache()
     // k-row broadcast probe table: (term, est) straight off the
     // sketch. Explicit schema (not a product-encoder toDF): the
     // runtime TypeTag reflection behind implicits breaks under REPL

@@ -102,6 +102,38 @@ object Sampling {
     * this operator never upsamples, so the result is a strict,
     * deterministic, retry-stable subset.
     */
+  /** Temperature (alpha) sampling rates — the multilingual-pretraining
+    * mixture rule (Conneau & Lample 2019 §3.1; mT5, XLM-R): stratum i
+    * with natural share p_i is targeted at p_i^alpha / Σ p_j^alpha.
+    * alpha = 1 keeps the natural mixture; alpha → 0 approaches
+    * uniform; the usual range is 0.3–0.7, which lifts low-resource
+    * strata without letting any single stratum dominate. Downsample-
+    * only (the [[rebalanceToTargets]] convention): keep_rate =
+    * min(1, target_share · total / actual), so over-target strata
+    * thin and under-target strata pass through intact.
+    *
+    * Shape: ONE stats pass partial-aggregated to the stratum
+    * cardinality; shares, powers, and rates all computed over that
+    * tiny frame (a windowed sum over ≤|strata| rows, never a second
+    * corpus pass). Returns one row per stratum — the steering table a
+    * sampler (or [[rebalanceToTargets]] with these rates as targets)
+    * then applies as a broadcast narrow filter.
+    */
+  def temperatureRates(df: DataFrame, stratumCol: String, weightCol: String,
+                       alpha: Double): DataFrame = {
+    val stats = df.groupBy(stratumCol).agg(sum(col(weightCol)).as("actual"))
+    stats
+      .withColumn("__total", sum(col("actual")).over(Window.partitionBy()))
+      .withColumn("share", col("actual").cast("double") / col("__total"))
+      .withColumn("__pw", pow(col("share"), lit(alpha)))
+      .withColumn("target_share", col("__pw") / sum(col("__pw")).over(Window.partitionBy()))
+      .withColumn("keep_rate",
+        least(lit(1.0), col("target_share") * col("__total") / col("actual")))
+      .withColumn("expected_weight", floor(col("keep_rate") * col("actual")).cast("long"))
+      .select(col(stratumCol), col("actual").cast("long").as("actual"),
+        col("share"), col("target_share"), col("keep_rate"), col("expected_weight"))
+  }
+
   def rebalanceToTargets(df: DataFrame, idCol: String, stratumCol: String,
                          weightCol: String, targets: Map[String, Double],
                          salt: Int = 0): DataFrame = {

@@ -236,6 +236,34 @@ class Round9OpsSpec extends SparkSpec {
     assert("ReusedExchange".r.findAllIn(finalP).size === 2, finalP)
   }
 
+  test("temperature rates: alpha=1 is the natural mixture; alpha<1 lifts the tail, hand-checked") {
+    val df = Seq(("en", 900L), ("fr", 100L)).toDF("lang", "w")
+    // alpha = 1: target == natural share, every keep_rate 1.0
+    val nat = Sampling.temperatureRates(df, "lang", "w", alpha = 1.0)
+      .select("lang", "keep_rate").as[(String, Double)].collect().toMap
+    assert(nat.values.forall(r => math.abs(r - 1.0) < 1e-12), nat.toString)
+    // alpha = 0.5 hand-check: pw = sqrt(.9), sqrt(.1); target_en =
+    // sqrt(.9)/(sqrt(.9)+sqrt(.1)) = 0.75; keep_en = .75/.9 = 5/6;
+    // fr is under target -> clamps to 1
+    val t5 = Sampling.temperatureRates(df, "lang", "w", alpha = 0.5).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(math.abs(t5("en").getDouble(3) - 0.75) < 1e-9)
+    assert(math.abs(t5("en").getDouble(4) - 5.0 / 6.0) < 1e-9)
+    assert(math.abs(t5("fr").getDouble(4) - 1.0) < 1e-12)
+    assert(t5("en").getLong(5) === 750L) // expected_weight = floor(5/6 * 900)
+    // downsample-only across the real corpus at several alphas
+    val corpus = Tables.documents(spark, sf()).select(col("lang"),
+      graft.functions.TextFunctions.tokenCount(col("text")).as("n_tok"))
+    Seq(0.3, 0.7).foreach { a =>
+      val rs = Sampling.temperatureRates(corpus, "lang", "n_tok", a)
+      assert(rs.filter(col("keep_rate") > lit(1.0 + 1e-12)).count() === 0)
+      // expected post-sampling mixture is proportional to target for
+      // every thinned stratum; total expected weight <= actual total
+      val tot = rs.agg(sum("actual"), sum("expected_weight")).head()
+      assert(tot.getLong(1) <= tot.getLong(0))
+    }
+  }
+
   test("Gopher rules: each rule flips keep independently; signals plan is a pure scan pass") {
     import graft.operators.GopherRules
     // a doc that passes all seven rules, then seven single-rule
