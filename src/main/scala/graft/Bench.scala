@@ -47,7 +47,11 @@ object Bench {
     // READ, so a DuckDB "baseline" for it would time a file scan,
     // not the computation.
     "q_token_budget", "q_heavy_hitters_sketch", "q_dsir_weights",
-    "q_ccnet_buckets")
+    "q_ccnet_buckets",
+    // late-r9 operators, same bench-row-from-birth policy: the Gopher
+    // rule bundle (a full corpus scan pass) and temperature mixture
+    // rates (corpus tokenize + stratum-cardinality derivation)
+    "q_gopher_rules", "q_temperature_mix")
 
   // Timed every tier but EXCLUDED from the headline totals: these have
   // no DuckDB oracle (not SQL-expressible), so including them would make

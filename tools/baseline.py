@@ -31,7 +31,10 @@ HEADLINERS = [
     # DSIR importance weights, CCNet quality buckets (q_bpe_encode is
     # absent on purpose: its oracle is a fixture read, not a baseline)
     "q_token_budget", "q_heavy_hitters_sketch", "q_dsir_weights",
-    "q_ccnet_buckets"]
+    "q_ccnet_buckets",
+    # late-r9 operators (bench rows from birth): Gopher rule bundle,
+    # temperature mixture rates
+    "q_gopher_rules", "q_temperature_mix"]
 
 sf_dir = sys.argv[1]
 oracle = json.load(open(sys.argv[2]))
