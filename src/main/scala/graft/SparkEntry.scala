@@ -1926,7 +1926,14 @@ object SparkEntry {
       // point (see Events.attributionOuterFileStream)
       Events.attributionOuterFileStream(s, d, 30)),
 
-    "q_stream_dedup" -> ((s, d) => Events.dedupFileStream(s, d))
+    "q_stream_dedup" -> ((s, d) => Events.dedupFileStream(s, d)),
+
+    "q_stream_ingest_dedup" -> ((s, d) =>
+      // continuous-crawl ingest dedup: a file STREAM of incoming
+      // batches (full recrawl + per-id-salted fresh docs) anti-joined
+      // against the static historical corpus by content hash — the
+      // recrawl must vanish, the fresh batch must survive
+      graft.streaming.Ingest.ingestDedupFileStream(s, d))
   )
 
   // ---------------------------------------------------------------
@@ -3076,6 +3083,22 @@ object SparkEntry {
            CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
              AS sum_value
          FROM events GROUP BY event_type""",
+
+    "q_stream_ingest_dedup" ->
+      """WITH hist AS (
+           SELECT DISTINCT text FROM documents
+         ), incoming AS (
+           SELECT doc_id, text, source FROM documents
+           UNION ALL
+           SELECT doc_id, 'fresh ' || CAST(doc_id AS VARCHAR) || ' ' || text AS text, source
+           FROM documents
+         ), novel AS (
+           SELECT i.* FROM incoming i
+           WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.text = i.text)
+         )
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars
+         FROM novel GROUP BY source""",
 
     "q_sq8_quantize" ->
       """WITH ex AS (

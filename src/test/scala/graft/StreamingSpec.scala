@@ -247,8 +247,28 @@ class StreamingSpec extends SparkSpec {
     assert(n2 == expected, s"restart must not duplicate rows: $n2 vs $expected")
   }
 
+  test("ingest dedup: the recrawl batch vanishes, the fresh batch survives intact") {
+    val out = graft.streaming.Ingest.ingestDedupFileStream(spark, sf())
+      .select("source", "n_docs", "n_chars")
+      .as[(String, Long, Long)].collect().toMap2
+    // batch-side expectation: exactly the salted fresh docs (none of
+    // their texts exist in the historical corpus by construction)
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    val expected = docs.select(col("source"),
+        length(concat(lit("fresh "), col("doc_id").cast("string"),
+          lit(" "), col("text"))).as("len"))
+      .groupBy("source").agg(count(lit(1)).as("n_docs"), sum("len").as("n_chars"))
+      .as[(String, Long, Long)].collect().toMap2
+    assert(out === expected, s"stream=$out batch=$expected")
+  }
+
   private implicit class MapOps(rows: Array[(String, Long, Double)]) {
     def toMap2: Map[String, (Long, Double)] =
+      rows.map { case (k, a, b) => k -> (a, b) }.toMap
+  }
+
+  private implicit class MapOpsL(rows: Array[(String, Long, Long)]) {
+    def toMap2: Map[String, (Long, Long)] =
       rows.map { case (k, a, b) => k -> (a, b) }.toMap
   }
 }
