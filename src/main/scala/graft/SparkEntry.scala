@@ -314,6 +314,15 @@ object SparkEntry {
       // 390 MB built). Past any cap that hint drops and AQE keeps
       // the key-shuffled hash join — the correct cluster plan.
       // region⨝nation is ≤25 rows at every scale: hinted always.
+      // Late-r9 re-A/B at sf30 under like-for-like load: broadcast
+      // chain 5.2 s min vs shuffled-fact 6.4 s min — the chain holds.
+      // Decomposition: materializing asianOrders ALONE is ~1.9 s
+      // (asianCust broadcast build + the orders scan it probes), so
+      // roughly half the query is the order→nation map build that
+      // every correct plan must pay in some form; the remaining gap
+      // vs the oracle engine sits in the 180M-row unfiltered fact
+      // probe, which is the scan+probe floor, not a shuffle to
+      // remove.
       val asianNations = broadcast(n.join(broadcast(r),
         col("n_regionkey") === col("r_regionkey")))
       val asianCust = c.join(asianNations, col("c_nationkey") === col("n_nationkey"))
