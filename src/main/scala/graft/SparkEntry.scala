@@ -1417,6 +1417,33 @@ object SparkEntry {
         salt = 13)
         .select(col("doc_id"), col("lang"), pround(col("keep_rate"), 6).as("keep_rate"))),
 
+    "q_quality_classifier" -> ((s, d) => {
+      // model-based quality filter (the GPT-3/LLaMA recipe): hashed
+      // bag-of-words + logistic regression separating reference docs
+      // (the corpus as-is) from synthetic crawl negatives (the same
+      // docs token-REVERSED — a disjoint gibberish vocabulary, so the
+      // classes are linearly separable over hash buckets and the
+      // held-out fifth must score perfectly; GroundTruthSpec pins
+      // that exactly). Training is iterative treeAggregate (not
+      // SQL-expressible) → rows-only gate.
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"),
+        (pmod(col("doc_id"), lit(5)) === 4).as("is_eval"))
+      val neg = base.select((col("doc_id") + lit(30000000L)).as("doc_id"),
+        concat_ws(" ", transform(TF.tokens(col("text")), t => reverse(t))).as("text"),
+        col("is_eval"))
+      val all = base.withColumn("label", lit(1.0))
+        .unionByName(neg.withColumn("label", lit(0.0)))
+      val model = QualityClassifier.train(
+        all.filter(!col("is_eval")), "text", "label")
+      QualityClassifier.score(model, all.filter(col("is_eval")), "text")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_eval"),
+          sum(when(col("predicted") === col("label").cast("long"), 1L)
+            .otherwise(0L)).as("n_correct"))
+        .select(col("label").cast("long").as("label"), col("n_eval"), col("n_correct"))
+        .orderBy("label")
+    }),
+
     "q_temperature_mix" -> ((s, d) =>
       // temperature (alpha) sampling: the multilingual-pretraining
       // mixture rule — target share p^alpha/sum(p^alpha), downsample-

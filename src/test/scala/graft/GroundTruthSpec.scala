@@ -110,6 +110,33 @@ class GroundTruthSpec extends SparkSpec {
     assert(removedAuto === removed, s"auto=$removedAuto manual=$removed")
   }
 
+  test("quality classifier: perfect held-out separation of reference vs reversed-token crawl") {
+    import graft.operators.QualityClassifier
+    val base = Tables.documents(spark, sf()).select(col("doc_id"), col("text"),
+      (pmod(col("doc_id"), lit(5)) === 4).as("is_eval"))
+    val neg = base.select((col("doc_id") + lit(30000000L)).as("doc_id"),
+      concat_ws(" ", transform(graft.functions.TextFunctions.tokens(col("text")),
+        t => reverse(t))).as("text"),
+      col("is_eval"))
+    val all = base.withColumn("label", lit(1.0))
+      .unionByName(neg.withColumn("label", lit(0.0))).cache()
+    val model = QualityClassifier.train(all.filter(!col("is_eval")), "text", "label")
+    val eval = QualityClassifier.score(model, all.filter(col("is_eval")), "text").cache()
+    // the vocabularies are disjoint over hash buckets → the held-out
+    // fifth must separate perfectly, both classes
+    val byLabel = eval.groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("predicted") === col("label").cast("long"), 1L).otherwise(0L)).as("ok"))
+      .as[(Double, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(byLabel(1.0)._1 > 0 && byLabel(0.0)._1 > 0)
+    assert(byLabel(1.0) === (byLabel(1.0)._1, byLabel(1.0)._1), s"pos: $byLabel")
+    assert(byLabel(0.0) === (byLabel(0.0)._1, byLabel(0.0)._1), s"neg: $byLabel")
+    // filterDocs at 0.5 keeps exactly the reference-like half
+    val kept = QualityClassifier.filterDocs(model, all.filter(col("is_eval")), "text", 0.5)
+    assert(kept.count() === byLabel(1.0)._1)
+    assert(kept.filter(col("label") =!= 1.0).count() === 0L)
+  }
+
   test("SemDeDup autoCells: paper's C ∝ corpus rule, clamped") {
     import graft.dedup.SemDeDup.autoCells
     assert(autoCells(36L) === 8)            // floor: tiny corpora
