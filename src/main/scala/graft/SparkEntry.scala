@@ -1417,6 +1417,17 @@ object SparkEntry {
         salt = 13)
         .select(col("doc_id"), col("lang"), pround(col("keep_rate"), 6).as("keep_rate"))),
 
+    "q_embedding_outliers" -> ((s, d) =>
+      // embedding-space outlier pruning: flag vectors in the bottom
+      // 5% of cosine-to-own-centroid WITHIN their k-means cell (per-
+      // cell threshold — global constants mis-prune across densities).
+      // k-means → rows-only gate; GroundTruthSpec pins the exact
+      // percentile semantics (strict-below bound, flagged<kept per
+      // cell, prune count)
+      graft.ann.Outliers.verdicts(
+        Tables.embeddings(s, d).select("vec_id", "embedding"), c = 16, p = 0.05)
+        .filter(col("outlier")).select("vec_id", "cluster_id", "sim")),
+
     "q_quality_classifier" -> ((s, d) => {
       // model-based quality filter (the GPT-3/LLaMA recipe): hashed
       // bag-of-words + logistic regression separating reference docs

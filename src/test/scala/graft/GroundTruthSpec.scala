@@ -110,6 +110,30 @@ class GroundTruthSpec extends SparkSpec {
     assert(removedAuto === removed, s"auto=$removedAuto manual=$removed")
   }
 
+  test("embedding outliers: per-cell percentile semantics hold exactly") {
+    val emb = Tables.embeddings(spark, sf()).select("vec_id", "embedding")
+    val v = graft.ann.Outliers.verdicts(emb, c = 8, p = 0.1).cache()
+    assert(v.count() === emb.count(), "every vector gets a verdict")
+    // (a) within every cell, every flagged sim < every kept sim
+    val cells = v.groupBy("cluster_id")
+      .agg(max(when(col("outlier"), col("sim"))).as("max_out"),
+        min(when(!col("outlier"), col("sim"))).as("min_keep"),
+        sum(when(col("outlier"), 1L).otherwise(0L)).as("n_out"),
+        count(lit(1)).as("m"))
+      .collect()
+    cells.foreach { r =>
+      if (!r.isNullAt(1) && !r.isNullAt(2))
+        assert(r.getDouble(1) < r.getDouble(2), r.toString)
+      // (b) exact interpolated percentile(p) bounds the strict-below
+      // count by ceil(p*(m-1))
+      val bound = math.ceil(0.1 * (r.getLong(4) - 1)).toLong
+      assert(r.getLong(3) <= bound, s"cell ${r.get(0)}: ${r.getLong(3)} > $bound")
+    }
+    // (c) prune keeps exactly the non-outliers
+    assert(graft.ann.Outliers.prune(emb, c = 8, p = 0.1).count()
+      === v.filter(!col("outlier")).count())
+  }
+
   test("quality classifier: perfect held-out separation of reference vs reversed-token crawl") {
     import graft.operators.QualityClassifier
     val base = Tables.documents(spark, sf()).select(col("doc_id"), col("text"),
