@@ -1435,8 +1435,9 @@ object SparkEntry {
       // docs token-REVERSED — a disjoint gibberish vocabulary, so the
       // classes are linearly separable over hash buckets and the
       // held-out fifth must score perfectly; GroundTruthSpec pins
-      // that exactly). Training is iterative treeAggregate (not
-      // SQL-expressible) → rows-only gate.
+      // that exactly). Training is iterative gradient descent as
+      // DataFrame aggregations (not SQL-expressible) → rows-only
+      // gate.
       val base = Tables.documents(s, d).select(col("doc_id"), col("text"),
         (pmod(col("doc_id"), lit(5)) === 4).as("is_eval"))
       val neg = base.select((col("doc_id") + lit(30000000L)).as("doc_id"),

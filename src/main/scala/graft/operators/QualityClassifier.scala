@@ -1,9 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions
-import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressionModel}
-import org.apache.spark.ml.feature.HashingTF
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Model-based corpus quality filtering — the GPT-3/LLaMA recipe
@@ -11,62 +9,93 @@ import org.apache.spark.sql.functions._
   * classifier to separate a trusted reference corpus from raw crawl
   * text over hashed bag-of-words features, then keep crawl documents
   * the model scores as reference-like. The published stack is
-  * fastText/regression over n-gram hashes; this is the same
-  * construction on Spark primitives:
+  * fastText/regression over token hashes; this is the same
+  * construction as pure DataFrame plans:
   *
-  *  - features: the hashing trick (Weinberger et al. 2009) via
-  *    MLlib's `HashingTF` — murmur3(token) mod D, a NARROW per-row
-  *    map with a fixed D-dim sparse output, no vocabulary state at
-  *    all (the property that makes it work at 100 TB: no vocab
-  *    broadcast, no OOV path, any executor can featurize any shard);
-  *  - training: MLlib `LogisticRegression` (L-BFGS) — each iteration
-  *    is one `treeAggregate` gradient pass over the corpus, i.e.
-  *    partial-aggregated map-side like every other agg in this repo,
-  *    with only the D-dim gradient on the exchange;
-  *  - scoring: the fitted coefficient vector rides to executors as a
-  *    broadcast closure and scoring fuses into the scan — the 100 TB
-  *    corpus pass is embarrassingly parallel.
-  *
-  * Everything is driver-bounded by D (model size), never by corpus
-  * or vocabulary size.
+  *  - features: the hashing trick (Weinberger et al. 2009) —
+  *    `pmod(hash(token), D)` with SQL's codegen'd Murmur3, length-
+  *    normalized term frequency. No vocabulary state AT ALL (the
+  *    100 TB property: no vocab broadcast, no OOV path, any executor
+  *    featurizes any shard), and train/score share one hash by
+  *    construction;
+  *  - training: logistic regression by gradient descent where EACH
+  *    ITERATION IS TWO AGGREGATIONS — a margin/residual pass over the
+  *    cached tokenized corpus (coefficients ride as a D-element plan
+  *    literal) and a token-keyed gradient partial-agg whose exchange
+  *    carries ≤D rows. Driver state is the D-vector, bounded by the
+  *    model, never by data or vocabulary — the same discipline as
+  *    [[Bpe]]'s capped trainer and [[graft.ann.Pca]]'s moment pass;
+  *  - scoring: Σ coef[bucket(token)]/len + intercept inside one
+  *    codegen'd `aggregate` over the token array — a narrow scan
+  *    pass, no UDFs, no vector UDTs.
   */
 object QualityClassifier {
 
-  /** Featurize: tokens → D-dim hashed term-frequency vector. */
-  private def featurize(docs: DataFrame, textCol: String, dims: Int): DataFrame = {
-    val tf = new HashingTF().setInputCol("__toks").setOutputCol("features")
-      .setNumFeatures(dims)
-    tf.transform(docs.withColumn("__toks", TextFunctions.tokens(col(textCol))))
-  }
+  /** Fitted model: `coef` has `dims` entries; margins are
+    * `Σ coef[bucket]/n_tokens + intercept`.
+    */
+  case class Model(coef: Array[Double], intercept: Double, dims: Int)
 
-  /** Fit the reference-vs-crawl separator. `labelCol` must be 0.0/1.0
-    * (1 = reference/high quality).
+  /** tokens + length (clamped ≥1 so empty docs read margin =
+    * intercept rather than NaN).
+    */
+  private def tokenized(docs: DataFrame, textCol: String, keep: Seq[String]): DataFrame =
+    docs.select(keep.map(col) :+ TextFunctions.tokens(col(textCol)).as("__toks"): _*)
+      .withColumn("__len", greatest(size(col("__toks")), lit(1)).cast("double"))
+
+  private def marginCol(coef: Array[Double], intercept: Double, dims: Int): Column =
+    aggregate(col("__toks"), lit(0.0),
+      (acc, t) => acc + element_at(lit(coef), pmod(hash(t), lit(dims)) + 1)) /
+      col("__len") + lit(intercept)
+
+  /** Fit by batch gradient descent on mean log-loss. `labelCol` must
+    * be 0.0/1.0 (1 = reference/high quality). Deterministic up to
+    * float merge order; the gate's separable construction is
+    * insensitive to that.
     */
   def train(docs: DataFrame, textCol: String, labelCol: String,
-            dims: Int = 4096, maxIter: Int = 30, reg: Double = 1e-4): LogisticRegressionModel =
-    new LogisticRegression()
-      .setMaxIter(maxIter).setRegParam(reg)
-      .setLabelCol(labelCol).setFeaturesCol("features")
-      .fit(featurize(docs, textCol, dims))
+            dims: Int = 4096, iters: Int = 30, lr: Double = 4.0,
+            reg: Double = 1e-6): Model = {
+    val base = tokenized(docs, textCol, Seq(labelCol)).cache()
+    val n = base.count().toDouble
+    val coef = new Array[Double](dims)
+    var intercept = 0.0
+    var i = 0
+    while (i < iters) {
+      val resid = base.withColumn("__resid",
+        col(labelCol) - lit(1.0) / (lit(1.0) + exp(-marginCol(coef, intercept, dims))))
+      // gradient: one token-keyed partial agg, ≤D rows on the exchange
+      val grad = resid
+        .select(col("__resid"), col("__len"), explode(col("__toks")).as("__t"))
+        .groupBy(pmod(hash(col("__t")), lit(dims)).as("__idx"))
+        .agg(sum(col("__resid") / col("__len")).as("__g"))
+        .collect()
+      val db = resid.agg(sum("__resid")).head().getDouble(0)
+      grad.foreach { r =>
+        val j = r.getInt(0)
+        coef(j) += lr * (r.getDouble(1) / n - reg * coef(j))
+      }
+      intercept += lr * db / n
+      i += 1
+    }
+    base.unpersist()
+    Model(coef, intercept, dims)
+  }
 
-  /** Per-document quality probability in [0,1] (P of class 1) as
-    * `quality_prob`, plus the hard `predicted` label. The model's
-    * coefficients broadcast inside the transform closure — scoring
-    * is a narrow pass.
+  /** Per-document `quality_prob` in [0,1] plus the hard `predicted`
+    * label — a single fused scan pass (coefficients are one plan
+    * literal).
     */
-  def score(model: LogisticRegressionModel, docs: DataFrame, textCol: String,
-            dims: Int = 4096): DataFrame =
-    model.transform(featurize(docs, textCol, dims))
-      // vector_to_array is MLlib's OWN bridge function (not a
-      // hand-rolled UDF) — the repo's no-UDF rule is about per-row
-      // lambdas where builtins exist
+  def score(model: Model, docs: DataFrame, textCol: String): DataFrame =
+    tokenized(docs, textCol, docs.columns.toSeq)
       .withColumn("quality_prob",
-        element_at(org.apache.spark.ml.functions.vector_to_array(col("probability")), 2))
-      .withColumn("predicted", col("prediction").cast("long"))
-      .drop("__toks", "features", "rawPrediction", "probability", "prediction")
+        lit(1.0) / (lit(1.0) +
+          exp(-marginCol(model.coef, model.intercept, model.dims))))
+      .withColumn("predicted", (col("quality_prob") >= 0.5).cast("long"))
+      .drop("__toks", "__len")
 
   /** The filtered corpus: docs scoring ≥ threshold. */
-  def filterDocs(model: LogisticRegressionModel, docs: DataFrame, textCol: String,
-                 threshold: Double, dims: Int = 4096): DataFrame =
-    score(model, docs, textCol, dims).filter(col("quality_prob") >= threshold)
+  def filterDocs(model: Model, docs: DataFrame, textCol: String,
+                 threshold: Double): DataFrame =
+    score(model, docs, textCol).filter(col("quality_prob") >= threshold)
 }

@@ -159,6 +159,14 @@ class GroundTruthSpec extends SparkSpec {
     val kept = QualityClassifier.filterDocs(model, all.filter(col("is_eval")), "text", 0.5)
     assert(kept.count() === byLabel(1.0)._1)
     assert(kept.filter(col("label") =!= 1.0).count() === 0L)
+    // margin-formula hand-pin: with every coefficient 1.0 the
+    // normalized-tf dot is exactly 1 for any non-empty doc, so
+    // quality_prob = sigmoid(1 + intercept) everywhere
+    val unit = QualityClassifier.Model(Array.fill(16)(1.0), 0.5, 16)
+    val probs = QualityClassifier.score(unit, all.filter(length(col("text")) > 0), "text")
+      .select("quality_prob").distinct().as[Double].collect()
+    val expect = 1.0 / (1.0 + math.exp(-1.5))
+    assert(probs.length === 1 && math.abs(probs.head - expect) < 1e-12, probs.toSeq.toString)
   }
 
   test("SemDeDup autoCells: paper's C ∝ corpus rule, clamped") {
