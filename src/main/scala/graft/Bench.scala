@@ -128,7 +128,12 @@ object Bench {
   private def timeGuarded(spark: SparkSession, dir: String, names: Seq[String],
                           runs: Int, agg: Seq[Double] => Double,
                           idleSec: Double): Seq[QRes] = {
-    def attempt(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // (kept aggregate, max/min spread across the timed runs). A spread
+    // beyond 2.5× means a load burst hit SOME run while the bracketing
+    // sentinels landed in gaps — the kept min may still be honest, but
+    // the query must not stamp `clean` (late-r9: a poisoned sf10 tier
+    // passed every sentinel this way)
+    def attempt(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Double) = {
       val samples = (1 to runs).map { _ =>
         // drop plan-level caches so each run pays the query's full
         // cost (some pipelines cache internally); repeated runs then
@@ -159,7 +164,10 @@ object Bench {
       }
       // a query that threw must not report its (near-zero) elapsed
       // time as a success — sentinel -1 and a `failed` list instead
-      if (samples.forall(_._1)) agg(samples.map(_._2)) else -1.0
+      if (samples.forall(_._1)) {
+        val ts = samples.map(_._2)
+        (agg(ts), if (ts.min > 0) ts.max / ts.min else 1.0)
+      } else (-1.0, 1.0)
     }
     def waitSentinel(first: Double): Double = {
       var s = first
@@ -169,22 +177,25 @@ object Bench {
       }
       s
     }
+    val SpreadBound = 2.5
     var opening = sentinel(spark)
     names.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         opening = waitSentinel(opening)
-        var t = attempt(fn)
+        var (t, spread) = attempt(fn)
         var closing = sentinel(spark)
         var clean = BenchGuard.quietPost(opening, idleSec) &&
-          BenchGuard.quietPost(closing, idleSec)
+          BenchGuard.quietPost(closing, idleSec) &&
+          (runs < 2 || spread <= SpreadBound)
         var retried = false
         if (!clean) {
           val reopening = waitSentinel(closing)
           if (BenchGuard.quietPost(reopening, idleSec)) {
-            val t2 = attempt(fn)
+            val (t2, spread2) = attempt(fn)
             val c2 = sentinel(spark)
             retried = true
-            if (BenchGuard.quietPost(c2, idleSec)) { t = t2; clean = true }
+            if (BenchGuard.quietPost(c2, idleSec) &&
+                (runs < 2 || spread2 <= SpreadBound)) { t = t2; clean = true }
             else if (t2 >= 0 && (t < 0 || t2 < t)) t = t2
             closing = c2
           }
@@ -298,14 +309,19 @@ object Bench {
 
     // ---- cross-tier physical sanity (r8 verdict item 5): same query,
     // more data, must not be faster beyond noise — else the small
-    // tier's timing is load noise and the tier is marked dirty --------------
-    val biggest = sf30Tier.map(t => t.headline ++
-        sf10Tier.map(_.headline.filterNot(q => sf30Subset.contains(q._1))).getOrElse(Nil))
-      .orElse(sf10Tier.map(_.headline))
-      .orElse(sf1Tier.map(_.headline))
-    val xtier01 = biggest.map(b => BenchGuard.crossTierViolations(t0.headline, b)).getOrElse(Nil)
+    // tier's timing is load noise and the tier is marked dirty.
+    // EXTRAS are covered too (late r9): a builder run recorded
+    // q_dedup_minhash at 77.6 s in a load-poisoned sf10 tier whose
+    // per-query sentinels all landed in burst gaps — headline-only
+    // sanity would have let that pass silently ------------------------------
+    def full(t: Tier): Seq[(String, Double)] = t.headline ++ t.extraResults
+    val biggest = sf30Tier.map(t => full(t) ++
+        sf10Tier.map(b => full(b).filterNot(q => sf30Subset.contains(q._1))).getOrElse(Nil))
+      .orElse(sf10Tier.map(full))
+      .orElse(sf1Tier.map(full))
+    val xtier01 = biggest.map(b => BenchGuard.crossTierViolations(full(t0), b)).getOrElse(Nil)
     val xtier1 = (sf1Tier, biggest) match {
-      case (Some(t1), Some(b)) => BenchGuard.crossTierViolations(t1.headline, b)
+      case (Some(t1), Some(b)) => BenchGuard.crossTierViolations(full(t1), b)
       case _ => Nil
     }
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -95,13 +95,18 @@ object SemDeDup {
     // uncached it would run three times (builder A/B at 200k vectors:
     // 17.1 s → 9.6 s from this cache alone)
     val idx = Ivf.index(emb, cents).cache() // (vec_id, cluster_id, emb) — one cluster-keyed shuffle
-    val probe = idx.select(col("cluster_id"), col("vec_id").as("dup_id"), col("emb").as("dup_emb"))
+    // probe side renames ALL columns (incl. the join key): a
+    // self-join keyed on df("c") === df2("c") makes Spark detect and
+    // rewrite a trivially-true predicate — correct, but the rename
+    // keeps the plan's intent explicit and the logs quiet
+    val probe = idx.select(col("cluster_id").as("dup_cluster"),
+      col("vec_id").as("dup_id"), col("emb").as("dup_emb"))
     // x is removed iff some SMALLER-id y in the same cell sits above
     // eps: a left-semi existence test, so the pair grid is consumed
     // inside the join block and never shuffled onward
     val removed = idx.join(probe,
-        idx("cluster_id") === probe("cluster_id") &&
-          col("dup_id") < idx("vec_id") &&
+        col("cluster_id") === col("dup_cluster") &&
+          col("dup_id") < col("vec_id") &&
           VectorFunctions.cosine(col("emb"), col("dup_emb")) >= lit(eps),
         "left_semi")
       .select(col("vec_id"))
