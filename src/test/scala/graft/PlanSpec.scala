@@ -201,7 +201,21 @@ class PlanSpec extends SparkSpec {
       ("q_tfidf",                4, 3, true),
       ("q_unigram_logprob",      5, 4, true),
       ("q_passage_dedup",        3, 2, false),
-      ("q_rolling_agg",          1, 1, false))
+      ("q_rolling_agg",          1, 1, false),
+      // r9 headliners (ceilings recorded from the gated plans):
+      // line_dedup's BNLJ is the 1-row df-threshold broadcast;
+      // token_budget/dsir carry the documented 1-row stat frames
+      ("q_line_dedup",           3, 2, true),
+      ("q_shuffle_corpus",       1, 1, false),
+      ("q_token_budget",         6, 4, true),
+      // the exact top-k side is cached inside the harness, so its
+      // exchanges sit behind InMemoryTableScan leaves
+      ("q_heavy_hitters_sketch", 0, 2, false),
+      ("q_dsir_weights",         6, 4, true),
+      ("q_ccnet_buckets",        2, 2, false),
+      // late-r9: the Gopher bundle must stay a pure scan pass
+      ("q_gopher_rules",         0, 2, false),
+      ("q_temperature_mix",      2, 1, false))
     val failures = golden.flatMap { case (q, maxShuffles, maxLeaves, bnljOk) =>
       val p = SparkEntry.queries(q)(spark, sf()).queryExecution.executedPlan
       val h = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
