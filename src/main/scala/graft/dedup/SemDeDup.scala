@@ -20,9 +20,9 @@ import org.apache.spark.sql.functions._
   *
   * Step 2 is what makes the quadratic affordable at 100 TB: the
   * all-pairs grid is cluster-diagonal, so cost is Σ|cell|² ≈ n²/C —
-  * choose C ∝ n/targetCellSize (the paper uses 50k clusters for
-  * 100M+ embeddings) and each cell's block stays a few thousand rows
-  * squared regardless of corpus size. In Spark terms: centroids
+  * C grows with the corpus ([[autoCells]]; the paper uses 50k
+  * clusters for 100M+ embeddings) so each cell's block stays small
+  * regardless of corpus size. In Spark terms: centroids
   * broadcast (C·dim doubles), ONE cluster-keyed exchange of
   * (id, vec) per join side, and the pair grid never materializes
   * beyond each cell's hash-join block. Cross-cell near-dups are
@@ -93,7 +93,8 @@ object SemDeDup {
     // times (both self-join sides + the verdict select), and the n·c
     // assignment pass is the second-biggest cost after the pair grid —
     // uncached it would run three times (builder A/B at 200k vectors:
-    // 17.1 s → 9.6 s from this cache alone)
+    // auto-C alone 17.1 s; + this cache and float-width arrays
+    // ~12.4 s)
     val idx = Ivf.index(emb, cents).cache() // (vec_id, cluster_id, emb) — one cluster-keyed shuffle
     // probe side renames ALL columns (incl. the join key): a
     // self-join keyed on df("c") === df2("c") makes Spark detect and
