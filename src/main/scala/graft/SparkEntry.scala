@@ -1695,7 +1695,11 @@ object SparkEntry {
       val planted = emb.filter(col("vec_id") < 20)
         .select((col("vec_id") + 100000L).as("vec_id"),
           transform(col("embedding"), x => x * lit(1.01f)).as("embedding"))
-      Knn.nearDupByEmbedding(emb.unionByName(planted), threshold = 0.95)
+      // auto-scaled plane count (fixed planes let mean bucket size
+      // grow linearly with the corpus — the SemDeDup fixed-C lesson);
+      // planted scaled copies share every SRP sign bit, so their
+      // recall is planes-invariant
+      Knn.nearDupByEmbeddingAuto(emb.unionByName(planted), threshold = 0.95)
     }),
 
     "q_passage_dedup" -> ((s, d) =>

@@ -107,6 +107,30 @@ object Knn {
         col("nbr_id"), col("sim"))
   }
 
+  /** SRP plane count for a target mean bucket size: 2^planes buckets
+    * per table, so planes = ⌈log2(n/target)⌉. A FIXED plane count is
+    * the same scale bug SemDeDup's fixed cell count was: mean bucket
+    * size grows linearly with the corpus and the in-bucket pair grid
+    * quadratically (measured 36.7 s at 200k vectors with planes=10 —
+    * mean bucket ≈195 — vs seconds auto-scaled). Exact/scaled
+    * duplicates (cosine 1) share every sign bit, so THEIR recall is
+    * invariant to planes; for merely-near pairs recall per table is
+    * p^planes (p = 1−θ/π), so when planes rises with the corpus,
+    * `tables` is the knob that buys the recall back — the standard
+    * LSH pairing. Clamped to [10, 24] (bucket ids pack as
+    * (table << planes) | bits in a long).
+    */
+  def autoPlanes(n: Long, targetBucket: Int = 32): Int =
+    math.max(10, math.min(24,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt))
+
+  /** [[nearDupByEmbedding]] with the plane count scaled to the corpus
+    * (one count — a parquet metadata read).
+    */
+  def nearDupByEmbeddingAuto(corpus: DataFrame, threshold: Double = 0.95,
+                             tables: Int = 4, maxBucket: Int = 256): DataFrame =
+    nearDupByEmbedding(corpus, threshold, autoPlanes(corpus.count()), tables, maxBucket)
+
   /** Embedding-cosine near-duplicate summary: docs whose nearest
     * neighbor (by LSH bucket) exceeds `threshold`. One row per vector.
     */
@@ -116,13 +140,19 @@ object Knn {
     val buckets = VectorFunctions.srpBuckets(col("embedding"), planes, tables)
     val b = corpus.select(col("vec_id"), explode(buckets).as("bucket"))
     val emb = corpus.select(col("vec_id"), col("embedding"))
-    // capped-bucket groupBy pair generation (see MinHashLSH): a
-    // degenerate bucket — zero vectors, a tight cluster — must never
-    // emit O(n²) pairs on one key, and collect_min_k bounds the
-    // aggregation buffer itself (maxBucket+1 slots, not |bucket|)
-    val grouped = b.groupBy("bucket")
+    // two-phase capped-bucket pair generation (see
+    // MinHashLSH.candidatePairs): a codegen'd count finds the
+    // 2..maxBucket buckets, then ONLY those collect — a degenerate
+    // bucket (zero vectors, a tight cluster) is dropped by its exact
+    // count and never materializes O(n²) pairs or an unbounded
+    // aggregation buffer
+    val hot = b.groupBy("bucket").agg(count(lit(1)).as("__n"))
+      .filter(col("__n").between(2, maxBucket))
+      .select("bucket")
+    val grouped = b.join(hot, Seq("bucket"), "left_semi")
+      .groupBy("bucket")
+      // collect_min_k: bounded buffer (defense-in-depth) + sorted out
       .agg(call_function("collect_min_k", col("vec_id"), lit(maxBucket + 1)).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
     val pairs = grouped
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->

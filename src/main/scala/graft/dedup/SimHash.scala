@@ -85,16 +85,23 @@ object SimHash {
     */
   def nearDupPairsFromFps(fps: DataFrame,
                           maxHamming: Int = 3, maxBucket: Int = 256): DataFrame = {
-    // one keyed aggregation per bucket + in-bucket pair generation
-    // (bounded by maxBucket²) — see MinHashLSH.candidatePairs for why
-    // this beats window-count + self-join. collect_min_k bounds the
-    // aggregation buffer itself at maxBucket+1 members, so a
-    // degenerate chunk value can't OOM its reducer.
-    val buckets = chunked(fps)
+    // two-phase bucket harvest (see MinHashLSH.candidatePairs): a
+    // codegen'd COUNT first — chunk buckets are overwhelmingly
+    // singletons, and a collect-style object aggregation over
+    // millions of tiny groups trips the sort-based fallback
+    // (fallbackThreshold) and sorts the whole chunk frame — then a
+    // collect over ONLY the 2..maxBucket survivors, which also
+    // implements the oversized-bucket drop exactly
+    val ch = chunked(fps)
+    val hot = ch.groupBy("chunk_id", "chunk_value")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n").between(2, maxBucket))
+      .select("chunk_id", "chunk_value")
+    val buckets = ch.join(hot, Seq("chunk_id", "chunk_value"), "left_semi")
       .groupBy("chunk_id", "chunk_value")
+      // collect_min_k: bounded buffer (defense-in-depth) + sorted out
       .agg(call_function("collect_min_k",
         struct(col("doc_id"), col("simhash")), lit(maxBucket + 1)).as("members"))
-      .filter(size(col("members")).between(2, maxBucket))
     val pairs = buckets
       .select(explode(expr(
         """flatten(transform(members, (x, i) ->

@@ -84,6 +84,19 @@ class GroundTruthSpec extends SparkSpec {
     val plantedIds = (0L until 20L).flatMap(i => Seq(i, i + 100000L)).toSet
     assert(plantedIds.subsetOf(flagged), s"missed=${plantedIds diff flagged}")
     assert(flagged.subsetOf(truthDocs), s"false positives=${flagged diff truthDocs}")
+    // the auto-planes gate path: scaled copies share every SRP sign
+    // bit, so their recall is planes-invariant — same verdict set
+    val flaggedAuto = Knn.nearDupByEmbeddingAuto(corpus, threshold = 0.95)
+      .filter(col("is_near_dup")).select("vec_id").as[Long].collect().toSet
+    assert(plantedIds.subsetOf(flaggedAuto), s"auto missed=${plantedIds diff flaggedAuto}")
+    assert(flaggedAuto.subsetOf(truthDocs), s"auto FPs=${flaggedAuto diff truthDocs}")
+    // the plane rule itself: floor, the measured sf10 case, ceiling
+    import Knn.autoPlanes
+    assert(autoPlanes(500) === 10)
+    assert(autoPlanes(200000) === 13)
+    assert(autoPlanes(1L << 40) === 24)
+    val pts = Seq(1000L, 100000L, 10000000L).map(autoPlanes(_))
+    assert(pts === pts.sorted)
   }
 
   test("SemDeDup: planted scaled duplicates lose exactly their higher ids; originals survive") {

@@ -186,7 +186,12 @@ class PlanSpec extends SparkSpec {
       // r7: +1 shuffle/leaf and a 1-row BNLJ from the corpus-derived
       // recrawl offset (max(doc_id) stat frame — documented pattern)
       ("q_dedup_exact",          2, 3, true),
-      ("q_dedup_minhash",        6, 7, false),
+      // late-r9: +2 shuffles/leaves from the two-phase bucket
+      // harvest (count → filter → collect survivors) — the extra
+      // cheap codegen'd pass removed the sort-based object-agg
+      // fallback that was sorting the full 8M-row band frame
+      // (65 s → 13 s at sf10)
+      ("q_dedup_minhash",        8, 9, false),
       ("q_ann_bruteforce",       1, 2, true),
       ("q_token_count",          0, 1, false),
       ("q_quality_score",        0, 1, false),
