@@ -20,7 +20,7 @@ object TextFunctions {
     * subtree, not a reference) — for `shingles` that meant one full
     * regex split per shingle, a ~50× hot-path blow-up at corpus scale.
     */
-  private def bindOnce(x: Column, body: Column => Column): Column =
+  private[graft] def bindOnce(x: Column, body: Column => Column): Column =
     element_at(transform(array(x), body), 1)
 
   /** Whitespace tokens of trimmed, lowercased text. Empty text → []. */

@@ -22,19 +22,30 @@ import graft.functions.{TextFunctions => TF}
   * regardless of vocabulary, which is the property that lets the
   * bucket statistics broadcast at any corpus scale.
   *
-  * Shape at scale — one corpus pass, ONE bucket-keyed token exchange:
-  * the exploded (bucket, doc) pairs repartition by bucket once; the
-  * per-(bucket,doc) counts, the B-row source/target histogram, and
-  * the corpus totals all consume that exchange (ReusedExchange — the
-  * [[UnigramLm]] chaining discipline). The per-bucket log-ratio table
-  * is B rows (B=1024 default) → broadcast; per-token log-ratios are
-  * integerized (1e-6 units) before the per-doc sum so float summation
-  * order can never bend a weight. The only other exchange is the
-  * doc-keyed final aggregate, map-side-collapsed to one row per doc
-  * per partition. Nothing in the plan grows with vocabulary, and
-  * nothing is a global sort: selection is a pure per-row filter
-  * (hash-u < sigmoid(weight)), so the operator is a filter-shaped
-  * corpus pass at 100 TB, not a rank.
+  * Shape at scale — model pass, then a scan-pure scoring pass:
+  * pass 1 aggregates the B-row (source, target) bucket histogram with
+  * map-side partial aggregation, so its exchange carries ≤ B rows per
+  * map partition — never the token stream. The histogram is collected
+  * (≤ B rows — bounded by the MODEL size, the Ivf cell-list
+  * precedent, not by the corpus), the per-bucket log-ratio table is
+  * computed locally with the identical double arithmetic, and pass 2
+  * scores every document as a pure narrow projection: per-token
+  * log-ratios come from a B-element array LITERAL indexed by the
+  * hashed bucket inside the token-array fold — no explode, no
+  * doc-keyed exchange, no join. Per-token log-ratios are integerized
+  * (1e-6 units) before the per-doc sum so summation order can never
+  * bend a weight (which is also what lets the fold replace the old
+  * aggregate bit-identically).
+  *
+  * This replaces the r9 one-tokenize/ReusedExchange shape, which
+  * shuffled every (bucket, doc) token pair and then every per-doc
+  * partial — two corpus-sized exchanges. Re-tokenizing in pass 2
+  * costs one extra scan of CPU; at 100 TB a compressed parquet
+  * re-scan is strictly cheaper than shuffling the token stream twice
+  * (builder-side A/B at sf10: 10.6 s → see BENCH_r09). Nothing in
+  * the plan grows with vocabulary, and nothing is a global sort:
+  * selection is a pure per-row filter (hash-u < sigmoid(weight)), so
+  * the operator is a filter-shaped corpus pass at 100 TB, not a rank.
   */
 object Dsir {
 
@@ -61,54 +72,52 @@ object Dsir {
               isTarget: Column, nBuckets: Int = 1024,
               salt: Int = 13): DataFrame = {
     require(nBuckets > 0, s"nBuckets must be positive: $nBuckets")
-    val pairs = docs
-      .select(col(idCol), isTarget.cast("boolean").as("__is_t"),
+    // ---- pass 1: the B-row model. groupBy straight off the explode:
+    // the partial aggregate collapses each map partition to ≤ 2B rows
+    // BEFORE the exchange, so the shuffle never carries the token
+    // stream (the r9 repartition(__b) form did — 27.5M rows at sf10).
+    val hist = docs
+      .select(isTarget.cast("boolean").as("__is_t"),
         explode(TF.tokens(col(textCol))).as("__term"))
       .filter(length(col("__term")) > 0)
-      .select(col(idCol), col("__is_t"),
-        bucket(col("__term"), nBuckets, salt).as("__b"))
-      // pre-empt the not-null constraints the downstream joins would
-      // infer (__b from the model join, id from the left-outer
-      // docs⋈perDoc): without them one branch gains a pushed Filter
-      // the others lack, the subtrees stop being identical, and
-      // exchange reuse dies — the corpus would tokenize once PER BRANCH
-      .filter(col("__b").isNotNull && col(idCol).isNotNull)
-      .repartition(col("__b"))
-    // chain every relation from tfb so the one exchange is reused:
-    // hashpartitioning(__b) satisfies the (__b, id) clustering (subset
-    // key), so the groupBy below adds NO new exchange, and the B-row
-    // histogram re-aggregates the same partitions in place. __is_t is
-    // a grouping KEY (it is doc-functional, so groups are unchanged):
-    // as a mere aggregate input, column pruning would rewrite the
-    // projection BELOW the exchange for the branches that don't read
-    // it, breaking the subtree identity ReusedExchange needs.
-    val tfb = pairs.groupBy(col("__b"), col(idCol), col("__is_t"))
-      .agg(count(lit(1)).as("__cnt"))
-    val dist = tfb.groupBy(col("__b")).agg(
-      sum(col("__cnt")).as("__src"),
-      sum(when(col("__is_t"), col("__cnt")).otherwise(lit(0L))).as("__tgt"))
-    val totals = dist.agg(sum(col("__src")).as("__src_tot"),
-      sum(col("__tgt")).as("__tgt_tot"))
-    // add-1 smoothing over the FULL bucket range: buckets never seen in
-    // the target still get mass, and the denominator is nBuckets in
-    // both engines regardless of how many buckets materialized
-    val b = lit(nBuckets.toDouble)
-    val ilr = dist.crossJoin(broadcast(totals))
-      .select(col("__b"),
-        floor(log(
-          ((col("__tgt") + lit(1.0)) / (col("__tgt_tot") + b)) /
-          ((col("__src") + lit(1.0)) / (col("__src_tot") + b)))
-          * lit(1e6) + lit(0.5)).cast("long").as("__ilr"))
-    val perDoc = tfb.join(broadcast(ilr), "__b")
-      .groupBy(idCol)
-      .agg(sum(col("__cnt")).as("n_tok"),
-        sum(col("__cnt") * col("__ilr")).as("__s"))
-    docs.select(col(idCol))
-      .join(perDoc, Seq(idCol), "left")
+      .select(col("__is_t"), bucket(col("__term"), nBuckets, salt).as("__b"))
+      .groupBy(col("__b"))
+      .agg(count(lit(1)).as("__src"),
+        sum(when(col("__is_t"), lit(1L)).otherwise(lit(0L))).as("__tgt"))
+      .collect() // ≤ nBuckets rows — bounded by the model, not the corpus
+    // local log-ratio table, same double arithmetic the r9 in-plan
+    // expression ran (Spark's log IS Math.log): add-1 smoothing over
+    // the FULL bucket range, so buckets never seen anywhere — absent
+    // from `hist` entirely — still get the smoothed default, and the
+    // denominator is nBuckets in both engines regardless of how many
+    // buckets materialized.
+    var srcTot = 0L; var tgtTot = 0L
+    hist.foreach { r => srcTot += r.getLong(1); tgtTot += r.getLong(2) }
+    val b = nBuckets.toDouble
+    def ilrOf(src: Long, tgt: Long): Long =
+      math.floor(math.log(
+        ((tgt + 1.0) / (tgtTot + b)) / ((src + 1.0) / (srcTot + b)))
+        * 1e6 + 0.5).toLong
+    val lut = Array.fill(nBuckets)(ilrOf(0L, 0L))
+    hist.foreach { r => lut(r.getLong(0).toInt) = ilrOf(r.getLong(1), r.getLong(2)) }
+    // ---- pass 2: scan-pure scoring. The B-element table rides into
+    // the plan as an array literal; each doc folds its token array
+    // through it — integer adds, so order is irrelevant and the fold
+    // is bit-identical to the old per-bucket-count formulation.
+    val lutCol = lit(lut)
+    val scored = TF.bindOnce(
+      filter(TF.tokens(col(textCol)), t => length(t) > 0), ts =>
+        struct(
+          size(ts).cast("long").as("n_tok"),
+          aggregate(ts, lit(0L), (acc, t) =>
+            acc + element_at(lutCol,
+              (bucket(t, nBuckets, salt) + lit(1L)).cast("int"))).as("__s")))
+    docs.select(col(idCol), scored.as("__r"))
       .select(col(idCol),
-        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
-        when(col("n_tok").isNull, lit(0.0)).otherwise(
-          pround(col("__s").cast("double") / (col("n_tok") * lit(1e6)), 4))
+        col("__r.n_tok").as("n_tok"),
+        when(col("__r.n_tok") === 0, lit(0.0)).otherwise(
+          pround(col("__r.__s").cast("double") /
+            (col("__r.n_tok") * lit(1e6)), 4))
           .as("dsir_logratio"))
   }
 

@@ -204,7 +204,15 @@ class PlanSpec extends SparkSpec {
       ("q_window_analytics",     1, 1, false),
       ("q_dedup_clusters",       1, 3, false),
       ("q_tfidf",                4, 3, true),
-      ("q_unigram_logprob",      5, 4, true),
+      // late-r9 rework: model pass + broadcast-model scoring pass —
+      // 3 exchanges at runtime (vocab agg, 1-row total, per-doc
+      // partials; 4 here because this audit reads the pre-AQE plan,
+      // where the total branch's reuse of the vocab exchange is not
+      // yet applied), every one above a partial aggregate; token-less
+      // docs re-enter via a narrow union branch, so the token stream
+      // never shuffles and nothing joins on the doc key
+      // (Round5OpsSpec pins the bare-exchange check)
+      ("q_unigram_logprob",      4, 4, true),
       ("q_passage_dedup",        3, 2, false),
       ("q_rolling_agg",          1, 1, false),
       // r9 headliners (ceilings recorded from the gated plans):
@@ -216,7 +224,11 @@ class PlanSpec extends SparkSpec {
       // the exact top-k side is cached inside the harness, so its
       // exchanges sit behind InMemoryTableScan leaves
       ("q_heavy_hitters_sketch", 0, 2, false),
-      ("q_dsir_weights",         6, 4, true),
+      // late-r9 rework: the returned frame is a scan-pure narrow
+      // projection (the B-row model is a separate bounded pass-1 job
+      // collected before plan construction — the Ivf cell-list
+      // precedent), so zero shuffles and one leaf
+      ("q_dsir_weights",         0, 1, false),
       ("q_ccnet_buckets",        2, 2, false),
       // late-r9: the Gopher bundle must stay a pure scan pass
       ("q_gopher_rules",         0, 2, false),

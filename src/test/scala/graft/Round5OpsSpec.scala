@@ -178,13 +178,36 @@ class Round5OpsSpec extends SparkSpec {
     assert(r(2)._2 == 0L && r(2)._3 == 0.0)   // empty doc present, zeroed
   }
 
-  test("UnigramLm single tokenize pass (reused term exchange)") {
+  test("UnigramLm scoring probes a BROADCAST model; no token-keyed repartition") {
+    // late-r9 rework: two tokenize passes (model, then scoring) in
+    // exchange for never shuffling the token stream — the model
+    // exchange is vocab-partial-agged and the scoring join is a
+    // broadcast probe. A term-keyed Exchange hashpartitioning(term)
+    // reappearing here means the corpus-sized shuffle came back.
     val docs = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
     val q = graft.operators.UnigramLm.scores(docs, "doc_id", "text")
     q.collect()
     val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    assert(plan.contains("ReusedExchange"))
-    assert("Generate explode".r.findAllIn(plan).size == 1)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan)
+    // every exchange must sit above a partial aggregate (model vocab
+    // rows, 1-row total, 1-row-per-doc partials) — a bare exchange
+    // means raw token rows are crossing the wire again
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec}
+    def unwrap(p: org.apache.spark.sql.execution.SparkPlan): org.apache.spark.sql.execution.SparkPlan = p match {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => unwrap(w.child)
+      case i: org.apache.spark.sql.execution.InputAdapter => unwrap(i.child)
+      case other => other
+    }
+    val helper = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
+      def bare = collect(q.queryExecution.executedPlan) {
+        case e: ShuffleExchangeExec
+          if !unwrap(e.child).isInstanceOf[HashAggregateExec] &&
+             !unwrap(e.child).isInstanceOf[ObjectHashAggregateExec] => e
+      }
+    }
+    assert(helper.bare.isEmpty, helper.bare.mkString("\n"))
   }
 
   // -------------------------------------------------------- bigram lm

@@ -210,12 +210,7 @@ class Round9OpsSpec extends SparkSpec {
     assert(hn.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
   }
 
-  test("DSIR plan: corpus tokenizes ONCE (exchange reused); B-row model broadcasts; no global window/sort") {
-    // uncached frame — the gate path. Earlier tests cached this
-    // parquet, and cache substitution would rewrite every branch to
-    // InMemoryTableScans whose canonicalized subtrees differ, so
-    // stage reuse can't be asserted through it.
-    spark.sharedState.cacheManager.clearCache()
+  test("DSIR plan: scoring pass is a scan-pure narrow projection; no global window/sort") {
     val df = Dsir.weights(Tables.documents(spark, sf()), "doc_id", "text",
       col("lang") === "en")
     val globalWindows = df.queryExecution.optimizedPlan.collect {
@@ -223,17 +218,37 @@ class Round9OpsSpec extends SparkSpec {
         if w.partitionSpec.isEmpty => w
     }
     assert(globalWindows.isEmpty, globalWindows.mkString("\n"))
-    df.collect() // finalize AQE so stage reuse is visible
+    df.collect()
     val p = df.queryExecution.executedPlan.toString
     val cut = p.indexOf("== Initial Plan ==")
     val finalP = if (cut >= 0) p.substring(0, cut) else p
-    assert(finalP.contains("BroadcastHashJoin"), finalP)
-    assert(!finalP.contains("Cartesian"), finalP)
-    assert(!finalP.contains("Exchange rangepartitioning"), finalP)
-    // the histogram and totals branches consume the SAME token
-    // exchange the per-doc branch built: 1 real tokenize, 2 reuses
-    assert("Generate explode".r.findAllIn(finalP).size === 1, finalP)
-    assert("ReusedExchange".r.findAllIn(finalP).size === 2, finalP)
+    // late-r9 rework: the model is a separate bounded B-row pass-1
+    // job (collected before plan construction — the Ivf cell-list
+    // precedent), so the RETURNED frame must be a pure per-row fold
+    // over one scan: no exchange of any kind, no join, no explode.
+    assert(!finalP.contains("Exchange"), finalP)
+    assert(!finalP.contains("Join"), finalP)
+    assert(!finalP.contains("Generate"), finalP)
+    assert("Scan parquet".r.findAllIn(finalP).size === 1, finalP)
+  }
+
+  test("DSIR pass-1 model exchange is B-row partial-agged, never the token stream") {
+    // the model pass groupBy's straight off the explode: partial
+    // aggregation must collapse each map partition to ≤ B rows before
+    // the exchange. Assert by construction: the aggregate below the
+    // shuffle is keyed by __b alone (B distinct values), i.e. the
+    // plan contains a partial_count over __b, not a repartition of
+    // (doc, token) pairs.
+    val docs = Tables.documents(spark, sf())
+    val hist = docs
+      .select((col("lang") === "en").as("__is_t"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("__term"))
+      .filter(length(col("__term")) > 0)
+      .select(col("__is_t"), Dsir.bucket(col("__term"), 1024, 13).as("__b"))
+      .groupBy(col("__b")).agg(count(lit(1)).as("__src"))
+    val p = hist.queryExecution.executedPlan.toString
+    assert(p.contains("HashAggregate(keys=[__b"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
   }
 
   test("temperature rates: alpha=1 is the natural mixture; alpha<1 lifts the tail, hand-checked") {
