@@ -54,6 +54,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children(1).foldable, "ngram_repetition: k must be a literal")
         NgramRepetition(children.head, children(1).eval().asInstanceOf[Number].intValue())
       }))
+    // Spark's OWN runtime-filter bloom machinery, surfaced as callable
+    // functions (they are registered internal-only upstream): the
+    // partial-aggregated sketch build and the codegen'd probe that
+    // BloomDedup's incremental-ingest recipe is built on.
+    ext.injectFunction((
+      FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_agg"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 3,
+          "bloom_agg(value, estimatedItems, numBits) takes exactly three arguments")
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children(0), children(1), children(2))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_might_contain"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2,
+          "bloom_might_contain(bloom, value) takes exactly two arguments")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children(0), children(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("collect_min_k"),
       new ExpressionInfo(classOf[CollectMinK].getName, "collect_min_k"),

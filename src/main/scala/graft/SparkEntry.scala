@@ -1296,6 +1296,26 @@ object SparkEntry {
         "doc_id", "text")
         .select("doc_id", "lang", "n_chars")),
 
+    "q_bloom_ingest_dedup" -> ((s, d) => {
+      // batch form of the continuous-ingest dedup gate, through the
+      // bloom-prefilter recipe: ONE corpus pass builds the membership
+      // sketch (~10 bits/doc), the incoming batch (full recrawl — must
+      // vanish — plus per-id-salted fresh docs — must survive) probes
+      // it codegen'd, and only bloom HITS reach the exact text anti-join;
+      // misses pass join-free. Exact regardless of fpp, so the oracle
+      // is the same NOT EXISTS as q_stream_ingest_dedup.
+      val docs = Tables.documents(s, d).select("doc_id", "text", "source").cache()
+      val incoming = docs.unionByName(
+        docs.select(col("doc_id"),
+          concat(lit("fresh "), col("doc_id").cast("string"), lit(" "), col("text"))
+            .as("text"),
+          col("source")))
+      BloomDedup.sizedKeep(s, docs, incoming, "text")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("n_chars"))
+    }),
+
     "q_vocab" -> ((s, d) =>
       // corpus vocabulary: top-100 tokens by document-independent
       // frequency; explode is narrow, count partial-aggregates, top-k
@@ -2513,6 +2533,22 @@ object SparkEntry {
          )
          SELECT doc_id, lang, n_chars FROM aug
          WHERE doc_id IN (SELECT min(doc_id) FROM aug GROUP BY md5(text))""",
+
+    "q_bloom_ingest_dedup" ->
+      """WITH hist AS (
+           SELECT DISTINCT text FROM documents
+         ), incoming AS (
+           SELECT text, source FROM documents
+           UNION ALL
+           SELECT 'fresh ' || CAST(doc_id AS VARCHAR) || ' ' || text AS text, source
+           FROM documents
+         ), novel AS (
+           SELECT i.* FROM incoming i
+           WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.text = i.text)
+         )
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars
+         FROM novel GROUP BY source""",
 
     // stream-stream attribution join == batch interval self-join
     "q_stream_join" ->

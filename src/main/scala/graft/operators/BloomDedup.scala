@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bloom-prefiltered incremental corpus dedup — the membership-sketch
+  * form of the continuous-ingest anti-join ([[graft.streaming.Ingest]]).
+  *
+  * The plain stream-vs-static anti-join shuffles EVERY incoming batch
+  * against the historical hash index. At 100 TB the overwhelming
+  * majority of an incoming crawl batch is novel, so that exchange
+  * mostly carries rows that match nothing. The bloom recipe removes
+  * them before any shuffle:
+  *
+  *  1. ONE corpus pass folds every content hash into a Bloom filter
+  *     (Spark's own `BloomFilterAggregate` — partial-aggregated per
+  *     partition, merged once; the same machinery AQE's runtime
+  *     row-level filters use, so the sketch build is map-side and
+  *     mergeable, never a row shuffle).
+  *  2. The serialized sketch lands in the plan as a foldable binary
+  *     literal — exactly how Spark plants its own runtime bloom
+  *     (ScalarSubquery → literal), so the probe is the codegen'd
+  *     `BloomFilterMightContain` with the deserialized filter cached
+  *     per-task. The driver round-trip is bounded by `numBits/8`
+  *     (≤8 MB under Spark's default runtime-filter clamp; the
+  *     aggregate clamps itself to
+  *     `spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits`).
+  *  3. Incoming rows split on the probe: bloom MISSES are definitely
+  *     novel (no false negatives) and flow straight to the output with
+  *     ZERO join — the common case pays one codegen'd hash probe and
+  *     nothing else. Bloom HITS (true dups + the fpp tail) are the only
+  *     rows that reach the exact text-equality anti-join, so the
+  *     verify exchange carries ~dup_rate + fpp of the batch instead of
+  *     all of it.
+  *
+  * The output is EXACT (bloom errors only ever route extra rows into
+  * the exact verify), so the gate query keeps a full DuckDB oracle —
+  * same NOT EXISTS semantics as `q_stream_ingest_dedup`.
+  *
+  * Cluster sizing note: one filter over the whole corpus only scales
+  * to ~100M items at 1% fpp (Spark's sketch caps at 8 MB by default;
+  * lifting the caps trades executor memory). Past that, the 100 TB
+  * form is one bloom PER corpus shard with the probe OR-ing a bounded
+  * set of shard sketches, or a higher-fpp sketch — fpp only widens the
+  * verify set, never corrupts the result, which is why the exact
+  * verify join stays in the plan unconditionally.
+  *
+  * Reference anchor: the workshop's silver job dedups within one batch
+  * (job-silver-rues.py dropDuplicates); this is the cross-batch,
+  * corpus-scale extension of that rule.
+  */
+object BloomDedup {
+
+  /** One-pass corpus membership sketch over `xxhash64(textCol)`.
+    * Returns the serialized filter (bounded: ≤ numBits/8 + header).
+    * `expectedItems`/`numBits` are clamped by Spark to the
+    * runtime-filter conf caps, so an over-estimate degrades fpp, not
+    * memory.
+    */
+  def buildBloom(corpus: DataFrame, textCol: String,
+                 expectedItems: Long, numBits: Long): Array[Byte] =
+    corpus.agg(call_function("bloom_agg",
+        xxhash64(col(textCol)), lit(expectedItems), lit(numBits)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+
+  /** Keep only incoming rows whose `textCol` never appears in
+    * `corpus`: bloom misses pass join-free; bloom hits are
+    * exact-verified with a text-equality anti-join (false positives
+    * survive it, so the result is exact).
+    */
+  def incrementalKeep(corpus: DataFrame, incoming: DataFrame, textCol: String,
+                      expectedItems: Long, numBits: Long): DataFrame = {
+    val bloom = buildBloom(corpus, textCol, expectedItems, numBits)
+    val hit = call_function("bloom_might_contain", lit(bloom), xxhash64(col(textCol)))
+    // The two branches read the incoming scan twice but the miss branch
+    // is scan→filter→output (no exchange); fusing them through a single
+    // outer join would drag every miss through the shuffle this
+    // operator exists to avoid.
+    val misses = incoming.filter(!hit)
+    val verified = incoming.filter(hit)
+      .join(corpus.select(col(textCol)).distinct(), Seq(textCol), "left_anti")
+    misses.unionByName(verified)
+  }
+
+  /** Convenience sizing: ~`bitsPerItem` bits per corpus row (10 ≈ 1%
+    * fpp at the optimal hash count). Counts the corpus once — at
+    * cluster scale the cardinality would come from table statistics
+    * instead of a count job.
+    */
+  def sizedKeep(spark: SparkSession, corpus: DataFrame, incoming: DataFrame,
+                textCol: String, bitsPerItem: Int = 10): DataFrame = {
+    val n = math.max(corpus.count(), 1L)
+    incrementalKeep(corpus, incoming, textCol, n, n * bitsPerItem)
+  }
+}

@@ -315,4 +315,48 @@ class Round9OpsSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
     assert(!p.contains("Generate"), p)
   }
+
+  test("bloom dedup: exact vs plain anti-join, even with a saturated 64-bit sketch") {
+    import graft.operators.BloomDedup
+    val corpus = docs.select("doc_id", "text", "source")
+    val incoming = corpus.unionByName(
+      corpus.select(col("doc_id"),
+        concat(lit("fresh "), col("doc_id").cast("string"), lit(" "), col("text"))
+          .as("text"),
+        col("source")))
+    val reference = incoming
+      .join(corpus.select("text").distinct(), Seq("text"), "left_anti")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // well-sized sketch
+    val sized = BloomDedup.sizedKeep(spark, corpus, incoming, "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(sized === reference)
+    // pathological sketch: 64 bits for the whole corpus — nearly every
+    // probe is a false positive, so exactness must come from the
+    // verify join, not the sketch
+    val tiny = BloomDedup.incrementalKeep(corpus, incoming, "text",
+        expectedItems = 4L, numBits = 64L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(tiny === reference)
+  }
+
+  test("bloom dedup: no false negatives (a full recrawl vanishes) and misses skip the join") {
+    import graft.operators.BloomDedup
+    val corpus = docs.select("doc_id", "text")
+    // replaying the corpus against itself must drop every row: a
+    // single survivor would be a bloom false NEGATIVE (impossible by
+    // construction) or a broken verify join
+    assert(BloomDedup.sizedKeep(spark, corpus, corpus, "text").count() === 0L)
+    // plan shape: exactly ONE join in the whole query — the exact
+    // verify on the hit branch; the miss branch is scan→filter→union
+    val out = BloomDedup.sizedKeep(spark, corpus,
+      corpus.withColumn("text", concat(col("text"), lit(" salt"))), "text")
+    val p = out.queryExecution.executedPlan.toString
+    val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin)".r
+      .findAllIn(p).size
+    assert(joins === 1, p)
+    // sketch build is bounded: serialized bytes ≤ numBits/8 + header
+    val bytes = BloomDedup.buildBloom(corpus, "text", 1000L, 10000L)
+    assert(bytes.length <= 10000 / 8 + 64, s"bloom unexpectedly large: ${bytes.length}")
+  }
 }
