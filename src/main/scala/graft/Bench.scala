@@ -51,7 +51,10 @@ object Bench {
     // late-r9 operators, same bench-row-from-birth policy: the Gopher
     // rule bundle (a full corpus scan pass) and temperature mixture
     // rates (corpus tokenize + stratum-cardinality derivation)
-    "q_gopher_rules", "q_temperature_mix")
+    "q_gopher_rules", "q_temperature_mix",
+    // bloom-prefiltered incremental dedup: a corpus sketch pass + a
+    // 2x-corpus probe whose hit fraction alone reaches the verify join
+    "q_bloom_ingest_dedup")
 
   // Timed every tier but EXCLUDED from the headline totals: these have
   // no DuckDB oracle (not SQL-expressible), so including them would make

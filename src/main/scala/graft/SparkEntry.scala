@@ -1305,11 +1305,16 @@ object SparkEntry {
       // misses pass join-free. Exact regardless of fpp, so the oracle
       // is the same NOT EXISTS as q_stream_ingest_dedup.
       val docs = Tables.documents(s, d).select("doc_id", "text", "source").cache()
+      // the staged batch is cached as ONE relation: left as a raw union
+      // the optimizer clones the probe filter AND the verify anti-join
+      // (build side included) into each union branch — two broadcast
+      // builds of the same distinct corpus. A real ingest batch arrives
+      // materialized (one scan), so the gate stages it the same way.
       val incoming = docs.unionByName(
         docs.select(col("doc_id"),
           concat(lit("fresh "), col("doc_id").cast("string"), lit(" "), col("text"))
             .as("text"),
-          col("source")))
+          col("source"))).cache()
       BloomDedup.sizedKeep(s, docs, incoming, "text")
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),

@@ -232,7 +232,15 @@ class PlanSpec extends SparkSpec {
       ("q_ccnet_buckets",        2, 2, false),
       // late-r9: the Gopher bundle must stay a pure scan pass
       ("q_gopher_rules",         0, 2, false),
-      ("q_temperature_mix",      2, 1, false))
+      ("q_temperature_mix",      2, 1, false),
+      // bloom ingest dedup: sketch build + corpus count are separate
+      // bounded jobs (collected before plan construction); the gate
+      // frame is miss-filter ∪ (hit ⋉̸ distinct corpus) → source agg
+      // over the CACHED staged batch (uncached, the optimizer clones
+      // the verify join + its broadcast build into every union branch
+      // of the staging — 3 shuffles / 6 leaves). Ceilings: distinct +
+      // final agg exchanges; 2 batch-cache probes + corpus sides
+      ("q_bloom_ingest_dedup",   2, 5, false))
     val failures = golden.flatMap { case (q, maxShuffles, maxLeaves, bnljOk) =>
       val p = SparkEntry.queries(q)(spark, sf()).queryExecution.executedPlan
       val h = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {

@@ -33,8 +33,8 @@ HEADLINERS = [
     "q_token_budget", "q_heavy_hitters_sketch", "q_dsir_weights",
     "q_ccnet_buckets",
     # late-r9 operators (bench rows from birth): Gopher rule bundle,
-    # temperature mixture rates
-    "q_gopher_rules", "q_temperature_mix"]
+    # temperature mixture rates, bloom-prefiltered incremental dedup
+    "q_gopher_rules", "q_temperature_mix", "q_bloom_ingest_dedup"]
 
 sf_dir = sys.argv[1]
 oracle = json.load(open(sys.argv[2]))
