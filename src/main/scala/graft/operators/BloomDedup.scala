@@ -92,4 +92,48 @@ object BloomDedup {
     val n = math.max(corpus.count(), 1L)
     incrementalKeep(corpus, incoming, textCol, n, n * bitsPerItem)
   }
+
+  /** The >100M-item form the single-sketch scaladoc points at: the
+    * corpus hash space splits into `shards` by `hash % shards`, each
+    * shard folds into its OWN sketch (one partial-aggregated pass,
+    * `shards` rows collected — bounded by shards · numBits/8), and the
+    * probe routes each incoming row to exactly ONE sketch by the same
+    * modulus. Total capacity scales linearly in `shards` while every
+    * probe stays O(1).
+    *
+    * The router is a `shards`-arm CASE over foldable-literal
+    * `bloom_might_contain` calls rather than `element_at(arrayLit,
+    * pmod)`: Spark's probe expression requires its filter child to be
+    * a CONSTANT (foldable or scalar subquery) — an array lookup with a
+    * row-dependent index is not, but each CASE arm is. Codegen keeps
+    * the arms branch-cheap; only the selected arm evaluates.
+    *
+    * A shard with no corpus rows yields no sketch row; its arm is a
+    * constant false (nothing was inserted, so nothing can match —
+    * exactly what an empty filter answers).
+    */
+  def shardedKeep(corpus: DataFrame, incoming: DataFrame, textCol: String,
+                  shards: Int, expectedItemsPerShard: Long,
+                  numBitsPerShard: Long): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    val h = xxhash64(col(textCol))
+    val shardOf = pmod(h, lit(shards.toLong))
+    val sketches: Map[Long, Array[Byte]] = corpus
+      .groupBy(shardOf.as("shard"))
+      .agg(call_function("bloom_agg", h,
+        lit(expectedItemsPerShard), lit(numBitsPerShard)).as("bf"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("bf")).toMap
+    val hit = (0L until shards.toLong).foldLeft(lit(false)) { (acc, s) =>
+      sketches.get(s) match {
+        case Some(bytes) =>
+          when(shardOf === lit(s),
+            call_function("bloom_might_contain", lit(bytes), h)).otherwise(acc)
+        case None => acc
+      }
+    }
+    val misses = incoming.filter(!hit)
+    val verified = incoming.filter(hit)
+      .join(corpus.select(col(textCol)).distinct(), Seq(textCol), "left_anti")
+    misses.unionByName(verified)
+  }
 }

@@ -359,4 +359,32 @@ class Round9OpsSpec extends SparkSpec {
     val bytes = BloomDedup.buildBloom(corpus, "text", 1000L, 10000L)
     assert(bytes.length <= 10000 / 8 + 64, s"bloom unexpectedly large: ${bytes.length}")
   }
+
+  test("sharded bloom dedup: shard-routed probe == plain anti-join; empty shards answer false") {
+    import graft.operators.BloomDedup
+    val corpus = docs.select("doc_id", "text", "source")
+    val incoming = corpus.unionByName(
+      corpus.select(col("doc_id"),
+        concat(lit("fresh "), col("doc_id").cast("string"), lit(" "), col("text"))
+          .as("text"),
+        col("source"))).cache()
+    val reference = incoming
+      .join(corpus.select("text").distinct(), Seq("text"), "left_anti")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val sharded = BloomDedup.shardedKeep(corpus, incoming, "text",
+        shards = 5, expectedItemsPerShard = 200L, numBitsPerShard = 4096L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(sharded === reference)
+    // empty shards: a 3-row corpus over 16 shards leaves most shards
+    // sketch-less; novel rows routing there must pass join-free
+    // (constant-false arm), and replayed rows must still vanish
+    val tinyCorpus = Seq((1L, "alpha doc"), (2L, "beta doc"), (3L, "gamma doc"))
+      .toDF("doc_id", "text")
+    val tinyIncoming = Seq((10L, "alpha doc"), (11L, "novel one"),
+      (12L, "novel two"), (13L, "novel three")).toDF("doc_id", "text")
+    val kept = BloomDedup.shardedKeep(tinyCorpus, tinyIncoming, "text",
+        shards = 16, expectedItemsPerShard = 8L, numBitsPerShard = 256L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(11L, 12L, 13L))
+  }
 }
