@@ -71,7 +71,12 @@ object Bench {
   // waste, they stay flat or grow.
   private val sf30Subset = Seq(
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
-    "q_dedup_exact", "q_ann_bruteforce", "q_event_windows")
+    "q_dedup_exact", "q_ann_bruteforce", "q_event_windows",
+    // bloom ingest dedup joins the amortization curve: its builder-side
+    // ratios fall 11x -> 10x -> 6.9x across sf0.1/sf1/sf10 (fixed
+    // sketch-collect + job-launch cost over a sub-second baseline) —
+    // the sf30 point documents whether the fall continues
+    "q_bloom_ingest_dedup")
 
   private def loadavg1(): Double =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim

@@ -1304,18 +1304,38 @@ object SparkEntry {
       // it codegen'd, and only bloom HITS reach the exact text anti-join;
       // misses pass join-free. Exact regardless of fpp, so the oracle
       // is the same NOT EXISTS as q_stream_ingest_dedup.
+      // docs cached: its four consumers (sketch build, verify distinct
+      // side, 2 staging branches) each re-decompress the text column
+      // from parquet otherwise — the uncached form A/B'd 60% SLOWER at
+      // sf10 (2.19 vs 1.37 s) even with the cache built inside the
+      // timed run. The sketch is sized from file METADATA (bytesOnDisk
+      // /64 over-estimates docs; over-sizing est and bits TOGETHER
+      // keeps the hash count, so fpp stays ~1% and Spark clamps at
+      // 8 MB) — no count job runs.
       val docs = Tables.documents(s, d).select("doc_id", "text", "source").cache()
       // the staged batch is cached as ONE relation: left as a raw union
       // the optimizer clones the probe filter AND the verify anti-join
       // (build side included) into each union branch — two broadcast
       // builds of the same distinct corpus. A real ingest batch arrives
       // materialized (one scan), so the gate stages it the same way.
-      val incoming = docs.unionByName(
-        docs.select(col("doc_id"),
-          concat(lit("fresh "), col("doc_id").cast("string"), lit(" "), col("text"))
-            .as("text"),
-          col("source"))).cache()
-      BloomDedup.sizedKeep(s, docs, incoming, "text")
+      // Batch shape matches the operator's premise (a crawl batch is
+      // MOSTLY novel): a 10% re-crawl slice (the withRecrawls %10
+      // convention; must vanish) + a full per-id-salted fresh batch
+      // (must survive) — ~9% duplicate rate, so the bloom-miss fast
+      // path carries the bulk and only the recrawl slice + fpp tail
+      // reaches the verify join.
+      val incoming = docs.filter(pmod(col("doc_id"), lit(10L)) === 3L)
+        .unionByName(
+          docs.select(col("doc_id"),
+            concat(lit("fresh "), col("doc_id").cast("string"), lit(" "), col("text"))
+              .as("text"),
+            col("source"))).cache()
+      // upper cap keeps est*10 overflow-safe (bytesOnDisk returns
+      // Long.MaxValue for an unreadable path) and is already far past
+      // Spark's runtime-filter clamp
+      val est = math.min(math.max(Tables.bytesOnDisk(s, d, "documents") / 64L, 1024L),
+        1L << 26)
+      BloomDedup.incrementalKeep(docs, incoming, "text", est, est * 10L)
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(length(col("text"))).as("n_chars"))
@@ -2541,15 +2561,15 @@ object SparkEntry {
 
     "q_bloom_ingest_dedup" ->
       """WITH hist AS (
-           SELECT DISTINCT text FROM documents
+           SELECT DISTINCT md5(text) AS dig FROM documents
          ), incoming AS (
-           SELECT text, source FROM documents
+           SELECT text, source FROM documents WHERE doc_id % 10 = 3
            UNION ALL
            SELECT 'fresh ' || CAST(doc_id AS VARCHAR) || ' ' || text AS text, source
            FROM documents
          ), novel AS (
            SELECT i.* FROM incoming i
-           WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.text = i.text)
+           WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.dig = md5(i.text))
          )
          SELECT source, count(*) AS n_docs,
            CAST(sum(length(text)) AS BIGINT) AS n_chars

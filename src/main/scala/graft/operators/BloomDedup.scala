@@ -58,15 +58,41 @@ object BloomDedup {
     * memory.
     */
   def buildBloom(corpus: DataFrame, textCol: String,
-                 expectedItems: Long, numBits: Long): Array[Byte] =
-    corpus.agg(call_function("bloom_agg",
+                 expectedItems: Long, numBits: Long): Array[Byte] = {
+    val bytes = corpus.agg(call_function("bloom_agg",
         xxhash64(col(textCol)), lit(expectedItems), lit(numBits)).as("bf"))
       .head().getAs[Array[Byte]]("bf")
+    if (bytes != null) bytes
+    else {
+      // Spark's aggregate evals an EMPTY buffer to null; substitute a
+      // real zero-cardinality sketch so the probe answers false (every
+      // incoming row is novel against an empty corpus) instead of null
+      // (which a filter silently drops on BOTH branches).
+      val bf = org.apache.spark.util.sketch.BloomFilter
+        .create(math.max(expectedItems, 1L), math.max(numBits, 8L))
+      val out = new java.io.ByteArrayOutputStream()
+      bf.writeTo(out)
+      out.toByteArray
+    }
+  }
 
   /** Keep only incoming rows whose `textCol` never appears in
-    * `corpus`: bloom misses pass join-free; bloom hits are
-    * exact-verified with a text-equality anti-join (false positives
-    * survive it, so the result is exact).
+    * `corpus`: bloom misses pass join-free; bloom hits are verified
+    * with an anti-join on the md5 content digest (false positives
+    * survive it, so the bloom's fpp never affects the result).
+    *
+    * The verify join is DIGEST-keyed, not text-keyed — the same
+    * md5-content-identity the exact-dedup family uses
+    * (`Deduplicator.exactGroups`): its exchange carries 16-byte
+    * digests instead of document text (~20x narrower at typical doc
+    * sizes), which is the only admissible identity-join payload at
+    * corpus scale. Equality is exact up to md5 collision (2^-64
+    * birthday bound — the bound the dedup family already documents).
+    * Measured trade on the local harness (RAM-backed shuffle dirs, so
+    * exchange width is nearly free): the md5 pass costs ~+0.2 s at
+    * sf10 (1.45 vs 1.24 s text-keyed) — kept anyway because on
+    * network shuffles the ~20x payload term dominates and the
+    * text-keyed form is not a plan one would ship at corpus scale.
     */
   def incrementalKeep(corpus: DataFrame, incoming: DataFrame, textCol: String,
                       expectedItems: Long, numBits: Long): DataFrame = {
@@ -78,7 +104,10 @@ object BloomDedup {
     // operator exists to avoid.
     val misses = incoming.filter(!hit)
     val verified = incoming.filter(hit)
-      .join(corpus.select(col(textCol)).distinct(), Seq(textCol), "left_anti")
+      .withColumn("__dig", md5(col(textCol).cast("binary")))
+      .join(corpus.select(md5(col(textCol).cast("binary")).as("__dig")).distinct(),
+        Seq("__dig"), "left_anti")
+      .drop("__dig")
     misses.unionByName(verified)
   }
 
@@ -133,7 +162,10 @@ object BloomDedup {
     }
     val misses = incoming.filter(!hit)
     val verified = incoming.filter(hit)
-      .join(corpus.select(col(textCol)).distinct(), Seq(textCol), "left_anti")
+      .withColumn("__dig", md5(col(textCol).cast("binary")))
+      .join(corpus.select(md5(col(textCol).cast("binary")).as("__dig")).distinct(),
+        Seq("__dig"), "left_anti")
+      .drop("__dig")
     misses.unionByName(verified)
   }
 }

@@ -386,5 +386,14 @@ class Round9OpsSpec extends SparkSpec {
         shards = 16, expectedItemsPerShard = 8L, numBitsPerShard = 256L)
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(kept === Seq(11L, 12L, 13L))
+    // EMPTY corpus: an empty sketch (single form) / no sketch rows
+    // (sharded form) must answer false everywhere — every incoming row
+    // is novel and must survive
+    val empty = tinyCorpus.filter(lit(false))
+    val allIds = Seq(10L, 11L, 12L, 13L)
+    assert(BloomDedup.incrementalKeep(empty, tinyIncoming, "text", 8L, 256L)
+      .select("doc_id").as[Long].collect().sorted.toSeq === allIds)
+    assert(BloomDedup.shardedKeep(empty, tinyIncoming, "text", 4, 8L, 256L)
+      .select("doc_id").as[Long].collect().sorted.toSeq === allIds)
   }
 }
