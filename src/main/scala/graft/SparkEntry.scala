@@ -1687,6 +1687,18 @@ object SparkEntry {
         c = 16, nprobe = 12)
     }),
 
+    "q_ann_pq" -> ((s, d) => {
+      // product-quantized ANN with exact rerank (rows-only; the
+      // iterative per-subspace Lloyd is not SQL-expressible —
+      // GroundTruthSpec pins recall vs exact L2, code bounds, and
+      // codebook determinism). m=8 subspaces x 64 codewords: 64-dim
+      // float -> 8 bytes stored per vector; ADC shortlists from codes
+      // alone, only the shortlist touches full vectors
+      val emb = Tables.embeddings(s, d)
+      graft.ann.Pq.adcRerankTopK(emb, emb.filter(col("vec_id") < 8),
+        "embedding", k = 5, m = 8, kcent = 64, shortlist = 100)
+    }),
+
     "q_sq8_quantize" -> ((s, d) =>
       // SQ8 vector compression report: per-dim min/max (posexplode +
       // partial agg → dims rows), broadcast stats arrays, narrow HOF

@@ -227,6 +227,50 @@ class GroundTruthSpec extends SparkSpec {
     assert(recall >= 0.9, s"IVF+SQ8 recall $recall below measured floor")
   }
 
+  test("PQ ADC+rerank: recall vs exact L2 floor; codes bounded; codebooks partition-invariant") {
+    import graft.ann.Pq
+    val emb = Tables.embeddings(spark, sf()).select("vec_id", "embedding").cache()
+    val q = emb.filter(col("vec_id") < 8)
+    // exact L2 ground truth (PQ estimates L2, so the fair reference is
+    // the same metric — the cosine-ranked siblings have their own floors)
+    val c = emb.select(col("vec_id").as("nbr_id"), col("embedding").as("c_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("d2").asc, col("nbr_id").asc)
+    val exact = c.crossJoin(broadcast(q.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .withColumn("d2", aggregate(zip_with(col("q_emb"), col("c_emb"),
+        (x, y) => (x.cast("double") - y.cast("double"))
+          * (x.cast("double") - y.cast("double"))), lit(0.0), (a, v) => a + v))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val pq = Pq.adcRerankTopK(emb, q, "embedding", k = 10, m = 8,
+        kcent = 64, shortlist = 100)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    // measured 0.90 on this corpus (uniform random vectors are PQ's
+    // worst case — no cluster structure for codewords to exploit; the
+    // 100-candidate shortlist's exact rerank is what recovers recall,
+    // the topKSq8 precedent); floor leaves drift margin
+    assert(recall >= 0.85, s"PQ recall $recall below measured floor")
+    // code table: m codes per vector, every code within [0, kcent)
+    val cb = Pq.codebooks(emb, "embedding", m = 8, k = 64)
+    val codes = Pq.encode(emb, cb, "embedding", m = 8).cache()
+    assert(codes.filter(size(col("codes")) =!= 8).count() === 0L)
+    assert(codes.filter(exists(col("codes"),
+      cd => cd < 0 || cd >= 64)).count() === 0L)
+    // determinism: the codebook is a pure function of the data, not
+    // of its partitioning (hash-ordered seeds, fixed Lloyd count)
+    val cb13 = Pq.codebooks(emb.repartition(13), "embedding", m = 8, k = 64)
+    val a = cb.orderBy("sub", "cluster_id")
+      .select(col("sub"), col("cluster_id"),
+        transform(col("centroid"), x => round(x, 9)).as("c")).collect().toSeq
+    val b = cb13.orderBy("sub", "cluster_id")
+      .select(col("sub"), col("cluster_id"),
+        transform(col("centroid"), x => round(x, 9)).as("c")).collect().toSeq
+    assert(a === b)
+  }
+
   test("IVF written index: identical results to inline form, partition-pruned scan") {
     val emb = Tables.embeddings(spark, sf()).select("vec_id", "embedding")
     val q = emb.filter(col("vec_id") < 8)
