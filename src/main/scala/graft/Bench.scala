@@ -73,9 +73,10 @@ object Bench {
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q_dedup_exact", "q_ann_bruteforce", "q_event_windows",
     // bloom ingest dedup joins the amortization curve: its builder-side
-    // ratios fall 11x -> 10x -> 6.9x across sf0.1/sf1/sf10 (fixed
-    // sketch-collect + job-launch cost over a sub-second baseline) —
-    // the sf30 point documents whether the fall continues
+    // ratios fall ~5.0x (sf10) -> ~3.6x (sf30) against the md5-identity
+    // oracle (fixed sketch-collect + job-launch + cache-materialize
+    // cost over a sub-second DuckDB number) — the sf30 point documents
+    // whether the fall continues
     "q_bloom_ingest_dedup")
 
   private def loadavg1(): Double =
