@@ -546,6 +546,42 @@ object SparkEntry {
             / col("distinct_keys") <= 0.1).as("within_10pct"))
     }),
 
+    "q_hll_store_check" -> ((s, d) => {
+      // persisted mergeable HLL sketches (SketchStore): the store is
+      // built as TWO independent deltas (orderkey parity — the
+      // "yesterday's store + today's partition" shape) and merged
+      // incrementally; per-year and rolled-up global estimates are
+      // asserted within the sketch envelope against exact distincts.
+      // The oracle pays the exact counts; the booleans pin that the
+      // incremental union path estimates correctly.
+      val o = Tables.orders(s, d)
+        .withColumn("part", year(col("o_orderdate")).cast("long"))
+      def delta(parity: Int) =
+        SketchStore.build(o.filter(pmod(col("o_orderkey"), lit(2)) === parity),
+          "part", col("o_custkey"))
+      val store = SketchStore.mergeIncremental(delta(0), delta(1), "part")
+      val bound = (est: Column, exact: Column) =>
+        (abs(est - exact).cast("double") / exact <= 0.1).as("within_10pct")
+      val perPart = SketchStore.estimates(store)
+        .join(o.groupBy("part").agg(count_distinct(col("o_custkey")).as("exact_distinct")), "part")
+        .select(col("part"), col("n_rows"), col("exact_distinct"),
+          bound(col("distinct_est"), col("exact_distinct")))
+      val global = SketchStore.estimates(SketchStore.rollup(store))
+        .crossJoin(o.agg(count_distinct(col("o_custkey")).as("exact_distinct")))
+        .select(lit(-1L).as("part"), col("n_rows"), col("exact_distinct"),
+          bound(col("distinct_est"), col("exact_distinct")))
+      perPart.unionByName(global)
+    }),
+
+    "q_pmi_cooccur" -> ((s, d) =>
+      // word-association mining: doc-level PMI over distinct-token
+      // co-occurrence, top-40 by lift with lexicographic tie-break
+      // (operators.Cooccur — narrow per-doc pair grid, vocab-bounded
+      // broadcast df table, two exchanges total)
+      Cooccur.pmi(Tables.documents(s, d).select("doc_id", "text"),
+        "doc_id", TF.tokens(col("text")),
+        minDf = 5, minPairCount = 5, topK = 40)),
+
     "q_expectations" -> ((s, d) => {
       // declarative data-quality expectations: every row rule + the
       // uniqueness rule in ONE aggregation pass, long-format verdicts
@@ -715,6 +751,14 @@ object SparkEntry {
         .groupBy(col("s_nationkey"))
         .agg(count(lit(1)).as("n_items"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))),
+
+    "q_skew_advisor" -> ((s, d) =>
+      // pre-flight skew profile of the events stream keyed by user_id
+      // (the key q_salted_join-style joins would shuffle on): one
+      // count-only exchange + a 1-row advisory aggregate — the
+      // measure-before-you-salt step of the skew playbook
+      SkewAdvisor.profile(Tables.events(s, d).select("event_id", "user_id"),
+        "user_id", "event_id")),
 
     // ===== E. Analytics (reference test/query_gold_validations.sql) =====
     "q_v1_active_by_type" -> ((s, d) => v1(Tables.orders(s, d), Tables.customer(s, d))),
@@ -2399,6 +2443,22 @@ object SparkEntry {
          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
          GROUP BY s_nationkey""",
 
+    "q_skew_advisor" ->
+      """WITH c AS (
+           SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS cnt
+           FROM events GROUP BY 1
+         ), agg AS (
+           SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+                  count(*) AS n_keys, max(cnt) AS max_count
+           FROM c
+         ), hot AS (SELECT k FROM c ORDER BY cnt DESC, k DESC LIMIT 1)
+         SELECT n_rows, n_keys,
+           floor(CAST(n_rows AS DOUBLE) / n_keys * 10000 + 0.5) / 10000 AS avg_per_key,
+           max_count, hot.k AS hot_key,
+           floor(CAST(max_count AS DOUBLE) * n_keys / n_rows * 10000 + 0.5) / 10000 AS skew_factor,
+           CAST(ceil(CAST(max_count AS DOUBLE) * n_keys / n_rows) AS BIGINT) AS recommended_salt
+         FROM agg, hot""",
+
     "q_v1_active_by_type" -> v1Sql,
     "q_v2_avg_age" -> v2Sql,
     "q_v3_rate" -> v3Sql,
@@ -3761,6 +3821,47 @@ object SparkEntry {
            count(DISTINCT (user_id, event_type)) AS distinct_keys,
            TRUE AS within_10pct
          FROM events""",
+
+    "q_hll_store_check" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS part,
+           count(*) AS n_rows,
+           count(DISTINCT o_custkey) AS exact_distinct,
+           TRUE AS within_10pct
+         FROM orders GROUP BY 1
+         UNION ALL
+         SELECT CAST(-1 AS BIGINT), count(*), count(DISTINCT o_custkey), TRUE
+         FROM orders""",
+
+    "q_pmi_cooccur" ->
+      """WITH tok0 AS (
+           SELECT DISTINCT doc_id, t AS token FROM (
+             SELECT doc_id, unnest(CASE WHEN length(trim(lower(text))) = 0
+                      THEN CAST([] AS VARCHAR[])
+                      ELSE string_split_regex(trim(lower(text)), '\s+') END) AS t
+             FROM documents)
+           WHERE length(t) > 0
+         ), df AS (
+           SELECT token, count(*) AS df FROM tok0 GROUP BY 1
+           HAVING count(*) >= 5
+         ), tok AS (
+           SELECT tok0.doc_id, tok0.token FROM tok0 JOIN df USING (token)
+         ), n AS (SELECT count(*) AS n_docs FROM documents),
+         pairs AS (
+           SELECT a.token AS tok_a, b.token AS tok_b, count(*) AS n_pair
+           FROM tok a JOIN tok b
+             ON a.doc_id = b.doc_id AND a.token < b.token
+           GROUP BY 1, 2 HAVING count(*) >= 5
+         ), scored AS (
+           SELECT tok_a, tok_b, n_pair, da.df AS df_a, db.df AS df_b,
+             CAST(n_pair AS DOUBLE) * n.n_docs
+               / CAST(da.df * db.df AS DOUBLE) AS lift
+           FROM pairs
+           JOIN df da ON pairs.tok_a = da.token
+           JOIN df db ON pairs.tok_b = db.token, n
+         )
+         SELECT tok_a, tok_b, n_pair, df_a, df_b,
+           floor(ln(lift) * 10000 + 0.5) / 10000 AS pmi
+         FROM scored ORDER BY lift DESC, tok_a, tok_b LIMIT 40""",
 
     "q_vocab_coverage" ->
       """WITH tok AS (

@@ -396,4 +396,92 @@ class Round9OpsSpec extends SparkSpec {
     assert(BloomDedup.shardedKeep(empty, tinyIncoming, "text", 4, 8L, 256L)
       .select("doc_id").as[Long].collect().sorted.toSeq === allIds)
   }
+
+  test("sketch store: incremental union is lossless and estimates stay in envelope") {
+    import graft.operators.SketchStore
+    val o = Tables.orders(spark, sf())
+      .withColumn("part", year(col("o_orderdate")).cast("long"))
+    // one-shot build vs two-delta incremental merge: HLL union at a
+    // fixed lgK is register-wise max, so the merged store must
+    // estimate IDENTICALLY to the single-pass store — the property
+    // that makes the store append-only
+    val full = SketchStore.build(o, "part", col("o_custkey"))
+    val inc = SketchStore.mergeIncremental(
+      SketchStore.build(o.filter(pmod(col("o_orderkey"), lit(2)) === 0), "part", col("o_custkey")),
+      SketchStore.build(o.filter(pmod(col("o_orderkey"), lit(2)) === 1), "part", col("o_custkey")),
+      "part")
+    val est = (st: org.apache.spark.sql.DataFrame) =>
+      SketchStore.estimates(st).select("part", "n_rows", "distinct_est")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(est(inc) === est(full))
+    // envelope: every per-part estimate within 10% of exact (lgK=12
+    // rsd ~1.6%; 10% is >6 sigma), and the rollup too
+    val exact = o.groupBy("part").agg(count_distinct(col("o_custkey")).as("x"))
+      .as[(Long, Long)].collect().toMap
+    est(full).foreach { case (p, _, e) =>
+      assert(math.abs(e - exact(p)).toDouble / exact(p) <= 0.1, s"part $p: $e vs ${exact(p)}") }
+    val g = SketchStore.estimates(SketchStore.rollup(full))
+      .select("distinct_est").as[Long].head()
+    val gx = o.agg(count_distinct(col("o_custkey"))).as[Long].head()
+    assert(math.abs(g - gx).toDouble / gx <= 0.1)
+    // the store is kilobyte rows: a partition's sketch must stay
+    // driver-safe (2^lgK registers ~ <=2.5 KB at lgK=12 + header)
+    val maxLen = full.select(max(length(col("sketch")))).as[Int].head()
+    assert(maxLen <= 4096, s"sketch bytes $maxLen")
+  }
+
+  test("pmi cooccurrence: hand-computable corpus, lift ordering, ties lexicographic") {
+    import graft.operators.Cooccur
+    val docs = Seq(
+      (1L, "x y"), (2L, "x y"), (3L, "x z"), (4L, "w"),
+      (5L, ""), (6L, "solo")).toDF("doc_id", "text")
+    val out = Cooccur.pmi(docs, "doc_id", graft.functions.TextFunctions.tokens(col("text")),
+        minDf = 1, minPairCount = 1, topK = 10)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    // n_docs = 6 (empty + single-token docs count toward the corpus);
+    // df: x=3 y=2 z=1 w=1 solo=1; pairs: (x,y)=2, (x,z)=1
+    // lift(x,y) = 2*6/(3*2) = 2.0; lift(x,z) = 1*6/(3*1) = 2.0 —
+    // equal lift, so ordering falls to the lexicographic tie-break
+    assert(out === Seq(
+      ("x", "y", 2L, 3L, 2L, math.floor(math.log(2.0) * 1e4 + 0.5) / 1e4),
+      ("x", "z", 1L, 3L, 1L, math.floor(math.log(2.0) * 1e4 + 0.5) / 1e4)))
+    // repeated tokens within a doc count once (presence semantics)
+    val rep = Seq((1L, "a a b"), (2L, "a b b")).toDF("doc_id", "text")
+    val r = Cooccur.pmi(rep, "doc_id", graft.functions.TextFunctions.tokens(col("text")),
+        minDf = 1, minPairCount = 1, topK = 10)
+      .select("tok_a", "tok_b", "n_pair", "df_a", "df_b")
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(r === Seq(("a", "b", 2L, 2L, 2L)))
+    // minDf prunes before the grid: with minDf=2 the z/w/solo tail
+    // vanishes and only (x,y) survives
+    val pruned = Cooccur.pmi(docs, "doc_id", graft.functions.TextFunctions.tokens(col("text")),
+        minDf = 2, minPairCount = 1, topK = 10)
+      .select("tok_a", "tok_b").as[(String, String)].collect().toSeq
+    assert(pruned === Seq(("x", "y")))
+  }
+
+  test("skew advisor: hand-computed skew factor, hot-key tie-break, sampled profile") {
+    import graft.operators.SkewAdvisor
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq.fill(2)("c"))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
+    // 10 rows over 3 keys, hot key a×6: avg 3.3333, skew 6*3/10 = 1.8,
+    // recommended salt ceil(1.8) = 2
+    val r = SkewAdvisor.profile(df, "k", "id")
+      .as[(Long, Long, Double, Long, String, Double, Long)].head()
+    assert(r === ((10L, 3L, 3.3333, 6L, "a", 1.8, 2L)))
+    // count tie → LARGEST key string wins (mirrors ORDER BY cnt DESC, k DESC)
+    val tie = (Seq.fill(3)("a") ++ Seq.fill(3)("b"))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
+    assert(SkewAdvisor.profile(tie, "k", "id").select("hot_key").as[String].head() === "b")
+    // sampled pre-flight: deterministic subset, ratio-based fields stay
+    // defined; n_rows strictly shrinks at frac 0.5 on a 200-row frame
+    val big = (0L until 200L).map(i => (i, s"k${i % 4}")).toDF("id", "k")
+    val s1 = SkewAdvisor.profile(big, "k", "id", sampleFrac = 0.5)
+      .as[(Long, Long, Double, Long, String, Double, Long)].head()
+    assert(s1._1 > 0 && s1._1 < 200 && s1._2 <= 4 && s1._7 >= 1)
+    // retry-stable: identical draw on rerun
+    val s2 = SkewAdvisor.profile(big, "k", "id", sampleFrac = 0.5)
+      .as[(Long, Long, Double, Long, String, Double, Long)].head()
+    assert(s1 === s2)
+  }
 }
