@@ -54,7 +54,16 @@ object Bench {
     "q_gopher_rules", "q_temperature_mix",
     // bloom-prefiltered incremental dedup: a corpus sketch pass + a
     // 2x-corpus probe whose hit fraction alone reaches the verify join
-    "q_bloom_ingest_dedup")
+    "q_bloom_ingest_dedup",
+    // final r9 operators, same policy: PMI association mining (two
+    // corpus tokenize passes + a pair-keyed exchange), the skew
+    // advisor (the counts-only key exchange a prospective join would
+    // pay), and the HLL store check harness (sketch deltas + merge +
+    // exact envelope sides over one cached 3-column orders projection)
+    "q_pmi_cooccur", "q_skew_advisor", "q_hll_store_check",
+    // cross-source contamination matrix (one shingle-keyed exchange)
+    // and the drift verdict (two corpus scans + B-row exchanges)
+    "q_source_overlap", "q_drift_summary")
 
   // Timed every tier but EXCLUDED from the headline totals: these have
   // no DuckDB oracle (not SQL-expressible), so including them would make

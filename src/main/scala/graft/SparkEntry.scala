@@ -553,9 +553,20 @@ object SparkEntry {
       // incrementally; per-year and rolled-up global estimates are
       // asserted within the sketch envelope against exact distincts.
       // The oracle pays the exact counts; the booleans pin that the
-      // incremental union path estimates correctly.
+      // incremental union path estimates correctly. Bench note: the
+      // Spark side pays the exact envelope (per-part + global) PLUS
+      // two sketch builds, the merge, and the cache materialization —
+      // >=2x the oracle SQL's work BY CONSTRUCTION (check-harness
+      // shape); the operator itself is the one-exchange build/merge.
+      // The 3-column
+      // projection is cached: the harness probes it five times (two
+      // delta builds + two exact sides + the rollup cross) — uncached
+      // that is five parquet rescans of orders (the staged-batch
+      // precedent from q_bloom_ingest_dedup).
       val o = Tables.orders(s, d)
-        .withColumn("part", year(col("o_orderdate")).cast("long"))
+        .select(year(col("o_orderdate")).cast("long").as("part"),
+          col("o_orderkey"), col("o_custkey"))
+        .cache()
       def delta(parity: Int) =
         SketchStore.build(o.filter(pmod(col("o_orderkey"), lit(2)) === parity),
           "part", col("o_custkey"))
@@ -581,6 +592,39 @@ object SparkEntry {
       Cooccur.pmi(Tables.documents(s, d).select("doc_id", "text"),
         "doc_id", TF.tokens(col("text")),
         minDf = 5, minPairCount = 5, topK = 40)),
+
+    "q_source_overlap" -> ((s, d) =>
+      // cross-source contamination matrix: shared 3-shingles per
+      // source pair + containment (shared / min side) — the
+      // which-dumps-duplicate-each-other audit (operators.SourceOverlap:
+      // one shingle-keyed exchange with set-valued partial agg, pair
+      // grid as a |sources|²-bounded HOF, totals broadcast)
+      SourceOverlap.matrix(Tables.documents(s, d), "source", col("text"), k = 3)),
+
+    "q_drift_psi" -> ((s, d) => {
+      // ingest-drift monitoring: per-bucket PSI table between the
+      // even-doc reference snapshot and an odd-doc current snapshot
+      // with a planted 1.25x length shift (mirrored in the oracle) —
+      // bucket edges anchored to the REFERENCE min/max, out-of-range
+      // current values clamp to the edge buckets
+      val docs = Tables.documents(s, d)
+      Drift.psiTable(
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 0L).select(col("n_chars")),
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 1L)
+          .select((col("n_chars") * lit(1.25)).as("n_chars")),
+        "n_chars", buckets = 10)
+    }),
+
+    "q_drift_summary" -> ((s, d) => {
+      // one-row drift verdict over the same planted pair: PSI sum,
+      // bucketed-KS sup, and the 0.25 "shifted" threshold applied
+      val docs = Tables.documents(s, d)
+      Drift.summary(
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 0L).select(col("n_chars")),
+        docs.filter(pmod(col("doc_id"), lit(2L)) === 1L)
+          .select((col("n_chars") * lit(1.25)).as("n_chars")),
+        "n_chars", buckets = 10, threshold = 0.25)
+    }),
 
     "q_expectations" -> ((s, d) => {
       // declarative data-quality expectations: every row rule + the
@@ -2092,6 +2136,45 @@ object SparkEntry {
   // ---------------------------------------------------------------
   // DuckDB oracles (driver runs these on the same parquet tables)
   // ---------------------------------------------------------------
+
+  // shared CTE body for the two drift gates: even-doc reference vs
+  // odd-doc current snapshot with the planted 1.25x length shift,
+  // 10 reference-anchored equi-width buckets, Laplace(+0.5) smoothing
+  private val driftBucketsSql =
+    """ref AS (
+           SELECT CAST(n_chars AS DOUBLE) AS v FROM documents WHERE doc_id % 2 = 0
+         ), cur AS (
+           SELECT CAST(n_chars AS DOUBLE) * 1.25 AS v FROM documents WHERE doc_id % 2 = 1
+         ), rng AS (SELECT min(v) AS lo, max(v) AS hi FROM ref),
+         rb AS (
+           SELECT greatest(0, least(9, CASE WHEN hi = lo THEN 0
+             ELSE CAST(floor((v - lo) / ((hi - lo) / 10)) AS INT) END)) AS bucket
+           FROM ref, rng
+         ), cb AS (
+           SELECT greatest(0, least(9, CASE WHEN hi = lo THEN 0
+             ELSE CAST(floor((v - lo) / ((hi - lo) / 10)) AS INT) END)) AS bucket
+           FROM cur, rng
+         ), rc AS (SELECT bucket, count(*) AS ref_count FROM rb GROUP BY 1),
+         cc AS (SELECT bucket, count(*) AS cur_count FROM cb GROUP BY 1),
+         spine AS (SELECT unnest(range(0, 10)) AS bucket),
+         joined AS (
+           SELECT CAST(s.bucket AS BIGINT) AS bucket,
+             CAST(COALESCE(rc.ref_count, 0) AS BIGINT) AS ref_count,
+             CAST(COALESCE(cc.cur_count, 0) AS BIGINT) AS cur_count
+           FROM spine s
+           LEFT JOIN rc ON s.bucket = rc.bucket
+           LEFT JOIN cc ON s.bucket = cc.bucket
+         ), tot AS (
+           SELECT CAST(sum(ref_count) AS BIGINT) AS ref_n,
+                  CAST(sum(cur_count) AS BIGINT) AS cur_n
+           FROM joined
+         ), terms AS (
+           SELECT bucket, ref_count, cur_count, ref_n, cur_n,
+             (ref_count + 0.5) / (ref_n + 5.0) AS p,
+             (cur_count + 0.5) / (cur_n + 5.0) AS q
+           FROM joined, tot
+         )"""
+
   private val v1Sql =
     """SELECT c_mktsegment, count(DISTINCT o_custkey) AS total_active
        FROM orders JOIN customer ON o_custkey = c_custkey
@@ -3862,6 +3945,60 @@ object SparkEntry {
          SELECT tok_a, tok_b, n_pair, df_a, df_b,
            floor(ln(lift) * 10000 + 0.5) / 10000 AS pmi
          FROM scored ORDER BY lift DESC, tok_a, tok_b LIMIT 40""",
+
+    "q_source_overlap" ->
+      """WITH toks AS (
+           SELECT source,
+             CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS ts
+           FROM documents
+         ), pres AS (
+           SELECT DISTINCT source, unnest(
+             CASE WHEN len(ts) = 0 THEN CAST([] AS VARCHAR[])
+                  WHEN len(ts) <= 3 THEN [array_to_string(ts, ' ')]
+                  ELSE list_distinct(list_transform(range(1, len(ts) - 1),
+                         i -> array_to_string(ts[i:i+2], ' ')))
+             END) AS sh
+           FROM toks
+         ), totals AS (
+           SELECT source, count(*) AS n FROM pres GROUP BY 1
+         ), shared AS (
+           SELECT a.source AS src_a, b.source AS src_b,
+                  count(*) AS shared_shingles
+           FROM pres a JOIN pres b
+             ON a.sh = b.sh AND a.source < b.source
+           GROUP BY 1, 2
+         )
+         SELECT src_a, src_b, shared_shingles, ta.n AS n_a, tb.n AS n_b,
+           floor(CAST(shared_shingles AS DOUBLE) / least(ta.n, tb.n)
+                 * 10000 + 0.5) / 10000 AS containment
+         FROM shared
+         JOIN totals ta ON shared.src_a = ta.source
+         JOIN totals tb ON shared.src_b = tb.source
+         ORDER BY src_a, src_b""",
+
+    "q_drift_psi" ->
+      s"""WITH $driftBucketsSql
+         SELECT bucket, ref_count, cur_count,
+           floor(p * 10000 + 0.5) / 10000 AS ref_frac,
+           floor(q * 10000 + 0.5) / 10000 AS cur_frac,
+           floor((p - q) * ln(p / q) * 10000 + 0.5) / 10000 AS psi_term
+         FROM terms""",
+
+    "q_drift_summary" ->
+      s"""WITH $driftBucketsSql, cum AS (
+           SELECT *,
+             sum(ref_count) OVER (ORDER BY bucket) AS ref_cum,
+             sum(cur_count) OVER (ORDER BY bucket) AS cur_cum
+           FROM terms
+         )
+         SELECT max(ref_n) AS ref_n, max(cur_n) AS cur_n,
+           floor(sum((p - q) * ln(p / q)) * 10000 + 0.5) / 10000 AS psi,
+           floor(max(abs(CAST(ref_cum AS DOUBLE) / ref_n
+                         - CAST(cur_cum AS DOUBLE) / cur_n))
+                 * 10000 + 0.5) / 10000 AS ks,
+           sum((p - q) * ln(p / q)) > 0.25 AS drifted
+         FROM cum""",
 
     "q_vocab_coverage" ->
       """WITH tok AS (

@@ -240,7 +240,29 @@ class PlanSpec extends SparkSpec {
       // the verify join + its broadcast build into every union branch
       // of the staging — 3 shuffles / 6 leaves). Ceilings: distinct +
       // final agg exchanges; 2 batch-cache probes + corpus sides
-      ("q_bloom_ingest_dedup",   2, 5, false))
+      ("q_bloom_ingest_dedup",   2, 5, false),
+      // final r9 headliners: PMI's BNLJ is the 1-row n_docs stat
+      // frame; its 6 exchanges are two corpus tokenize passes (df by
+      // token, presence by doc), the pair-keyed count, and the
+      // vocab-bounded scoring joins' duplicated df branches (pre-AQE;
+      // ReusedExchange collapses them at runtime)
+      ("q_pmi_cooccur",          6, 5, true),
+      ("q_skew_advisor",         2, 1, false),
+      // check harness over ONE cached 3-column orders projection:
+      // two sketch-delta builds, the incremental merge, the two exact
+      // envelope sides, and the single-row rollup cross (BNLJ) — the
+      // 6 leaves are cache probes, not parquet rescans
+      ("q_hll_store_check",      9, 6, true),
+      // source overlap: the shingle exchange + its ReusedExchange
+      // branches (totals/pairs), the two tiny aggs, and the final
+      // |sources|²-row sort; 3 leaves = one documents scan + reuses
+      ("q_source_overlap",       7, 3, false),
+      // drift: 2-value range agg (the 1-row BNLJ broadcast) + one
+      // B-row count exchange per snapshot + spine joins/windows —
+      // 5 leaves = range scan, two snapshot scans, spine, and the
+      // pre-AQE clone the runtime reuses
+      ("q_drift_psi",            5, 5, true),
+      ("q_drift_summary",        5, 5, true))
     val failures = golden.flatMap { case (q, maxShuffles, maxLeaves, bnljOk) =>
       val p = SparkEntry.queries(q)(spark, sf()).queryExecution.executedPlan
       val h = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {

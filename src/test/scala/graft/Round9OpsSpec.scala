@@ -484,4 +484,64 @@ class Round9OpsSpec extends SparkSpec {
       .as[(Long, Long, Double, Long, String, Double, Long)].head()
     assert(s1 === s2)
   }
+
+  test("source overlap: hand-built corpus, containment math, zero-overlap pairs absent") {
+    import graft.operators.SourceOverlap
+    // k=2 shingle sets: A={a b, b c, c d}, B={a b, b e}, C={b c, c d, d e}
+    val docs = Seq(
+      (1L, "A", "a b c"), (2L, "A", "c d"),
+      (3L, "B", "a b e"),
+      (4L, "C", "b c d e"),
+      (5L, "C", "")).toDF("doc_id", "source", "text")
+    val out = SourceOverlap.matrix(docs, "source", col("text"), k = 2)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    // A∩B = {a b} (containment 1/min(3,2) = 0.5);
+    // A∩C = {b c, c d} (2/min(3,3) = 0.6667); B∩C = ∅ → row absent
+    assert(out === Seq(
+      ("A", "B", 1L, 3L, 2L, 0.5),
+      ("A", "C", 2L, 3L, 3L, 0.6667)))
+    // repeated shingles within a source count once (set semantics)
+    val rep = Seq((1L, "X", "a b a b"), (2L, "X", "a b"), (3L, "Y", "a b"))
+      .toDF("doc_id", "source", "text")
+    val r = SourceOverlap.matrix(rep, "source", col("text"), k = 2)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    // X's shingles: {a b, b a} (doc1 distinct) ∪ {a b} = {a b, b a};
+    // Y = {a b}; shared = {a b} → 1/min(2,1) = 1.0
+    assert(r === Seq(("X", "Y", 1L, 2L, 1L, 1.0)))
+  }
+
+  test("drift: identical snapshots score zero; planted shift hand-computed; edge clamping") {
+    import graft.operators.Drift
+    val ref = (0 until 100).map(_.toDouble).toDF("x")
+    // identical snapshots: every smoothed p equals q → all terms 0,
+    // psi 0, ks 0, not drifted
+    val same = Drift.summary(ref, ref, "x", buckets = 10)
+      .as[(Long, Long, Double, Double, Boolean)].head()
+    assert(same === ((100L, 100L, 0.0, 0.0, false)))
+    assert(Drift.psiTable(ref, ref, "x", 10)
+      .select("psi_term").as[Double].collect().forall(_ == 0.0))
+    // +1000 shift: every current value clamps into bucket 9 →
+    // p_i = 10.5/105 = 0.1 everywhere; q_i = 0.5/105 below, 100.5/105
+    // in bucket 9; psi and ks hand-computed from those fractions
+    val cur = (0 until 100).map(v => v + 1000.0).toDF("x")
+    val qLo = 0.5 / 105.0; val qHi = 100.5 / 105.0
+    val expPsi = 9 * (0.1 - qLo) * math.log(0.1 / qLo) +
+      (0.1 - qHi) * math.log(0.1 / qHi)
+    val r4 = (x: Double) => math.floor(x * 1e4 + 0.5) / 1e4
+    val shifted = Drift.summary(ref, cur, "x", buckets = 10)
+      .as[(Long, Long, Double, Double, Boolean)].head()
+    // ks sup at bucket 8: ref cdf 0.9 vs cur cdf 0.0
+    assert(shifted === ((100L, 100L, r4(expPsi), 0.9, true)))
+    // per-bucket table: buckets 0-8 hold 10 ref / 0 cur, bucket 9
+    // holds 10 ref / all 100 cur (clamped)
+    val tab = Drift.psiTable(ref, cur, "x", 10)
+      .select("bucket", "ref_count", "cur_count")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(tab === (0L to 8L).map(b => (b, 10L, 0L)) :+ ((9L, 10L, 100L)))
+    // degenerate single-valued reference: hi == lo → everything in
+    // bucket 0, identical pair still scores 0
+    val one = Seq(5.0, 5.0, 5.0).toDF("x")
+    assert(Drift.summary(one, one, "x", 10)
+      .select("psi").as[Double].head() === 0.0)
+  }
 }

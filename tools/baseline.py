@@ -34,7 +34,12 @@ HEADLINERS = [
     "q_ccnet_buckets",
     # late-r9 operators (bench rows from birth): Gopher rule bundle,
     # temperature mixture rates, bloom-prefiltered incremental dedup
-    "q_gopher_rules", "q_temperature_mix", "q_bloom_ingest_dedup"]
+    "q_gopher_rules", "q_temperature_mix", "q_bloom_ingest_dedup",
+    # final r9 operators (bench rows from birth): PMI association
+    # mining, shuffle-skew advisor, HLL store check harness (its exact
+    # count-distinct columns are the oracle side)
+    "q_pmi_cooccur", "q_skew_advisor", "q_hll_store_check",
+    "q_source_overlap", "q_drift_summary"]
 
 sf_dir = sys.argv[1]
 oracle = json.load(open(sys.argv[2]))
