@@ -63,7 +63,15 @@ object Bench {
     "q_pmi_cooccur", "q_skew_advisor", "q_hll_store_check",
     // cross-source contamination matrix (one shingle-keyed exchange)
     // and the drift verdict (two corpus scans + B-row exchanges)
-    "q_source_overlap", "q_drift_summary")
+    "q_source_overlap", "q_drift_summary",
+    // fifth-session r9 operators, same bench-row-from-birth policy:
+    // Stupid Backoff LM (two tokenize sides + type-keyed joins),
+    // unicode NFC cleanup (a full regex scan pass), the Zipf
+    // frequency spectrum (one token exchange), and URL domain policy
+    // (host-keyed capped window). q_corpus_stats is NOT here — it
+    // times the same token exchange as q_freq_spectrum.
+    "q_backoff_logprob", "q_unicode_clean", "q_freq_spectrum",
+    "q_domain_policy")
 
   // Timed every tier but EXCLUDED from the headline totals: these have
   // no DuckDB oracle (not SQL-expressible), so including them would make

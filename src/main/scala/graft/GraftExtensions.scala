@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, StringTrim, Up
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 
-import graft.functions.{CollectMinK, CosineSimilarity, MinHash64, NgramRepetition, ShingleHash64, SimHash64}
+import graft.functions.{CollectMinK, CosineSimilarity, MinHash64, NfcNormalize, NgramRepetition, ShingleHash64, SimHash64}
 
 /** Engine extensions, registered through the public
   * `spark.sql.extensions` hook (GraftSession sets it). Native
@@ -79,6 +79,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "bloom_might_contain(bloom, value) takes exactly two arguments")
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           children(0), children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1, "nfc_normalize(str) takes exactly one argument")
+        NfcNormalize(children.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("collect_min_k"),

@@ -1440,6 +1440,37 @@ object SparkEntry {
         .orderBy(col("freq").desc, col("token").asc)
         .limit(100)),
 
+    "q_freq_spectrum" -> ((s, d) =>
+      // Zipf frequency spectrum (freq -> type count): distinct corpus
+      // frequencies are O(sqrt(tokens)), so the re-key off the
+      // vocab-sized term-count frame stays tiny at any corpus size
+      graft.operators.VocabStats.spectrum(Tables.documents(s, d), "text")),
+
+    "q_corpus_stats" -> ((s, d) =>
+      // one-row vocabulary-health summary: hapax fraction + TTR, the
+      // corpus-linguistics drift/collapse diagnostics
+      graft.operators.VocabStats.summary(Tables.documents(s, d), "text")),
+
+    "q_domain_policy" -> ((s, d) => {
+      // C4/RefinedWeb URL hygiene: the corpus carries no URL column,
+      // so the gate synthesizes a deterministic one (140 hosts out of
+      // source x doc_id%7; every fifth doc sits on a cdn. subdomain) —
+      // the oracle builds the identical string. The suffix blocklist
+      // must remove src1-3.example.com AND cdn.src1-3.example.com;
+      // the per-host cap keeps 3 docs by portable-md5 draw (the
+      // verify-SF host-count max is 4, so the cap observably binds).
+      val docs = Tables.documents(s, d).withColumn("url",
+        concat(lit("https://"),
+          when(pmod(col("doc_id"), lit(5L)) === 0, lit("cdn.")).otherwise(lit("")),
+          col("source"), lit("-"),
+          pmod(col("doc_id"), lit(7L)).cast("string"),
+          lit(".example.com/p/"), col("doc_id").cast("string")))
+      graft.operators.DomainPolicy.applyPolicy(docs, "url", "doc_id",
+          blocked = Seq("src1-3.example.com", "src2-1.example.com"),
+          maxPerHost = 3)
+        .select(col("doc_id"), col("host"))
+    }),
+
     "q_token_count" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         TF.tokenCount(col("text")).as("ws_tokens"),
@@ -1681,6 +1712,16 @@ object SparkEntry {
       // per-token log-probs so the mean is order-independent
       graft.operators.UnigramLm.scores(Tables.documents(s, d), "doc_id", "text")),
 
+    "q_backoff_logprob" -> ((s, d) => {
+      // Stupid Backoff trigram scoring (Brants et al. 2007): the
+      // model trains on the doc_id%3==0 reference slice so the
+      // backoff chain genuinely fires on the other two thirds —
+      // n_hit3/2/1 tallies make each level's firing oracle-visible
+      val docs = Tables.documents(s, d)
+      graft.operators.BackoffLm.scores(
+        docs, docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+    }),
+
     "q_repetition_stats" -> ((s, d) => {
       // Gopher-style repetition filters (Rae et al. 2021 §A1.1):
       // duplicate-token fraction, most-frequent unigram/bigram share,
@@ -1891,6 +1932,25 @@ object SparkEntry {
       Tables.documents(s, d).select(col("doc_id"),
         length(TF.cleanText(dirty)).cast("long").as("clean_len"),
         (TF.cleanText(dirty) =!= dirty).as("changed"))
+    }),
+
+    "q_unicode_clean" -> ((s, d) => {
+      // the synthetic corpus is pure ASCII, so unicodeClean would be a
+      // verified no-op — plant a deterministic mojibake specimen on a
+      // quarter of the docs (decomposed accent, NBSP, zero-width
+      // space, BEL control; oracle plants the identical codepoints):
+      // NFC must compose e+U+0301, the space class must map NBSP to
+      // ' ', and the zero-width/control classes must delete
+      val planted = when(pmod(col("doc_id"), lit(4L)) === 1L,
+        concat(col("text"), lit(" caf"), lit("e\u0301"), lit(" x"), // decomposed e+acute
+          lit("\u00A0"), lit("a"), lit("\u200B"), lit("b"), // NBSP, zero-width
+          lit("\u0007"), lit("c"))) // BEL control
+        .otherwise(col("text"))
+      val cleaned = TF.unicodeClean(planted)
+      Tables.documents(s, d).select(col("doc_id"),
+        length(cleaned).cast("long").as("clean_len"),
+        (cleaned =!= planted).as("changed"),
+        md5(cleaned.cast("binary")).as("clean_md5"))
     }),
 
     "q_fingerprint" -> ((s, d) =>
@@ -3131,6 +3191,58 @@ object SparkEntry {
          ORDER BY freq DESC, token ASC
          LIMIT 100""",
 
+    "q_freq_spectrum" ->
+      """WITH tc AS (
+           SELECT token, count(*) AS freq FROM (
+             SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+             FROM documents WHERE length(trim(lower(text))) > 0
+           ) t
+           WHERE length(token) > 0 GROUP BY token
+         ), voc AS (SELECT count(*) AS n_vocab FROM tc)
+         SELECT freq, count(*) AS n_types,
+           floor((CAST(count(*) AS DOUBLE) / voc.n_vocab) * 1000000.0 + 0.5)
+             / 1000000.0 AS vocab_share
+         FROM tc, voc GROUP BY freq, voc.n_vocab""",
+
+    "q_corpus_stats" ->
+      """WITH tc AS (
+           SELECT token, count(*) AS freq FROM (
+             SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+             FROM documents WHERE length(trim(lower(text))) > 0
+           ) t
+           WHERE length(token) > 0 GROUP BY token
+         )
+         SELECT CAST(sum(freq) AS BIGINT) AS n_tokens,
+           count(*) AS n_types,
+           CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hapax_types,
+           floor((CAST(sum(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*)) * 1000000.0 + 0.5) / 1000000.0 AS hapax_frac,
+           floor((CAST(count(*) AS DOUBLE) / sum(freq)) * 1000000.0 + 0.5)
+             / 1000000.0 AS type_token_ratio
+         FROM tc""",
+
+    "q_domain_policy" ->
+      """WITH u AS (
+           SELECT doc_id,
+             lower(CASE WHEN doc_id % 5 = 0 THEN 'cdn.' ELSE '' END
+               || source || '-' || CAST(doc_id % 7 AS VARCHAR)
+               || '.example.com') AS host
+           FROM documents
+         ), unblocked AS (
+           SELECT doc_id, host FROM u
+           WHERE NOT EXISTS (
+             SELECT 1 FROM (VALUES ('src1-3.example.com'),
+               ('src2-1.example.com')) b(h)
+             WHERE u.host = b.h OR u.host LIKE '%.' || b.h)
+         ), ranked AS (
+           SELECT doc_id, host,
+             row_number() OVER (PARTITION BY host
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM unblocked
+         )
+         SELECT doc_id, host FROM ranked WHERE rn <= 3""",
+
     "q_token_count" ->
       """SELECT doc_id,
            CAST(CASE WHEN length(trim(lower(text))) = 0 THEN 0
@@ -4174,6 +4286,73 @@ object SparkEntry {
            END AS logprob_mean
          FROM documents d LEFT JOIN score ON d.doc_id = score.doc_id""",
 
+    "q_backoff_logprob" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+           FROM documents
+         ), mt AS (
+           SELECT toks FROM t WHERE doc_id % 3 = 0
+         ), muni AS (
+           SELECT term AS w, count(*) AS c1
+           FROM (SELECT unnest(toks) AS term FROM mt)
+           WHERE length(term) > 0 GROUP BY 1
+         ), mtot AS (
+           SELECT count(*) AS n_tok, count(DISTINCT term) AS v
+           FROM (SELECT unnest(toks) AS term FROM mt)
+           WHERE length(term) > 0
+         ), mbig AS (
+           SELECT toks[i] AS w1, toks[i + 1] AS w2, count(*) AS c2
+           FROM mt, unnest(range(1, len(toks))) AS r(i) GROUP BY 1, 2
+         ), mtri AS (
+           SELECT toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3,
+             count(*) AS c3
+           FROM mt, unnest(range(1, len(toks) - 1)) AS r(i) GROUP BY 1, 2, 3
+         ), tfd AS (
+           SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2,
+             toks[i + 2] AS w3, count(*) AS tf
+           FROM t, unnest(range(1, len(toks) - 1)) AS r(i)
+           GROUP BY 1, 2, 3, 4
+         ), types AS (
+           SELECT DISTINCT w1, w2, w3 FROM tfd
+         ), scored AS (
+           SELECT types.w1, types.w2, types.w3,
+             CASE WHEN mtri.c3 IS NOT NULL THEN 3
+                  WHEN b23.c2 IS NOT NULL THEN 2 ELSE 1 END AS level,
+             CAST(floor(ln(
+               CASE WHEN mtri.c3 IS NOT NULL
+                      THEN CAST(mtri.c3 AS DOUBLE) / b12.c2
+                    WHEN b23.c2 IS NOT NULL
+                      THEN CAST(0.4 AS DOUBLE) * b23.c2 / u2.c1
+                    ELSE CAST(0.16 AS DOUBLE) * (coalesce(u3.c1, 0) + 1)
+                      / (mtot.n_tok + mtot.v) END)
+               * 1000000.0 + 0.5) AS BIGINT) AS lns
+           FROM types
+           LEFT JOIN mtri USING (w1, w2, w3)
+           LEFT JOIN mbig b12 ON types.w1 = b12.w1 AND types.w2 = b12.w2
+           LEFT JOIN mbig b23 ON types.w2 = b23.w1 AND types.w3 = b23.w2
+           LEFT JOIN muni u2 ON types.w2 = u2.w
+           LEFT JOIN muni u3 ON types.w3 = u3.w, mtot
+         ), perdoc AS (
+           SELECT tfd.doc_id, sum(tf) AS n_trigrams,
+             sum(CASE WHEN level = 3 THEN tf ELSE 0 END) AS n_hit3,
+             sum(CASE WHEN level = 2 THEN tf ELSE 0 END) AS n_hit2,
+             sum(CASE WHEN level = 1 THEN tf ELSE 0 END) AS n_hit1,
+             sum(tf * lns) AS s
+           FROM tfd JOIN scored USING (w1, w2, w3) GROUP BY 1
+         )
+         SELECT d.doc_id,
+           CAST(coalesce(p.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+           CAST(coalesce(p.n_hit3, 0) AS BIGINT) AS n_hit3,
+           CAST(coalesce(p.n_hit2, 0) AS BIGINT) AS n_hit2,
+           CAST(coalesce(p.n_hit1, 0) AS BIGINT) AS n_hit1,
+           CASE WHEN p.n_trigrams IS NULL THEN 0.0
+                ELSE floor(CAST(p.s AS DOUBLE)
+                       / (p.n_trigrams * 1000000.0) * 10000.0 + 0.5) / 10000.0
+           END AS backoff_mean
+         FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id""",
+
     "q_unigram_logprob" ->
       """WITH t AS (
            SELECT doc_id,
@@ -4549,6 +4728,30 @@ object SparkEntry {
          )
          SELECT doc_id, CAST(length(clean) AS BIGINT) AS clean_len,
            clean <> text AS changed
+         FROM c""",
+
+    "q_unicode_clean" ->
+      """WITH planted AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 4 = 1
+                  THEN text || ' caf' || 'e' || chr(769) || ' x'
+                       || chr(160) || 'a' || chr(8203) || 'b'
+                       || chr(7) || 'c'
+                  ELSE text END AS text
+           FROM documents
+         ), c AS (
+           SELECT doc_id, text,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(nfc_normalize(text),
+                   '[\x{00A0}\x{2000}-\x{200A}\x{202F}\x{3000}]', ' ', 'g'),
+                 '[\x{200B}-\x{200F}\x{FEFF}]', '', 'g'),
+               '[\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}\x{007F}-\x{009F}]',
+               '', 'g') AS clean
+           FROM planted
+         )
+         SELECT doc_id, CAST(length(clean) AS BIGINT) AS clean_len,
+           clean <> text AS changed, md5(clean) AS clean_md5
          FROM c""",
 
     "q_event_windows" ->

@@ -221,4 +221,22 @@ object TextFunctions {
       "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", " ")
     trim(regexp_replace(noEmail, "\\s+", " "))
   }
+
+  /** Unicode normalization cleanup (the ftfy-lite crawl pass):
+    * NFC-compose (native `nfc_normalize` expression — decomposed
+    * accents break byte-level dedup and tokenization), then map
+    * exotic unicode spaces to ' ', delete zero-width/bidi marks, and
+    * delete C0/C1 controls except tab/newline/CR. The character-class
+    * regexes use `\x{…}` escapes, which Java regex and RE2 (the
+    * oracle engine) parse identically. NFC runs FIRST so the classes
+    * see composed codepoints.
+    */
+  def unicodeClean(text: Column): Column = {
+    val composed = call_function("nfc_normalize", text)
+    val spaces = regexp_replace(composed,
+      "[\\x{00A0}\\x{2000}-\\x{200A}\\x{202F}\\x{3000}]", " ")
+    val noZw = regexp_replace(spaces, "[\\x{200B}-\\x{200F}\\x{FEFF}]", "")
+    regexp_replace(noZw,
+      "[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}\\x{007F}-\\x{009F}]", "")
+  }
 }

@@ -201,4 +201,41 @@ class FunctionsSpec extends SparkSpec {
     assert(b(0) == b(1))
     assert(b(0) != b(2)) // opposite vector flips every nonzero projection
   }
+
+  test("nfc_normalize composes decomposed text; identity fast paths; null") {
+    val composed = "caf\u00E9"
+    val df = Seq(
+      Some("cafe\u0301"),     // decomposed -> composed \u00E9
+      Some(composed),          // already NFC, non-ASCII -> unchanged
+      Some("plain ascii"),     // ASCII fast path
+      None: Option[String]
+    ).toDF("text")
+    val out = df.select(
+        call_function("nfc_normalize", col("text")).as("n"),
+        length(call_function("nfc_normalize", col("text"))).as("len"))
+      .collect().toSeq
+    assert(out(0).getString(0) === composed && out(0).getInt(1) === 4)
+    assert(out(1).getString(0) === composed)
+    assert(out(2).getString(0) === "plain ascii")
+    assert(out(3).isNullAt(0) && out(3).isNullAt(1))
+    // interpreted eval agrees with codegen (the ShingleHash64 pattern)
+    import graft.functions.NfcNormalize
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(NfcNormalize.nfc(UTF8String.fromString("cafe\u0301")).toString
+      === composed)
+    // the ASCII fast path returns the same reference, not a copy
+    val ascii = UTF8String.fromString("abc")
+    assert(NfcNormalize.nfc(ascii) eq ascii)
+  }
+
+  test("unicodeClean: spaces mapped, zero-width and controls deleted, NFC first") {
+    val df = Seq(
+      "a\u00A0b",              // NBSP -> plain space
+      "a\u200Bb\uFEFFc",      // zero-width space + BOM deleted
+      "a\u0007b\tc\nd",      // BEL deleted, tab/newline KEPT
+      "cafe\u0301\u3000x"     // NFC composes, ideographic space maps
+    ).toDF("text")
+    val out = df.select(TF.unicodeClean(col("text"))).as[String].collect().toSeq
+    assert(out === Seq("a b", "abc", "ab\tc\nd", "caf\u00E9 x"))
+  }
 }

@@ -262,7 +262,19 @@ class PlanSpec extends SparkSpec {
       // 5 leaves = range scan, two snapshot scans, spine, and the
       // pre-AQE clone the runtime reuses
       ("q_drift_psi",            5, 5, true),
-      ("q_drift_summary",        5, 5, true))
+      ("q_drift_summary",        5, 5, true),
+      // fifth-session r9 headliners: backoff LM pays one corpus scan
+      // per n-gram order (the Brants MapReduce shape; totals fold
+      // from the vocab-sized unigram table, and 3 of the pre-AQE
+      // duplicate branches come back as runtime ReusedExchange) plus
+      // type-keyed joins — its BNLJ is the 1-row (N,V) broadcast;
+      // unicode clean and the Gopher bundle share the scan-pure bar;
+      // the spectrum's BNLJ is the 1-row vocab total; domain policy
+      // is exactly the one host-keyed capped window
+      ("q_backoff_logprob",     11, 9, true),
+      ("q_unicode_clean",        0, 1, false),
+      ("q_freq_spectrum",        4, 2, true),
+      ("q_domain_policy",        1, 1, false))
     val failures = golden.flatMap { case (q, maxShuffles, maxLeaves, bnljOk) =>
       val p = SparkEntry.queries(q)(spark, sf()).queryExecution.executedPlan
       val h = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {

@@ -544,4 +544,72 @@ class Round9OpsSpec extends SparkSpec {
     assert(Drift.summary(one, one, "x", 10)
       .select("psi").as[Double].head() === 0.0)
   }
+
+  test("stupid backoff: every level hand-checked on a unit model") {
+    // model "a b c d": uni a..d = 1 (N=4, V=4); big ab,bc,cd = 1;
+    // tri abc,bcd = 1
+    val model = Seq((0L, "a b c d")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b c"), // trigram hit:   ln(c3/c12) = ln(1/1) = 0
+      (2L, "x b c"), // bigram  hit:   ln(0.4·c(bc)/c(b)) = ln(0.4)
+      (3L, "x y z"), // unigram floor: ln(0.16·(0+1)/(4+4)) = ln(0.02)
+      (4L, "a b")    // <3 tokens → zero row
+    ).toDF("doc_id", "text")
+    val out = graft.operators.BackoffLm
+      .scores(docs, model, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // ln(0.4)  = -0.91629073… → 1e-6-floor -916291 → 4dp -0.9163
+    // ln(0.02) = -3.91202301… → 1e-6-floor -3912023 → 4dp -3.9120
+    assert(out === Seq(
+      (1L, 1L, 1L, 0L, 0L, 0.0),
+      (2L, 1L, 0L, 1L, 0L, -0.9163),
+      (3L, 1L, 0L, 0L, 1L, -3.9120),
+      (4L, 0L, 0L, 0L, 0L, 0.0)))
+    // hit tallies always partition the trigram count
+    val corpus = Tables.documents(spark, sf()).limit(200)
+    val chk = graft.operators.BackoffLm
+      .scores(corpus, corpus.filter($"doc_id" % 3 === 0), "doc_id", "text")
+    assert(chk.filter($"n_hit3" + $"n_hit2" + $"n_hit1" =!= $"n_trigrams")
+      .count() === 0L)
+  }
+
+  test("domain policy: suffix blocklist, per-host cap by portable md5") {
+    import graft.operators.DomainPolicy
+    // suffixes of a host
+    val sfx = Seq("a.b.example.com").toDF("h")
+      .select(DomainPolicy.hostSuffixes($"h")).as[Seq[String]].head()
+    assert(sfx === Seq("a.b.example.com", "b.example.com", "example.com", "com"))
+    // blocked domain removes itself AND subdomains, not lookalikes
+    val hosts = Seq("bad.com", "cdn.bad.com", "notbad.com", "good.org")
+      .toDF("h")
+    val blocked = hosts.filter(DomainPolicy.isBlocked($"h", Seq("bad.com")))
+      .as[String].collect().toSet
+    assert(blocked === Set("bad.com", "cdn.bad.com"))
+    // cap: 8 docs on one host, 2 on another, k=3 — survivors are the
+    // 3 smallest by md5(id-string) (portable draw, recomputed here)
+    val docs = (1L to 8L).map(i => (i, "https://hot.example.com/p"))
+      .++(Seq((20L, "https://cold.example.com/p"), (21L, "https://cold.example.com/p")))
+      .toDF("doc_id", "url")
+    val kept = DomainPolicy
+      .applyPolicy(docs, "url", "doc_id", Nil, maxPerHost = 3)
+      .select($"doc_id").as[Long].collect().toSet
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val expectHot = (1L to 8L).sortBy(i => (md5hex(i.toString), i)).take(3).toSet
+    assert(kept === expectHot ++ Set(20L, 21L))
+  }
+
+  test("vocab stats: spectrum and summary hand-checked") {
+    import graft.operators.VocabStats
+    val docs = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
+    // counts: a=3, b=2, c=1 -> spectrum (1,1),(2,1),(3,1), share 1/3
+    val spec = VocabStats.spectrum(docs, "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(spec === Seq((1L, 1L, 0.333333), (2L, 1L, 0.333333),
+      (3L, 1L, 0.333333)))
+    val sum = VocabStats.summary(docs, "text")
+      .as[(Long, Long, Long, Double, Double)].head()
+    assert(sum === ((6L, 3L, 1L, 0.333333, 0.5)))
+  }
 }

@@ -39,7 +39,13 @@ HEADLINERS = [
     # mining, shuffle-skew advisor, HLL store check harness (its exact
     # count-distinct columns are the oracle side)
     "q_pmi_cooccur", "q_skew_advisor", "q_hll_store_check",
-    "q_source_overlap", "q_drift_summary"]
+    "q_source_overlap", "q_drift_summary",
+    # fifth-session r9 operators (bench rows from birth): Stupid
+    # Backoff LM scoring, unicode NFC cleanup, Zipf frequency
+    # spectrum, URL domain policy (q_corpus_stats is absent on
+    # purpose: it times the same token exchange as q_freq_spectrum)
+    "q_backoff_logprob", "q_unicode_clean", "q_freq_spectrum",
+    "q_domain_policy"]
 
 sf_dir = sys.argv[1]
 oracle = json.load(open(sys.argv[2]))
