@@ -71,7 +71,10 @@ object Bench {
     // (host-keyed capped window). q_corpus_stats is NOT here — it
     // times the same token exchange as q_freq_spectrum.
     "q_backoff_logprob", "q_unicode_clean", "q_freq_spectrum",
-    "q_domain_policy")
+    "q_domain_policy",
+    // change-point monitoring: the events stream's one corpus-sized
+    // exchange (daily partial agg) + key-partitioned frames
+    "q_change_points")
 
   // Timed every tier but EXCLUDED from the headline totals: these have
   // no DuckDB oracle (not SQL-expressible), so including them would make

@@ -1440,6 +1440,24 @@ object SparkEntry {
         .orderBy(col("freq").desc, col("token").asc)
         .limit(100)),
 
+    "q_change_points" -> ((s, d) => {
+      // two-window mean-shift detection over per-type daily volumes;
+      // the synthetic stream is stationary, so the gate plants a
+      // deterministic LEVEL SHIFT (every 2nd event before Jan 16
+      // moves 15 days later: early days halve, late days gain 1.5x —
+      // a ~3x step; oracle plants identically). A one-day spike
+      // would NOT do: it inflates the window variance faster than
+      // the mean gap, which is exactly the outlier-vs-shift
+      // distinction this detector exists to draw. z must swing
+      // through both flagged and quiet days.
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      val ev = Tables.events(s, d).withColumn("ts",
+        when(pmod(col("event_id"), lit(2L)) === 0 && col("ts") < cut,
+          col("ts") + expr("INTERVAL 15 DAYS")).otherwise(col("ts")))
+      graft.operators.ChangePoint.meanShift(ev, Seq("event_type"), "ts",
+        "value", w = 7, zThreshold = 3.0)
+    }),
+
     "q_freq_spectrum" -> ((s, d) =>
       // Zipf frequency spectrum (freq -> type count): distinct corpus
       // frequencies are O(sqrt(tokens)), so the re-key off the
@@ -3190,6 +3208,50 @@ object SparkEntry {
          GROUP BY token
          ORDER BY freq DESC, token ASC
          LIMIT 100""",
+
+    "q_change_points" ->
+      """WITH ev AS (
+           SELECT event_type,
+             CASE WHEN event_id % 2 = 0 AND ts < TIMESTAMP '2024-01-16 00:00:00'
+                  THEN ts + INTERVAL 15 DAY
+                  ELSE ts END AS ts
+           FROM events
+         ), daily AS (
+           SELECT event_type, date_trunc('day', ts) AS bucket,
+             count(*) AS n
+           FROM ev GROUP BY 1, 2
+         ), span AS (
+           SELECT event_type, min(bucket) AS b0, max(bucket) AS b1
+           FROM daily GROUP BY 1
+         ), grid AS (
+           SELECT event_type,
+             unnest(generate_series(b0, b1, INTERVAL 1 DAY)) AS bucket
+           FROM span
+         ), dense AS (
+           SELECT g.event_type, g.bucket, coalesce(d.n, 0) AS n
+           FROM grid g LEFT JOIN daily d USING (event_type, bucket)
+         ), f AS (
+           SELECT event_type, bucket, n,
+             count(n) OVER wpre AS c_pre, sum(n) OVER wpre AS s_pre,
+             sum(n * n) OVER wpre AS q_pre,
+             count(n) OVER wpost AS c_post, sum(n) OVER wpost AS s_post,
+             sum(n * n) OVER wpost AS q_post
+           FROM dense
+           WINDOW wpre AS (PARTITION BY event_type ORDER BY bucket
+             ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING),
+           wpost AS (PARTITION BY event_type ORDER BY bucket
+             ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING)
+         ), scored AS (
+           SELECT event_type, bucket, n,
+             floor(((CAST(s_post AS DOUBLE) / 7 - CAST(s_pre AS DOUBLE) / 7)
+               / sqrt(((CAST(q_pre AS DOUBLE) - CAST(s_pre AS DOUBLE) * s_pre / 7) / 7
+                     + (CAST(q_post AS DOUBLE) - CAST(s_post AS DOUBLE) * s_post / 7) / 7)
+                   / 7 + 1e-9)) * 10000.0 + 0.5) / 10000.0 AS z
+           FROM f WHERE c_pre = 7 AND c_post = 7
+         )
+         SELECT event_type, strftime(bucket, '%Y-%m-%d') AS day,
+           CAST(n AS BIGINT) AS n_events, z, abs(z) >= 3.0 AS is_change
+         FROM scored""",
 
     "q_freq_spectrum" ->
       """WITH tc AS (

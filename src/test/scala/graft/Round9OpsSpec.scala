@@ -600,6 +600,26 @@ class Round9OpsSpec extends SparkSpec {
     assert(kept === expectHot ++ Set(20L, 21L))
   }
 
+  test("change points: two-window z hand-checked; constant series scores 0") {
+    import graft.operators.ChangePoint
+    def t(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-0$day%d 12:00:00")
+    // key 'a': daily counts 10,12,20,22 (days 1-4). With w=2 only day 3
+    // has both windows complete: pre=[10,12] (mean 11, var 1),
+    // post=[20,22] (mean 21, var 1) -> z = 10/sqrt(1+1e-9) -> 10.0
+    val rows =
+      (1 to 10).map(_ => ("a", t(1), 1.0)) ++ (1 to 12).map(_ => ("a", t(2), 1.0)) ++
+      (1 to 20).map(_ => ("a", t(3), 1.0)) ++ (1 to 22).map(_ => ("a", t(4), 1.0)) ++
+      // key 'b': constant 5/day -> z = 0, never flagged
+      (1 to 4).flatMap(d => (1 to 5).map(_ => ("b", t(d), 1.0)))
+    val df = rows.toDF("event_type", "ts", "value")
+    val out = ChangePoint.meanShift(df, Seq("event_type"), "ts", "value",
+        w = 2, zThreshold = 3.0)
+      .as[(String, String, Long, Double, Boolean)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out === Seq(
+      ("a", "2024-01-03", 20L, 10.0, true),
+      ("b", "2024-01-03", 5L, 0.0, false)))
+  }
+
   test("vocab stats: spectrum and summary hand-checked") {
     import graft.operators.VocabStats
     val docs = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")

@@ -45,7 +45,7 @@ HEADLINERS = [
     # spectrum, URL domain policy (q_corpus_stats is absent on
     # purpose: it times the same token exchange as q_freq_spectrum)
     "q_backoff_logprob", "q_unicode_clean", "q_freq_spectrum",
-    "q_domain_policy"]
+    "q_domain_policy", "q_change_points"]
 
 sf_dir = sys.argv[1]
 oracle = json.load(open(sys.argv[2]))
