@@ -74,7 +74,13 @@ object Bench {
     "q_domain_policy",
     // change-point monitoring: the events stream's one corpus-sized
     // exchange (daily partial agg) + key-partitioned frames
-    "q_change_points")
+    "q_change_points",
+    // embedding standardization: the full posexplode moment pass +
+    // broadcast-stats HOF rewrite over every vector
+    "q_embedding_standardize",
+    // sketch-overlap check harness (exact side pays the shingle
+    // exchange by design — same caveat as q_hll_store_check)
+    "q_source_overlap_sketch")
 
   // Timed every tier but EXCLUDED from the headline totals: these have
   // no DuckDB oracle (not SQL-expressible), so including them would make
@@ -82,7 +88,10 @@ object Bench {
   // (r7 verdict item 8). Reported under "extras" in each tier block.
   // q_semdedup joins q_dedup_minhash here: embeddings-wide k-means +
   // intra-cell pair grid, rows-only by nature.
-  private val extras = Seq("q_dedup_minhash", "q_semdedup")
+  // q_compression_quality joins the extras: zlib is not
+  // SQL-expressible, so it has no oracle-engine baseline by nature
+  private val extras = Seq("q_dedup_minhash", "q_semdedup",
+    "q_compression_quality")
 
   // sf30 demonstration subset (r8 verdict item 1): the queries whose
   // sf10 ratios were adjudicated floor-or-weak — if the residual cost

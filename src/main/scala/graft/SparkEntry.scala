@@ -601,6 +601,22 @@ object SparkEntry {
       // grid as a |sources|²-bounded HOF, totals broadcast)
       SourceOverlap.matrix(Tables.documents(s, d), "source", col("text"), k = 3)),
 
+    "q_source_overlap_sketch" -> ((s, d) => {
+      // the sub-exchange 100 TB overlap form: per-source HLL sketches
+      // (KB blobs on the wire, never a shingle exchange) + pairwise
+      // inclusion-exclusion. Check-harness gate (the hll_store_check
+      // precedent): exact shared counts alongside, envelope boolean
+      // pinned TRUE in the oracle — tol 5% of (n_a+n_b) + 50 floor,
+      // ~7x the compounded HLL rse at lgK=14
+      val docs = Tables.documents(s, d)
+      val exact = SourceOverlap.matrix(docs, "source", col("text"), k = 3)
+      val est = SourceOverlap.sketchMatrix(docs, "source", col("text"), k = 3)
+      exact.join(est, Seq("src_a", "src_b"))
+        .select(col("src_a"), col("src_b"), col("shared_shingles"),
+          (abs(col("est_shared") - col("shared_shingles")) <=
+            lit(0.05) * (col("n_a") + col("n_b")) + lit(50)).as("est_ok"))
+    }),
+
     "q_drift_psi" -> ((s, d) => {
       // ingest-drift monitoring: per-bucket PSI table between the
       // even-doc reference snapshot and an odd-doc current snapshot
@@ -1500,6 +1516,14 @@ object SparkEntry {
         pround(TF.meanTokenLen(col("text")), 2).as("mean_token_len"),
         pround(TF.alphaRatio(col("text")), 4).as("alpha_ratio"))),
 
+    "q_compression_quality" -> ((s, d) =>
+      // deflate-compressibility templatedness proxy: zlib's 32 KB
+      // window catches long-range repetition bounded n-gram counters
+      // cannot; zlib is not SQL-expressible -> rows-only, with the
+      // compressible-vs-prose ordering and ratio bounds spec-pinned
+      graft.operators.CompressionQuality.scores(
+        Tables.documents(s, d), "doc_id", "text")),
+
     "q_gopher_rules" -> ((s, d) => {
       // Gopher/MassiveText document-shape rules (Rae et al. 2021
       // §A1.1) as one fused scan pass. The corpus rows run through
@@ -1851,6 +1875,13 @@ object SparkEntry {
       // partial agg → dims rows), broadcast stats arrays, narrow HOF
       // encode; all-integer outputs (code checksum + ppb error bounds)
       graft.ann.Quantize.sq8Report(Tables.embeddings(s, d), "vec_id", "embedding")),
+
+    "q_embedding_standardize" -> ((s, d) =>
+      // per-dim z-score feature prep: exact integer moments (1e6-
+      // integerized in-scan, decimal/HUGEINT square sums) so mean and
+      // variance replay identically in any engine; broadcast stats,
+      // narrow HOF standardize, integerized z checksums
+      graft.ann.Standardize.zReport(Tables.embeddings(s, d), "vec_id", "embedding")),
 
     "q_pca_project" -> ((s, d) => {
       // PCA reduce-before-index: fit = ONE corpus moment pass
@@ -3542,6 +3573,34 @@ object SparkEntry {
            CAST(sum(length(text)) AS BIGINT) AS n_chars
          FROM novel GROUP BY source""",
 
+    "q_embedding_standardize" ->
+      """WITH g AS (
+           SELECT vec_id, len(embedding) AS d,
+             generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+           FROM embeddings
+         ), ixed AS (
+           SELECT vec_id, pos, d,
+             CAST(floor(x * 1000000.0 + 0.5) AS BIGINT) AS ix
+           FROM g
+         ), mom AS (
+           SELECT pos, count(*) AS n, sum(ix) AS s, sum(ix * ix) AS q
+           FROM ixed GROUP BY pos
+         ), st AS (
+           SELECT pos, CAST(s AS DOUBLE) / n AS mean,
+             sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n) AS std
+           FROM mom
+         ), zs AS (
+           SELECT i.vec_id, i.d,
+             CASE WHEN st.std = 0.0 THEN 0
+                  ELSE CAST(floor((CAST(i.ix AS DOUBLE) - st.mean) / st.std
+                    * 10000.0 + 0.5) AS BIGINT) END AS z
+           FROM ixed i JOIN st USING (pos)
+         )
+         SELECT vec_id, CAST(max(d) AS BIGINT) AS n_dims,
+           CAST(sum(z) AS BIGINT) AS z_sum, CAST(max(z) AS BIGINT) AS z_max
+         FROM zs GROUP BY vec_id""",
+
     "q_sq8_quantize" ->
       """WITH ex AS (
            SELECT generate_subscripts(embedding, 1) AS pos,
@@ -4150,6 +4209,27 @@ object SparkEntry {
          JOIN totals ta ON shared.src_a = ta.source
          JOIN totals tb ON shared.src_b = tb.source
          ORDER BY src_a, src_b""",
+
+    "q_source_overlap_sketch" ->
+      """WITH toks AS (
+           SELECT source,
+             CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS ts
+           FROM documents
+         ), pres AS (
+           SELECT DISTINCT source, unnest(
+             CASE WHEN len(ts) = 0 THEN CAST([] AS VARCHAR[])
+                  WHEN len(ts) <= 3 THEN [array_to_string(ts, ' ')]
+                  ELSE list_distinct(list_transform(range(1, len(ts) - 1),
+                         i -> array_to_string(ts[i:i+2], ' ')))
+             END) AS sh
+           FROM toks
+         )
+         SELECT a.source AS src_a, b.source AS src_b,
+           count(*) AS shared_shingles, TRUE AS est_ok
+         FROM pres a JOIN pres b
+           ON a.sh = b.sh AND a.source < b.source
+         GROUP BY 1, 2""",
 
     "q_drift_psi" ->
       s"""WITH $driftBucketsSql

@@ -1,0 +1,68 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-dimension z-score standardization of embedding columns — the
+  * feature-prep pass before k-means / PCA / quantization when
+  * dimensions carry different scales (a centroid or codebook trained
+  * on raw mixed-scale features is dominated by the widest dimension).
+  *
+  * Shape at scale (the [[Quantize]] stats pattern):
+  *  - each element integerizes to round(x·1e6) INSIDE the scan, so the
+  *    moment sums are exact integers — float summation order (task
+  *    order, engine internals) can never bend a mean or a variance;
+  *    the square sums accumulate as decimal(38) (Spark) / HUGEINT
+  *    (the oracle engine): both are exact, and both cast the same
+  *    exact integer to the same IEEE double;
+  *  - the shuffle carries `dims` rows per map task (posexplode +
+  *    partial agg); stats fold into pos-ordered arrays and broadcast;
+  *  - the standardize itself is a narrow per-row HOF projection;
+  *  - constant dimensions (zero variance) map to z = 0 rather than a
+  *    division blow-up.
+  */
+object Standardize {
+
+  private def ix(x: Column): Column =
+    floor(x.cast("double") * lit(1e6) + lit(0.5)).cast("long")
+
+  /** Per-dimension exact integer moments → (pos, mean, std) in
+    * 1e6-scaled units, every value derived from exact integers.
+    */
+  def dimMoments(emb: DataFrame, vecCol: String): DataFrame =
+    emb.select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n"),
+        sum(ix(col("x"))).as("s"),
+        sum((ix(col("x")) * ix(col("x"))).cast("decimal(38,0)")).as("q"))
+      .select(col("pos"),
+        (col("s").cast("double") / col("n")).as("mean"),
+        sqrt((col("q").cast("double") - col("s").cast("double") * col("s")
+          / col("n")) / col("n")).as("std"))
+
+  /** One broadcastable row with pos-ordered mean/std arrays. */
+  def momentsRow(emb: DataFrame, vecCol: String): DataFrame =
+    dimMoments(emb, vecCol).agg(
+      transform(array_sort(collect_list(struct(col("pos"), col("mean")))),
+        s => s("mean")).as("means"),
+      transform(array_sort(collect_list(struct(col("pos"), col("std")))),
+        s => s("std")).as("stds"))
+
+  /** Standardized-vector report per row: dimension count and the exact
+    * checksum of the 1e4-integerized z-scores (the cross-engine-stable
+    * witness that every element standardized identically).
+    */
+  def zReport(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    def z(x: Column, m: Column, sd: Column): Column =
+      when(sd === 0.0, lit(0L)).otherwise(
+        floor((ix(x).cast("double") - m) / sd * lit(10000.0) + lit(0.5))
+          .cast("long"))
+    emb.crossJoin(broadcast(momentsRow(emb, vecCol)))
+      .withColumn("zs", transform(col(vecCol), (x, i) =>
+        z(x, element_at(col("means"), i + 1), element_at(col("stds"), i + 1))))
+      .select(col(idCol),
+        size(col(vecCol)).cast("long").as("n_dims"),
+        aggregate(col("zs"), lit(0L), (a, c) => a + c).as("z_sum"),
+        array_max(col("zs")).as("z_max"))
+  }
+}

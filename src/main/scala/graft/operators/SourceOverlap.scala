@@ -66,4 +66,37 @@ object SourceOverlap {
           / least(col("n_a"), col("n_b")) * 1e4 + lit(0.5)) / 1e4).as("containment"))
       .orderBy("src_a", "src_b")
   }
+
+  /** Sketch-based overlap matrix — the SUB-EXCHANGE 100 TB form: each
+    * source folds its shingle-hash set into ONE mergeable HLL sketch
+    * (DataSketches `hll_sketch_agg`, partial-aggregated map-side), so
+    * the wire carries |sources| KB-sized blobs instead of the
+    * distinct-shingle exchange [[matrix]] pays. Pairwise shared
+    * counts come from inclusion-exclusion over binary sketch unions
+    * (`hll_union`), all on a |sources|²-row local frame. Estimates
+    * inherit HLL error (rse ≈ 1.04/√2^lgK per sketch; the
+    * inclusion-exclusion difference compounds it across three
+    * estimates — small overlaps between large sources read noisy, the
+    * standard sketch-intersection caveat). Output:
+    * (src_a, src_b, est_a, est_b, est_shared) for every pair.
+    */
+  def sketchMatrix(docs: DataFrame, srcCol: String, textCol: Column,
+      k: Int, lgK: Int = 14): DataFrame = {
+    val perSrc = docs
+      .select(col(srcCol).as("src"),
+        explode(call_function("shingle_hash64", TF.tokens(textCol), lit(k))).as("h"))
+      .groupBy("src")
+      .agg(hll_sketch_agg(col("h"), lit(lgK)).as("sk"))
+      .select(col("src"), col("sk"),
+        hll_sketch_estimate(col("sk")).cast("long").as("est_n"))
+    val a = perSrc.select(col("src").as("src_a"), col("sk").as("sk_a"),
+      col("est_n").as("est_a"))
+    val b = perSrc.select(col("src").as("src_b"), col("sk").as("sk_b"),
+      col("est_n").as("est_b"))
+    a.join(broadcast(b), col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"), col("est_a"), col("est_b"),
+        (col("est_a") + col("est_b") -
+          hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b")))
+            .cast("long")).as("est_shared"))
+  }
 }

@@ -278,7 +278,15 @@ class PlanSpec extends SparkSpec {
       // change points: the daily partial agg is the only corpus
       // exchange; gapFill's span agg + frames run over the tiny
       // (key, day) frame
-      ("q_change_points",        2, 2, false))
+      ("q_change_points",        2, 2, false),
+      // standardize: dims-rows moment exchange + its single-row fold;
+      // the BNLJ is the 1-row broadcast stats frame
+      ("q_embedding_standardize", 2, 2, true),
+      // sketch-overlap check harness: the exact side pays the shingle
+      // exchange (that IS the demonstration — the sketch side's
+      // per-source agg carries KB blobs); its BNLJ is the
+      // |sources|-row broadcast pair cross
+      ("q_source_overlap_sketch", 8, 5, true))
     val failures = golden.flatMap { case (q, maxShuffles, maxLeaves, bnljOk) =>
       val p = SparkEntry.queries(q)(spark, sf()).queryExecution.executedPlan
       val h = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {

@@ -620,6 +620,79 @@ class Round9OpsSpec extends SparkSpec {
       ("b", "2024-01-03", 5L, 0.0, false)))
   }
 
+  test("embedding standardize: exact moments, z invariants, constant dim") {
+    import graft.ann.Standardize
+    // 3 vectors, 2 dims; dim0 = [1,2,3] (mean 2e6, pop-var 2/3 in 1e12
+    // units), dim1 constant 5 -> std 0 -> z = 0
+    val emb = Seq(
+      (1L, Seq(1.0f, 5.0f)), (2L, Seq(2.0f, 5.0f)), (3L, Seq(3.0f, 5.0f))
+    ).toDF("vec_id", "embedding")
+    val mom = Standardize.dimMoments(emb, "embedding")
+      .as[(Int, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(mom(0)._2 === 2000000.0)
+    assert(math.abs(mom(0)._3 - math.sqrt(2.0 / 3.0) * 1e6) < 1e-6)
+    assert(mom(1)._3 === 0.0)
+    val z = Standardize.zReport(emb, "vec_id", "embedding")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // z-scores of [1,2,3]: -sqrt(3/2), 0, +sqrt(3/2) -> ±12247 at 1e4;
+    // constant dim contributes 0
+    assert(z === Seq((1L, 2L, -12247L, 0L), (2L, 2L, 0L, 0L),
+      (3L, 2L, 12247L, 12247L)))
+    // real corpus: standardized moments must re-center (mean z ~ 0)
+    val corpus = Tables.embeddings(spark, sf())
+    val sums = Standardize.zReport(corpus, "vec_id", "embedding")
+      .agg(sum($"z_sum"), count(lit(1))).as[(Long, Long)].head()
+    // per-element |rounding| <= 0.5 at 1e4 scale; 64 dims -> bound 32/vec
+    assert(math.abs(sums._1) <= 32L * sums._2)
+  }
+
+  test("compression quality: repetitive text compresses, bounds hold") {
+    import graft.operators.CompressionQuality
+    val docs = Seq(
+      (1L, "ab " * 500),                     // long-range repetitive
+      (2L, (1 to 120).map(i => (i * 2654435761L % 99991).toString).mkString(" ")),
+      (3L, "")                               // empty -> all zero
+    ).toDF("doc_id", "text")
+    val out = CompressionQuality.scores(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val (rep, rnd, empty) = (out(0), out(1), out(2))
+    assert(rep._2 === 1500L && rep._3 > 0L)
+    assert(rep._4 < 0.05)                 // boilerplate crushes
+    assert(rnd._4 > rep._4 * 5)           // prose/noise compresses far less
+    assert(rnd._4 <= 1.1)                 // deflate overhead is bounded
+    assert(empty === ((3L, 0L, 0L, 0.0)))
+    // determinism across two runs (fixed level, reset per row)
+    val again = CompressionQuality.scores(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(again === out)
+  }
+
+  test("sketch overlap: inclusion-exclusion tracks exact on identical/shifted sources") {
+    import graft.operators.SourceOverlap
+    val base = Tables.documents(spark, sf()).limit(100).select($"doc_id", $"text")
+    // 'a' and 'b' carry identical text (full overlap); 'c' salts every
+    // doc with a unique token, shifting most of its shingles
+    val corpus = base.select(lit("a").as("source"), $"text")
+      .union(base.select(lit("b").as("source"), $"text"))
+      .union(base.select(lit("c").as("source"),
+        concat($"text", lit(" zq"), $"doc_id".cast("string")).as("text")))
+    val exact = SourceOverlap.matrix(corpus, "source", col("text"), k = 3)
+      .select($"src_a", $"src_b", $"shared_shingles", $"n_a", $"n_b")
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    val est = SourceOverlap.sketchMatrix(corpus, "source", col("text"), k = 3)
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._5).toMap
+    // identical sources: est_shared within 5% of the full set size
+    val (abShared, abNa, _) = exact(("a", "b"))
+    assert(abShared === abNa)
+    assert(math.abs(est(("a", "b")) - abShared) <= 0.05 * abShared + 10)
+    // every exact pair sits inside the gate envelope
+    exact.foreach { case (k2, (sh, na, nb)) =>
+      assert(math.abs(est(k2) - sh) <= 0.05 * (na + nb) + 50, s"$k2")
+    }
+  }
+
   test("vocab stats: spectrum and summary hand-checked") {
     import graft.operators.VocabStats
     val docs = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")

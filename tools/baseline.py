@@ -45,7 +45,8 @@ HEADLINERS = [
     # spectrum, URL domain policy (q_corpus_stats is absent on
     # purpose: it times the same token exchange as q_freq_spectrum)
     "q_backoff_logprob", "q_unicode_clean", "q_freq_spectrum",
-    "q_domain_policy", "q_change_points"]
+    "q_domain_policy", "q_change_points", "q_embedding_standardize",
+    "q_source_overlap_sketch"]
 
 sf_dir = sys.argv[1]
 oracle = json.load(open(sys.argv[2]))
