@@ -128,10 +128,7 @@ object SparkEntry {
       .unionByName(chainBranch(4, concat(col("text"), lit(" "), pad(lit(1L), g * 2))))
   }
 
-  private def pround(c: Column, dp: Int): Column = {
-    val f = math.pow(10, dp)
-    floor(c * lit(f) + lit(0.5)) / lit(f)
-  }
+  private def pround = graft.functions.Rounding.pround _
   private val langMarkers = Seq(
     "en" -> Seq("the", "a"),
     "es" -> Seq("el", "la", "los"),
@@ -1471,7 +1468,7 @@ object SparkEntry {
         when(pmod(col("event_id"), lit(2L)) === 0 && col("ts") < cut,
           col("ts") + expr("INTERVAL 15 DAYS")).otherwise(col("ts")))
       graft.operators.ChangePoint.meanShift(ev, Seq("event_type"), "ts",
-        "value", w = 7, zThreshold = 3.0)
+        w = 7, zThreshold = 3.0)
     }),
 
     "q_freq_spectrum" -> ((s, d) =>
@@ -3584,7 +3581,8 @@ object SparkEntry {
              CAST(floor(x * 1000000.0 + 0.5) AS BIGINT) AS ix
            FROM g
          ), mom AS (
-           SELECT pos, count(*) AS n, sum(ix) AS s, sum(ix * ix) AS q
+           SELECT pos, count(*) AS n, sum(ix) AS s,
+             sum(CAST(ix AS HUGEINT) * ix) AS q
            FROM ixed GROUP BY pos
          ), st AS (
            SELECT pos, CAST(s AS DOUBLE) / n AS mean,
@@ -4887,7 +4885,7 @@ object SparkEntry {
                regexp_replace(
                  regexp_replace(nfc_normalize(text),
                    '[\x{00A0}\x{2000}-\x{200A}\x{202F}\x{3000}]', ' ', 'g'),
-                 '[\x{200B}-\x{200F}\x{FEFF}]', '', 'g'),
+                 '[\x{200B}\x{200E}\x{200F}\x{FEFF}]', '', 'g'),
                '[\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}\x{007F}-\x{009F}]',
                '', 'g') AS clean
            FROM planted

@@ -33,8 +33,13 @@ object Standardize {
     emb.select(posexplode(col(vecCol)).as(Seq("pos", "x")))
       .groupBy("pos")
       .agg(count(lit(1)).as("n"),
-        sum(ix(col("x"))).as("s"),
-        sum((ix(col("x")) * ix(col("x"))).cast("decimal(38,0)")).as("q"))
+        sum(ix(col("x")).cast("decimal(38,0)")).as("s"),
+        // the square multiplies IN DECIMAL: a long ix·ix overflows for
+        // |x| beyond ~3e3 — exactly the mixed-scale features this
+        // operator exists for (ANSI would abort; non-ANSI would wrap
+        // to a silent wrong variance)
+        sum((ix(col("x")).cast("decimal(38,0)") *
+          ix(col("x")).cast("decimal(38,0)")).cast("decimal(38,0)")).as("q"))
       .select(col("pos"),
         (col("s").cast("double") / col("n")).as("mean"),
         sqrt((col("q").cast("double") - col("s").cast("double") * col("s")

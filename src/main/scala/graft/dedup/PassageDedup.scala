@@ -24,10 +24,7 @@ import graft.functions.{TextFunctions => TF}
   */
 object PassageDedup {
 
-  private def pround(c: Column, dp: Int): Column = {
-    val f = math.pow(10, dp)
-    floor(c * lit(f) + lit(0.5)) / lit(f)
-  }
+  private def pround = graft.functions.Rounding.pround _
 
   private def occurrences(docs: DataFrame, idCol: String, textCol: String,
                           w: Int, hash: Column => Column): DataFrame =

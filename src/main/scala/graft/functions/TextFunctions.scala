@@ -225,8 +225,12 @@ object TextFunctions {
   /** Unicode normalization cleanup (the ftfy-lite crawl pass):
     * NFC-compose (native `nfc_normalize` expression — decomposed
     * accents break byte-level dedup and tokenization), then map
-    * exotic unicode spaces to ' ', delete zero-width/bidi marks, and
-    * delete C0/C1 controls except tab/newline/CR. The character-class
+    * exotic unicode spaces to ' ', delete zero-width-space/bidi-mark/
+    * BOM, and delete C0/C1 controls except tab/newline/CR. ZWNJ
+    * (U+200C) and ZWJ (U+200D) are deliberately KEPT: they are
+    * orthographically required (mandatory inside Persian/Kurdish
+    * words, Indic conjunct control, emoji sequences) — deleting them
+    * corrupts content rather than normalizing it. The character-class
     * regexes use `\x{…}` escapes, which Java regex and RE2 (the
     * oracle engine) parse identically. NFC runs FIRST so the classes
     * see composed codepoints.
@@ -235,7 +239,8 @@ object TextFunctions {
     val composed = call_function("nfc_normalize", text)
     val spaces = regexp_replace(composed,
       "[\\x{00A0}\\x{2000}-\\x{200A}\\x{202F}\\x{3000}]", " ")
-    val noZw = regexp_replace(spaces, "[\\x{200B}-\\x{200F}\\x{FEFF}]", "")
+    val noZw = regexp_replace(spaces,
+      "[\\x{200B}\\x{200E}\\x{200F}\\x{FEFF}]", "")
     regexp_replace(noZw,
       "[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}\\x{007F}-\\x{009F}]", "")
   }

@@ -48,10 +48,7 @@ import graft.functions.{TextFunctions => TF}
   */
 object BackoffLm {
 
-  private def pround(c: Column, dp: Int): Column = {
-    val f = math.pow(10, dp)
-    floor(c * lit(f) + lit(0.5)) / lit(f)
-  }
+  private def pround = graft.functions.Rounding.pround _
 
   /** Per-position hash bundle for each trigram of a text column:
     * (h3, h12, h23, hw2, hw3) — everything the scorer joins on,

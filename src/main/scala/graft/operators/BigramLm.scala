@@ -24,10 +24,7 @@ import graft.functions.{TextFunctions => TF}
   */
 object BigramLm {
 
-  private def pround(c: Column, dp: Int): Column = {
-    val f = math.pow(10, dp)
-    floor(c * lit(f) + lit(0.5)) / lit(f)
-  }
+  private def pround = graft.functions.Rounding.pround _
 
   /** (id, n_bigrams, logprob_mean): mean ln P(w2|w1), 4 dp; docs with
     * fewer than two tokens carry (0, 0.0).

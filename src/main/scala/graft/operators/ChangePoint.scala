@@ -24,15 +24,21 @@ import org.apache.spark.sql.functions._
   */
 object ChangePoint {
 
-  /** Per-(key, day) shift scores. Output: keyCols + day (yyyy-MM-dd
-    * string) + n_events + z (4dp) + is_change (|z| >= threshold on
-    * the ROUNDED z, so the boundary is engine-independent). Only days
-    * with both windows complete (w rows each) are emitted.
+  /** Per-(key, day) shift scores over daily EVENT VOLUMES (the
+    * integer count — exact moments; a float metric would reintroduce
+    * engine-dependent summation order). Output: keyCols + day
+    * (yyyy-MM-dd string) + n_events + z (4dp) + is_change
+    * (|z| >= threshold on the ROUNDED z, so the boundary is
+    * engine-independent). Only days with both windows complete
+    * (w rows each) are emitted.
     */
   def meanShift(df: DataFrame, keyCols: Seq[String], tsCol: String,
-      valueCol: String, w: Int, zThreshold: Double): DataFrame = {
+      w: Int, zThreshold: Double): DataFrame = {
     val k = keyCols.map(col)
-    val daily = Resample.gapFill(df, keyCols, tsCol, valueCol, grain = "day")
+    // gapFill needs a numeric column to carry; the detector reads only
+    // the count n, so feed it a constant rather than implying a metric
+    val daily = Resample.gapFill(df.withColumn("__one", lit(1.0)),
+      keyCols, tsCol, "__one", grain = "day")
     val pre = Window.partitionBy(k: _*).orderBy(col("bucket"))
       .rowsBetween(-w, -1)
     val post = Window.partitionBy(k: _*).orderBy(col("bucket"))

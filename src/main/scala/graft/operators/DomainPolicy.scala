@@ -29,8 +29,11 @@ import graft.functions.{TextFunctions => TF}
   */
 object DomainPolicy {
 
-  /** Lower-cased host of a URL column. */
-  def hostOf(url: Column): Column = lower(parse_url(url, lit("HOST")))
+  /** Lower-cased host of a URL column; NULL for malformed URLs (the
+    * `try_` form — plain parse_url ABORTS the job on the first bad
+    * URL under ANSI mode, and real crawl data always has some).
+    */
+  def hostOf(url: Column): Column = lower(try_parse_url(url, lit("HOST")))
 
   /** All dot-suffixes of a host: "a.b.com" → ["a.b.com","b.com","com"]. */
   private[graft] def hostSuffixes(host: Column): Column =
@@ -49,15 +52,25 @@ object DomainPolicy {
   /** Apply the full policy: parse host, drop blocked domains, cap each
     * surviving host at `maxPerHost` docs (portable-md5 order, id
     * tie-break). Output keeps all input columns plus `host`.
+    *
+    * Hostless docs (null / malformed URL) PASS THROUGH explicitly —
+    * they match no blocklist entry and no cap (a `filter(!blocked)`
+    * would silently drop them through three-valued NULL logic), and
+    * they take the narrow branch, never the window: at crawl scale
+    * every malformed URL landing in one `host IS NULL` window
+    * partition would be the job's skew ceiling.
     */
   def applyPolicy(docs: DataFrame, urlCol: String, idCol: String,
       blocked: Seq[String], maxPerHost: Int): DataFrame = {
     val withHost = docs.withColumn("host", hostOf(col(urlCol)))
-    val kept = withHost.filter(!isBlocked(col("host"), blocked))
+    val unblocked = withHost.filter(col("host").isNull ||
+      !isBlocked(col("host"), blocked))
     val w = Window.partitionBy(col("host"))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    kept.withColumn("rn", row_number().over(w))
+    val capped = unblocked.filter(col("host").isNotNull)
+      .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= maxPerHost)
       .drop("rn")
+    capped.unionByName(unblocked.filter(col("host").isNull))
   }
 }

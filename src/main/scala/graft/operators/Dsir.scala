@@ -49,10 +49,7 @@ import graft.functions.{TextFunctions => TF}
   */
 object Dsir {
 
-  private def pround(c: Column, dp: Int): Column = {
-    val f = math.pow(10, dp)
-    floor(c * lit(f) + lit(0.5)) / lit(f)
-  }
+  private def pround = graft.functions.Rounding.pround _
 
   /** Portable hashed-unigram bucket in [0, nBuckets). */
   def bucket(term: Column, nBuckets: Int, salt: Int): Column =

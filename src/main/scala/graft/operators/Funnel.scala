@@ -22,10 +22,7 @@ import org.apache.spark.sql.functions._
   */
 object Funnel {
 
-  private def pround(c: org.apache.spark.sql.Column, dp: Int): org.apache.spark.sql.Column = {
-    val f = math.pow(10, dp)
-    floor(c * lit(f) + lit(0.5)) / lit(f)
-  }
+  private def pround = graft.functions.Rounding.pround _
 
   /** Strictly-ordered funnel: for each step i, the user's earliest
     * step-i event AFTER their step-(i-1) time. Returns one row per

@@ -34,10 +34,7 @@ object GopherRules {
     */
   val StopList: Seq[String] = Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
-  private def pround(c: Column, dp: Int): Column = {
-    val f = math.pow(10, dp)
-    floor(c * lit(f) + lit(0.5)) / lit(f)
-  }
+  private def pround = graft.functions.Rounding.pround _
 
   private def bindOnce(x: Column, body: Column => Column): Column =
     element_at(transform(array(x), body), 1)

@@ -35,10 +35,7 @@ import graft.functions.{TextFunctions => TF}
   */
 object TfIdf {
 
-  private def pround(c: Column, dp: Int): Column = {
-    val f = math.pow(10, dp)
-    floor(c * lit(f) + lit(0.5)) / lit(f)
-  }
+  private def pround = graft.functions.Rounding.pround _
 
   /** (doc, term, tf) with smooth-idf TF-IDF score: tf * (ln((1+N)/(1+df)) + 1). */
   def scores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

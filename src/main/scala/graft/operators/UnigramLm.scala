@@ -37,10 +37,7 @@ import graft.functions.{TextFunctions => TF}
   */
 object UnigramLm {
 
-  private def pround(c: Column, dp: Int): Column = {
-    val f = math.pow(10, dp)
-    floor(c * lit(f) + lit(0.5)) / lit(f)
-  }
+  private def pround = graft.functions.Rounding.pround _
 
   /** (id, n_tok, logprob_mean): mean ln p(token) per doc, 4 dp;
     * token-less docs carry (0, 0.0).

@@ -20,10 +20,7 @@ import graft.functions.{TextFunctions => TF}
   */
 object VocabStats {
 
-  private def pround(c: Column, dp: Int): Column = {
-    val f = math.pow(10, dp)
-    floor(c * lit(f) + lit(0.5)) / lit(f)
-  }
+  private def pround = graft.functions.Rounding.pround _
 
   private def termCounts(docs: DataFrame, textCol: String): DataFrame =
     docs.select(explode(TF.tokens(col(textCol))).as("term"))

@@ -233,9 +233,11 @@ class FunctionsSpec extends SparkSpec {
       "a\u00A0b",              // NBSP -> plain space
       "a\u200Bb\uFEFFc",      // zero-width space + BOM deleted
       "a\u0007b\tc\nd",      // BEL deleted, tab/newline KEPT
-      "cafe\u0301\u3000x"     // NFC composes, ideographic space maps
+      "cafe\u0301\u3000x",    // NFC composes, ideographic space maps
+      "x\u200Cy\u200Dz"       // ZWNJ/ZWJ are orthography — KEPT
     ).toDF("text")
     val out = df.select(TF.unicodeClean(col("text"))).as[String].collect().toSeq
-    assert(out === Seq("a b", "abc", "ab\tc\nd", "caf\u00E9 x"))
+    assert(out === Seq("a b", "abc", "ab\tc\nd", "caf\u00E9 x",
+      "x\u200Cy\u200Dz"))
   }
 }

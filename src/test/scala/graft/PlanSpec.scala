@@ -274,7 +274,9 @@ class PlanSpec extends SparkSpec {
       ("q_backoff_logprob",     11, 9, true),
       ("q_unicode_clean",        0, 1, false),
       ("q_freq_spectrum",        4, 2, true),
-      ("q_domain_policy",        1, 1, false),
+      // domain policy: 2 leaves since the hostless pass-through
+      // branch (null-host docs skip the window) re-reads the scan
+      ("q_domain_policy",        1, 2, false),
       // change points: the daily partial agg is the only corpus
       // exchange; gapFill's span agg + frames run over the tiny
       // (key, day) frame

@@ -588,16 +588,19 @@ class Round9OpsSpec extends SparkSpec {
     // cap: 8 docs on one host, 2 on another, k=3 — survivors are the
     // 3 smallest by md5(id-string) (portable draw, recomputed here)
     val docs = (1L to 8L).map(i => (i, "https://hot.example.com/p"))
-      .++(Seq((20L, "https://cold.example.com/p"), (21L, "https://cold.example.com/p")))
+      .++(Seq((20L, "https://cold.example.com/p"), (21L, "https://cold.example.com/p"),
+        // malformed / null URLs: host parses to NULL -> explicit
+        // pass-through (no blocklist match, no cap, no window)
+        (30L, "not a url at all"), (31L, null.asInstanceOf[String])))
       .toDF("doc_id", "url")
     val kept = DomainPolicy
-      .applyPolicy(docs, "url", "doc_id", Nil, maxPerHost = 3)
+      .applyPolicy(docs, "url", "doc_id", Seq("blocked.example.com"), maxPerHost = 3)
       .select($"doc_id").as[Long].collect().toSet
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
     val expectHot = (1L to 8L).sortBy(i => (md5hex(i.toString), i)).take(3).toSet
-    assert(kept === expectHot ++ Set(20L, 21L))
+    assert(kept === expectHot ++ Set(20L, 21L, 30L, 31L))
   }
 
   test("change points: two-window z hand-checked; constant series scores 0") {
@@ -612,7 +615,7 @@ class Round9OpsSpec extends SparkSpec {
       // key 'b': constant 5/day -> z = 0, never flagged
       (1 to 4).flatMap(d => (1 to 5).map(_ => ("b", t(d), 1.0)))
     val df = rows.toDF("event_type", "ts", "value")
-    val out = ChangePoint.meanShift(df, Seq("event_type"), "ts", "value",
+    val out = ChangePoint.meanShift(df, Seq("event_type"), "ts",
         w = 2, zThreshold = 3.0)
       .as[(String, String, Long, Double, Boolean)].collect().sortBy(r => (r._1, r._2)).toSeq
     assert(out === Seq(
