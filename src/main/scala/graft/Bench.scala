@@ -80,7 +80,9 @@ object Bench {
     "q_embedding_standardize",
     // sketch-overlap check harness (exact side pays the shingle
     // exchange by design — same caveat as q_hll_store_check)
-    "q_source_overlap_sketch")
+    "q_source_overlap_sketch",
+    // MAD robust outliers: one corpus exchange to the value histogram
+    "q_mad_outliers")
 
   // Timed every tier but EXCLUDED from the headline totals: these have
   // no DuckDB oracle (not SQL-expressible), so including them would make

@@ -1453,6 +1453,18 @@ object SparkEntry {
         .orderBy(col("freq").desc, col("token").asc)
         .limit(100)),
 
+    "q_mad_outliers" -> ((s, d) => {
+      // median/MAD robust outlier report: the synthetic value stream
+      // is uniform (no 3-sigma-hat tail), so every 97th event gets a
+      // 50x planted spike, mirrored in the oracle — the report must
+      // count exactly those without the spikes dragging the scale
+      // estimate (the whole point of MAD over stddev)
+      val ev = Tables.events(s, d).withColumn("value",
+        when(pmod(col("event_id"), lit(97L)) === 0, col("value") * 50)
+          .otherwise(col("value")))
+      graft.operators.RobustStats.madReport(ev, "value")
+    }),
+
     "q_change_points" -> ((s, d) => {
       // two-window mean-shift detection over per-type daily volumes;
       // the synthetic stream is stationary, so the gate plants a
@@ -3236,6 +3248,42 @@ object SparkEntry {
          GROUP BY token
          ORDER BY freq DESC, token ASC
          LIMIT 100""",
+
+    "q_mad_outliers" ->
+      """WITH v AS (
+           SELECT CAST(floor(
+             (CASE WHEN event_id % 97 = 0 THEN value * 50 ELSE value END)
+             * 100.0 + 0.5) AS BIGINT) AS c
+           FROM events
+         ), hist AS (
+           SELECT c, count(*) AS n FROM v GROUP BY c
+         ), cum AS (
+           SELECT c, n, sum(n) OVER (ORDER BY c) AS cum,
+             sum(n) OVER () AS tot
+           FROM hist
+         ), med AS (
+           SELECT min(CASE WHEN cum - 1 >= floor(0.5 * (tot - 1))
+             THEN c END) AS med FROM cum
+         ), dev AS (
+           SELECT abs(c - med.med) AS d, sum(n) AS n
+           FROM hist, med GROUP BY 1
+         ), dcum AS (
+           SELECT d, n, sum(n) OVER (ORDER BY d) AS cum,
+             sum(n) OVER () AS tot
+           FROM dev
+         ), mad AS (
+           SELECT min(CASE WHEN cum - 1 >= floor(0.5 * (tot - 1))
+             THEN d END) AS mad FROM dcum
+         )
+         SELECT CAST(sum(n) AS BIGINT) AS n,
+           max(med.med) AS median_cents,
+           max(mad.mad) AS mad_cents,
+           CAST(sum(CASE WHEN d * 10000 > mad.mad * 44478 THEN n ELSE 0 END)
+             AS BIGINT) AS n_outliers,
+           floor(CAST(sum(CASE WHEN d * 10000 > mad.mad * 44478 THEN n
+               ELSE 0 END) AS DOUBLE)
+             / sum(n) * 1000000.0 + 0.5) / 1000000.0 AS outlier_frac
+         FROM dev, mad, med""",
 
     "q_change_points" ->
       """WITH ev AS (

@@ -288,7 +288,13 @@ class PlanSpec extends SparkSpec {
       // exchange (that IS the demonstration — the sketch side's
       // per-source agg carries KB blobs); its BNLJ is the
       // |sources|-row broadcast pair cross
-      ("q_source_overlap_sketch", 8, 5, true))
+      ("q_source_overlap_sketch", 8, 5, true),
+      // MAD report: the value histogram is CACHED (its branches prune
+      // different columns, so ReusedExchange cannot collapse them —
+      // uncached this re-scanned the corpus 6x); visible exchanges
+      // are the distinct-values-sized window/agg singles, leaves are
+      // cache probes; BNLJ = the 1-row med/mad broadcasts
+      ("q_mad_outliers",        12, 6, true))
     val failures = golden.flatMap { case (q, maxShuffles, maxLeaves, bnljOk) =>
       val p = SparkEntry.queries(q)(spark, sf()).queryExecution.executedPlan
       val h = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {

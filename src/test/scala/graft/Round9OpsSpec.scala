@@ -696,6 +696,24 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("MAD outliers: hand-checked ranks; spike immune to scale estimate") {
+    import graft.operators.RobustStats
+    // cents [100,200,300,400,10000]: median = rank-2 value 300;
+    // devs sorted [0,100,100,200,9700] -> MAD 100; outlier rule
+    // d*1e4 > mad*44478 flags only the 9700 spike
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 100.0).toDF("value")
+    val r = RobustStats.madReport(df, "value")
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(r === ((5L, 300L, 100L, 1L, 0.2)))
+    // stddev-based 3-sigma screening would MISS the spike here: the
+    // spike itself inflates sigma (mean 22, sigma ~39 -> cutoff 139
+    // > 100) — the breakdown property MAD exists for
+    val vals = Seq(1.0, 2.0, 3.0, 4.0, 100.0)
+    val mean = vals.sum / vals.size
+    val sigma = math.sqrt(vals.map(v => (v - mean) * (v - mean)).sum / vals.size)
+    assert(vals.forall(v => math.abs(v - mean) <= 3 * sigma))
+  }
+
   test("vocab stats: spectrum and summary hand-checked") {
     import graft.operators.VocabStats
     val docs = Seq((1L, "a a a b"), (2L, "b c")).toDF("doc_id", "text")
