@@ -82,7 +82,10 @@ object Bench {
     // exchange by design — same caveat as q_hll_store_check)
     "q_source_overlap_sketch",
     // MAD robust outliers: one corpus exchange to the value histogram
-    "q_mad_outliers")
+    "q_mad_outliers",
+    // burstiness bot screen: one user-keyed exchange, lag + agg
+    // share its sort
+    "q_burstiness")
 
   // Timed every tier but EXCLUDED from the headline totals: these have
   // no DuckDB oracle (not SQL-expressible), so including them would make

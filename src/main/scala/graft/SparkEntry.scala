@@ -1453,6 +1453,22 @@ object SparkEntry {
         .orderBy(col("freq").desc, col("token").asc)
         .limit(100)),
 
+    "q_burstiness" -> ((s, d) => {
+      // bot/automation screen: natural users are bursty (CV ~ 1, the
+      // Poisson signature); the gate plants one scheduler-regular
+      // user (every 101st event replayed on an exact 60 s grid,
+      // mirrored in the oracle) that must flag bot_like while the
+      // organic population does not
+      val ev = Tables.events(s, d)
+      val bot = ev.filter(pmod(col("event_id"), lit(101L)) === 0)
+        .select(col("event_id"), lit(999999L).as("user_id"),
+          expr("timestampadd(MINUTE, cast(event_id div 101 as int), " +
+            "timestamp'2024-02-01 00:00:00')").as("ts"))
+      val all = ev.select("event_id", "user_id", "ts").unionByName(bot)
+      graft.operators.Burstiness.report(all, "user_id", "ts", "event_id",
+        minGaps = 5, cvBelow = 0.3)
+    }),
+
     "q_mad_outliers" -> ((s, d) => {
       // median/MAD robust outlier report: the synthetic value stream
       // is uniform (no 3-sigma-hat tail), so every 97th event gets a
@@ -3248,6 +3264,43 @@ object SparkEntry {
          GROUP BY token
          ORDER BY freq DESC, token ASC
          LIMIT 100""",
+
+    "q_burstiness" ->
+      """WITH base AS (
+           SELECT event_id, user_id, ts FROM events
+           UNION ALL
+           SELECT event_id, 999999 AS user_id,
+             TIMESTAMP '2024-02-01 00:00:00'
+               + (event_id // 101) * INTERVAL 1 MINUTE AS ts
+           FROM events WHERE event_id % 101 = 0
+         ), g AS (
+           SELECT user_id,
+             CAST(floor(epoch_us(ts) / 1000000) AS BIGINT) AS s,
+             lag(CAST(floor(epoch_us(ts) / 1000000) AS BIGINT)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM base
+         ), gaps AS (
+           SELECT user_id, s - prev AS gap FROM g WHERE prev IS NOT NULL
+         ), a AS (
+           SELECT user_id, count(*) AS n_gaps,
+             sum(gap) AS sg, sum(gap * gap) AS qg
+           FROM gaps GROUP BY 1
+         ), scored AS (
+           SELECT user_id, n_gaps,
+             CAST(sg AS DOUBLE) / n_gaps AS mean,
+             (CAST(qg AS DOUBLE) - CAST(sg AS DOUBLE) * sg / n_gaps)
+               / n_gaps AS variance
+           FROM a WHERE n_gaps >= 5
+         ), rounded AS (
+           SELECT user_id, n_gaps,
+             floor(mean * 100.0 + 0.5) / 100.0 AS mean_gap_s,
+             CASE WHEN mean = 0.0 THEN 0.0
+                  ELSE floor(sqrt(variance) / mean * 10000.0 + 0.5) / 10000.0
+             END AS cv
+           FROM scored
+         )
+         SELECT user_id, n_gaps, mean_gap_s, cv, cv < 0.3 AS bot_like
+         FROM rounded""",
 
     "q_mad_outliers" ->
       """WITH v AS (

@@ -294,7 +294,10 @@ class PlanSpec extends SparkSpec {
       // uncached this re-scanned the corpus 6x); visible exchanges
       // are the distinct-values-sized window/agg singles, leaves are
       // cache probes; BNLJ = the 1-row med/mad broadcasts
-      ("q_mad_outliers",        12, 6, true))
+      ("q_mad_outliers",        12, 6, true),
+      // burstiness: one user-keyed exchange (lag + agg share the
+      // sort); 2 leaves = the organic scan + the planted-bot branch
+      ("q_burstiness",           1, 2, false))
     val failures = golden.flatMap { case (q, maxShuffles, maxLeaves, bnljOk) =>
       val p = SparkEntry.queries(q)(spark, sf()).queryExecution.executedPlan
       val h = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {

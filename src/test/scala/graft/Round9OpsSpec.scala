@@ -696,6 +696,26 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("burstiness: regular grid flags bot_like, alternating gaps do not") {
+    import graft.operators.Burstiness
+    def t(off: Int) = new java.sql.Timestamp(1700000000000L + off * 1000L)
+    val rows =
+      // user 1: exact 60 s grid -> 5 gaps of 60, cv 0, bot
+      (0 to 5).map(i => (i.toLong, 1L, t(i * 60))) ++
+      // user 2: gaps [2,8,2,8,2,8] -> mean 5, pop-var 9, cv 0.6
+      Seq(0, 2, 10, 12, 20, 22, 30).zipWithIndex.map { case (o, i) =>
+        ((100 + i).toLong, 2L, t(o)) } ++
+      // user 3: only 3 events -> below minGaps, filtered out
+      (0 to 2).map(i => ((200 + i).toLong, 3L, t(i * 7)))
+    val df = rows.toDF("event_id", "user_id", "ts")
+    val out = Burstiness.report(df, "user_id", "ts", "event_id",
+        minGaps = 5, cvBelow = 0.3)
+      .as[(Long, Long, Double, Double, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      (1L, 5L, 60.0, 0.0, true),
+      (2L, 6L, 5.0, 0.6, false)))
+  }
+
   test("MAD outliers: hand-checked ranks; spike immune to scale estimate") {
     import graft.operators.RobustStats
     // cents [100,200,300,400,10000]: median = rank-2 value 300;

@@ -46,7 +46,7 @@ HEADLINERS = [
     # purpose: it times the same token exchange as q_freq_spectrum)
     "q_backoff_logprob", "q_unicode_clean", "q_freq_spectrum",
     "q_domain_policy", "q_change_points", "q_embedding_standardize",
-    "q_source_overlap_sketch", "q_mad_outliers"]
+    "q_source_overlap_sketch", "q_mad_outliers", "q_burstiness"]
 
 sf_dir = sys.argv[1]
 oracle = json.load(open(sys.argv[2]))
