@@ -1915,11 +1915,20 @@ object SparkEntry {
       // rows-only: the eigensolve is not SQL-expressible; ground
       // truth (planted axis recovery, orthonormality, full-rank
       // isometry, trace invariance) lives in GroundTruthSpec.
+      // Gate boundary (r9 verdict item 1): the driver's pandas-based
+      // compare cannot sort/hash ndarray cells, so the projected
+      // vector is folded to scalars — its length and an md5 of the
+      // rounded CSV form (the q_bpe_encode sequence-checksum
+      // precedent). Sign-fixed columns (Pca.fitProject pins each
+      // eigenvector's max-|coord| positive) make the checksum
+      // partition-deterministic.
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
       val dim = emb.select(size(col("embedding"))).as[Int](org.apache.spark.sql.Encoders.scalaInt).head()
       graft.ann.Pca.fitProject(emb, "embedding", k = math.max(dim / 2, 2))
         .select(col("vec_id"),
-          transform(col("pca"), x => pround(x, 4)).as("pca"))
+          size(col("pca")).cast("long").as("n_pca"),
+          md5(concat_ws(",", transform(col("pca"),
+            x => pround(x, 4).cast("string"))).cast("binary")).as("pca_md5"))
     }),
 
     "q_dedup_minhash" -> ((s, d) =>
