@@ -24,7 +24,7 @@ import org.apache.spark.sql.SparkSession
   * marks the small tier dirty when the r8 failure mode recurs.
   */
 object Bench {
-  private val headliners = Seq(
+  private[graft] val headliners = Seq(
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q_window_dedup", "q_v4_ml_dataset", "q_dedup_exact",
     "q_ann_bruteforce", "q_token_count",
@@ -112,6 +112,27 @@ object Bench {
     // cost over a sub-second DuckDB number) — the sf30 point documents
     // whether the fall continues
     "q_bloom_ingest_dedup")
+
+  /** Tier-freshness preamble (r9 verdict item 8): the gitignored tier
+    * parquet was wiped twice during r9 and the old existence-only gate
+    * (`lineitem.parquet` present) let a bench run against stale/small
+    * data — r8's "sf10" document timings were physically impossible
+    * (q_token_count 0.143 s vs DuckDB's 12.3 s) because documents had
+    * been regenerated tiny. Row counts are the cheap invariant: every
+    * scaled tier carries >= factor x the sf0.1 rows for the replicated
+    * AND the synthesized tables (columnless count scans, once per
+    * tier). A tier that fails is SKIPPED and named in `stale`.
+    */
+  private def tierFresh(spark: SparkSession, dir: String, factor: Long,
+                        baseDir: String = "/root/testdata/sf0.1"): Boolean = {
+    def n(d: String, t: String): Long =
+      try spark.read.parquet(s"$d/$t.parquet").count()
+      catch { case _: Throwable => -1L }
+    Seq("lineitem", "documents", "events").forall { t =>
+      val base = n(baseDir, t)
+      base > 0 && n(dir, t) >= base * factor
+    }
+  }
 
   private def loadavg1(): Double =
     try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
@@ -319,12 +340,18 @@ object Bench {
     // (DataGen output, 10x) puts the big ones seconds deep where the
     // ratio measures the plan, not the scheduler. min-of-2 is stable
     // because every query is bracketed by quiet sentinels.
+    val stale = scala.collection.mutable.ListBuffer[String]()
+    def tierIf(dir: String, factor: Long, tag: String)(
+        run: => Tier): Option[Tier] =
+      if (!new java.io.File(s"$dir/lineitem.parquet").exists || dir == sfDir) None
+      else if (!tierFresh(spark, dir, factor)) { stale += tag; None }
+      else Some(run)
+
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "testdata/sf1")
-    val sf1Tier =
-      if (new java.io.File(s"$sf1Dir/lineitem.parquet").exists && sf1Dir != sfDir)
-        Some(runTier(spark, cpus, idleSec, sf1Dir, headliners ++ extras,
-          runs = 2, _.min))
-      else None
+    val sf1Tier = tierIf(sf1Dir, 10L, "sf1") {
+      runTier(spark, cpus, idleSec, sf1Dir, headliners ++ extras,
+        runs = 2, _.min)
+    }
     val sf1Json = sf1Tier.map(t => s""","sf1":{"dir":"$sf1Dir","runs":2,${t.json}}""").getOrElse("")
 
     // ---- optional sf10 tier: the FULL headliner set (r7 verdict item 2 —
@@ -332,22 +359,20 @@ object Bench {
     // headliner now gets the seconds-deep trial instead of a "floor"
     // presumption) -----------------------------------------------------------
     val sf10Dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "testdata/sf10")
-    val sf10Tier =
-      if (new java.io.File(s"$sf10Dir/lineitem.parquet").exists && sf10Dir != sfDir)
-        Some(runTier(spark, cpus, idleSec, sf10Dir, headliners ++ extras,
-          runs = 2, _.min))
-      else None
+    val sf10Tier = tierIf(sf10Dir, 100L, "sf10") {
+      runTier(spark, cpus, idleSec, sf10Dir, headliners ++ extras,
+        runs = 2, _.min)
+    }
     val sf10Json = sf10Tier.map(t => s""","sf10":{"dir":"$sf10Dir","runs":2,${t.json}}""").getOrElse("")
 
     // ---- optional sf30 tier: the floor-amortization demonstration
     // (r8 verdict item 1) — only the adjudicated-floor/weak subset,
     // deep enough that fixed per-job cost is a falling fraction -------------
     val sf30Dir = sys.env.getOrElse("SPARK_GRAFT_SF30_DIR", "testdata/sf30")
-    val sf30Tier =
-      if (new java.io.File(s"$sf30Dir/lineitem.parquet").exists && sf30Dir != sfDir)
-        Some(runTier(spark, cpus, idleSec, sf30Dir, sf30Subset,
-          runs = 2, _.min))
-      else None
+    val sf30Tier = tierIf(sf30Dir, 300L, "sf30") {
+      runTier(spark, cpus, idleSec, sf30Dir, sf30Subset,
+        runs = 2, _.min)
+    }
     val sf30Json = sf30Tier.map(t => s""","sf30":{"dir":"$sf30Dir","runs":2,${t.json}}""").getOrElse("")
 
     // ---- cross-tier physical sanity (r8 verdict item 5): same query,
@@ -371,23 +396,56 @@ object Bench {
     val xtierJson = s""","cross_tier_dirty":{"sf01":${arr(xtier01)},"sf1":${arr(xtier1)}}"""
 
     val allClean = (Seq(t0) ++ sf1Tier ++ sf10Tier ++ sf30Tier).forall(_.clean) &&
-      xtier01.isEmpty && xtier1.isEmpty
+      xtier01.isEmpty && xtier1.isEmpty && stale.isEmpty
     // top-level total/queries are headline-only (baseline-comparable);
     // the per-tier blocks carry the "extras" timings
     val total = t0.headline.filter(_._2 >= 0).map(_._2).sum
     val qs = t0.headline.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val failedJson = arr(t0.results.collect { case q if q.sec < 0 => q.name })
+    val staleJson = s""","stale_tiers":${arr(stale.toSeq)}"""
 
-    // top-level fields keep the legacy shape the driver parses
-    // (metric/value/queries/failed/contended); tier blocks carry the probes
+    // full artifact: every tier block, probes, per-query timings
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","idle_calibration_sec":$idleSec%.3f,"load_gate":${BenchGuard.LoadFraction * cpus}%.1f,"sentinel_bound_sec":${BenchGuard.SentinelSlack * idleSec}%.3f,"contended":${!allClean},"sf01":{${t0.json}}$sf1Json$sf10Json$sf30Json$xtierJson}"""
-    // stdout goes through sbt's logger ([info] prefixes broke the
-    // driver's parse in r1) — the file copy is the machine-readable one
-    println(json)
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","idle_calibration_sec":$idleSec%.3f,"load_gate":${BenchGuard.LoadFraction * cpus}%.1f,"sentinel_bound_sec":${BenchGuard.SentinelSlack * idleSec}%.3f,"contended":${!allClean}$staleJson,"sf01":{${t0.json}}$sf1Json$sf10Json$sf30Json$xtierJson}"""
     val out = new java.io.PrintWriter("BENCH_LAST.json")
     try out.println(json) finally out.close()
+
+    // stdout gets the COMPACT line, and it must be the LAST line: the
+    // driver keeps only the final ~2000 chars of stdout and parses the
+    // JSON line it finds there. r7-r9's full multi-tier line outgrew
+    // that window, so the round artifact shipped `"parsed": null` with
+    // a truncated raw tail (r9 verdict item 4). Per-tier totals +
+    // clean flags fit; per-query tier detail lives in BENCH_LAST.json
+    // (committed each round).
+    def tierBrief(tag: String, t: Option[Tier]): Option[String] =
+      t.map(x => f""""$tag":{"total":${x.headline.filter(_._2 >= 0).map(_._2).sum}%.2f,"clean":${x.clean}}""")
+    val tiers = (Seq(tierBrief("sf1", sf1Tier), tierBrief("sf10", sf10Tier),
+      tierBrief("sf30", sf30Tier)).flatten :+
+      s""""xtier_dirty":${(xtier01 ++ xtier1).distinct.size}""").mkString(",")
+    val compact = compactLine(total, t0.headline, failedJson, sfDir,
+      !allClean, stale.toSeq, tiers)
+    println(compact)
     spark.stop()
+  }
+
+  /** The one stdout line the driver parses — MUST stay under the
+    * driver's 2000-char tail window (BenchSpec pins the bound against
+    * the live headliner list). Falls back to 2-decimal timings, then
+    * drops the tier brief, if the headliner set ever grows past it.
+    */
+  private[graft] def compactLine(total: Double, headline: Seq[(String, Double)],
+                                 failedJson: String, sfDir: String,
+                                 contended: Boolean, stale: Seq[String],
+                                 tiers: String): String = {
+    def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def build(dp: Int, withTiers: Boolean): String = {
+      val qs = headline.map { case (k, v) =>
+        "\"" + k + "\":" + s"%.${dp}f".format(v) }.mkString("{", ",", "}")
+      val tierPart = if (withTiers) s""","tiers":{$tiers}""" else ""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","contended":$contended,"stale_tiers":${arr(stale)}$tierPart}"""
+    }
+    Seq(build(3, true), build(2, true), build(2, false))
+      .find(_.length <= 1900).getOrElse(build(2, false))
   }
 }

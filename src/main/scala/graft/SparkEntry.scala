@@ -1458,10 +1458,14 @@ object SparkEntry {
       // Poisson signature); the gate plants one scheduler-regular
       // user (every 101st event replayed on an exact 60 s grid,
       // mirrored in the oracle) that must flag bot_like while the
-      // organic population does not
+      // organic population does not. Sentinel id -1: organic user_ids
+      // are non-negative at every tier (DataGen offsets by +1500 per
+      // replica), so no replication factor can ever collide an
+      // organic user into the planted bot and dilute its exact CV
+      // (the old 999999 sentinel collided at factor ~667)
       val ev = Tables.events(s, d)
       val bot = ev.filter(pmod(col("event_id"), lit(101L)) === 0)
-        .select(col("event_id"), lit(999999L).as("user_id"),
+        .select(col("event_id"), lit(-1L).as("user_id"),
           expr("timestampadd(MINUTE, cast(event_id div 101 as int), " +
             "timestamp'2024-02-01 00:00:00')").as("ts"))
       val all = ev.select("event_id", "user_id", "ts").unionByName(bot)
@@ -3278,7 +3282,7 @@ object SparkEntry {
       """WITH base AS (
            SELECT event_id, user_id, ts FROM events
            UNION ALL
-           SELECT event_id, 999999 AS user_id,
+           SELECT event_id, -1 AS user_id,
              TIMESTAMP '2024-02-01 00:00:00'
                + (event_id // 101) * INTERVAL 1 MINUTE AS ts
            FROM events WHERE event_id % 101 = 0

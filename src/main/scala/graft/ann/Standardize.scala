@@ -62,7 +62,12 @@ object Standardize {
       when(sd === 0.0, lit(0L)).otherwise(
         floor((ix(x).cast("double") - m) / sd * lit(10000.0) + lit(0.5))
           .cast("long"))
-    emb.crossJoin(broadcast(momentsRow(emb, vecCol)))
+    // degenerate (empty/null) vectors are dropped, matching the oracle:
+    // unnest of an empty array yields no rows there, so emitting a
+    // (n_dims=0, z_sum=0, z_max=null) row here would be a latent
+    // row-count mismatch the fixed-64-dim generator never exercises
+    emb.filter(size(col(vecCol)) > 0)
+      .crossJoin(broadcast(momentsRow(emb, vecCol)))
       .withColumn("zs", transform(col(vecCol), (x, i) =>
         z(x, element_at(col("means"), i + 1), element_at(col("stds"), i + 1))))
       .select(col(idCol),

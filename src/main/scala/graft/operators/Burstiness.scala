@@ -13,9 +13,11 @@ import graft.functions.Rounding.pround
   * keys is the standard first pass before rate-limiting or excluding
   * machine traffic from engagement-derived training signals.
   *
-  * Determinism: gaps are second-floored integer differences of epoch
-  * micros (a CONSTANT session-TZ offset cancels in the subtraction,
-  * so the NTZ→LTZ cast is safe), and mean/CV derive from exact
+  * Determinism: gaps are whole-second differences computed with pure
+  * NTZ wall-clock arithmetic (`timestampdiff` against the NTZ epoch —
+  * no session timezone in the expression at all, so a DST transition
+  * inside a key's event span cannot shift a gap the way an NTZ→LTZ
+  * cast through a DST zone would), and mean/CV derive from exact
   * integer moment sums — the [[graft.ann.Standardize]] rule. One key
   * shuffle; the lag and the aggregate share its sort.
   */
@@ -31,8 +33,12 @@ object Burstiness {
       minGaps: Int = 8, cvBelow: Double = 0.3): DataFrame = {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col(idCol))
-    val sec = floor(unix_micros(col(tsCol).cast("timestamp_ltz"))
-      / lit(1000000L)).cast("long")
+    // whole seconds since the NTZ epoch: timezone-free, DST-immune
+    // (timestampdiff truncates toward zero; all event data is
+    // post-epoch, so this equals the floor of fractional seconds)
+    val sec = expr(
+      s"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', " +
+        s"cast(`$tsCol` as timestamp_ntz))").cast("long")
     val gaps = df
       .select(col(keyCol), col(tsCol), col(idCol), sec.as("s"))
       .withColumn("gap", col("s") - lag(col("s"), 1).over(w))

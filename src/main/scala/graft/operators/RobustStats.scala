@@ -56,7 +56,7 @@ object RobustStats {
     val mad = dcum.agg(min(when(
         col("cum") - 1 >= floor(lit(0.5) * (col("tot") - 1)), col("d")))
       .as("mad"))
-    dev.crossJoin(broadcast(mad)).crossJoin(broadcast(med))
+    val report = dev.crossJoin(broadcast(mad)).crossJoin(broadcast(med))
       .agg(
         sum("n").as("n"),
         max(col("med")).as("median_cents"),
@@ -67,5 +67,13 @@ object RobustStats {
         col("n_outliers"),
         (floor(col("n_outliers").cast("double") / col("n") * lit(1e6)
           + lit(0.5)) / lit(1e6)).as("outlier_frac"))
+    // the report is ONE row, so it is materialized eagerly and the
+    // bounded histogram cache released here — a lazy return would pin
+    // a session-lifetime cache entry per distinct input plan on any
+    // caller that (unlike Bench) never clears the cache manager
+    val row = report.head()
+    hist.unpersist(blocking = false)
+    df.sparkSession.createDataFrame(
+      java.util.Collections.singletonList(row), report.schema)
   }
 }

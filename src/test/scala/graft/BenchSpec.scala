@@ -71,4 +71,20 @@ class BenchSpec extends AnyFunSuite {
     assert(BenchGuard.crossTierViolations(
       Seq("a" -> 5.0, "b" -> 5.0), Seq("b" -> -1.0)).isEmpty)
   }
+
+  test("compact stdout line fits the driver's 2000-char tail window") {
+    // r7-r9's full multi-tier line outgrew the driver's tail and the
+    // round artifact shipped `"parsed": null`. The compact line is
+    // rebuilt here from the LIVE headliner list with worst-case-width
+    // values, so growing the headliner set past the window fails CI,
+    // not the round artifact.
+    val headline = Bench.headliners.map(_ -> 99.999)
+    val tiers = """"sf1":{"total":99999.99,"clean":false},"sf10":{"total":99999.99,"clean":false},"sf30":{"total":99999.99,"clean":false},"xtier_dirty":99"""
+    val line = Bench.compactLine(9999.999, headline,
+      failedJson = """["q_a_long_failed_query_name"]""",
+      sfDir = "/root/testdata/sf0.1", contended = true,
+      stale = Seq("sf30"), tiers = tiers)
+    assert(line.length <= 1900, s"compact bench line ${line.length} chars")
+    assert(line.contains("\"metric\":\"total\"") && line.contains("\"queries\":{"))
+  }
 }
