@@ -604,14 +604,28 @@ object SparkEntry {
       // inclusion-exclusion. Check-harness gate (the hll_store_check
       // precedent): exact shared counts alongside, envelope boolean
       // pinned TRUE in the oracle — tol 5% of (n_a+n_b) + 50 floor,
-      // ~7x the compounded HLL rse at lgK=14
+      // ~7x the compounded HLL rse at lgK=14.
+      // r10 (verdict item 3): the harness runs ONE corpus shingle
+      // pass — the exact side needs the shingle aggregate anyway, so
+      // the sketch folds off the same persisted (sh, srcs) frame
+      // instead of re-tokenizing the corpus (r9's standalone-sketch
+      // harness paid the shingling CPU twice and lost to the exact
+      // matrix it claims to replace, 11.3 vs 10.9 s at sf10). The
+      // standalone sub-exchange form lives on as
+      // SourceOverlap.sketchMatrix for pipelines that DON'T carry the
+      // exact side. Report is |sources|²-bounded → materialized
+      // eagerly, cache released (the SourceOverlap.matrix contract).
       val docs = Tables.documents(s, d)
-      val exact = SourceOverlap.matrix(docs, "source", col("text"), k = 3)
-      val est = SourceOverlap.sketchMatrix(docs, "source", col("text"), k = 3)
-      exact.join(est, Seq("src_a", "src_b"))
+      val bySh = SourceOverlap.shingleSets(docs, "source", col("text"), k = 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val exact = SourceOverlap.matrixFromSets(bySh)
+      val est = SourceOverlap.sketchFromSets(bySh)
+      val report = exact.join(est, Seq("src_a", "src_b"))
         .select(col("src_a"), col("src_b"), col("shared_shingles"),
           (abs(col("est_shared") - col("shared_shingles")) <=
             lit(0.05) * (col("n_a") + col("n_b")) + lit(50)).as("est_ok"))
+      try graft.operators.SourceOverlap.materialized(report)
+      finally bySh.unpersist(blocking = false)
     }),
 
     "q_drift_psi" -> ((s, d) => {
@@ -1431,6 +1445,17 @@ object SparkEntry {
             concat(lit("fresh "), col("doc_id").cast("string"), lit(" "), col("text"))
               .as("text"),
             col("source"))).cache()
+      // sf30 stage decomposition (r9 verdict item 2; DevAB steady-
+      // state, DuckDB oracle 0.631 s): cache materialize 0.54 s +
+      // sketch build 0.80 s + probe/verify 1.0-1.6 s ≈ the gate's
+      // ~2.4 s. Spark's own BARE digest anti-join (the oracle's exact
+      // work) is 1.1-1.35 s — the ~2x scan/probe floor vs the embedded
+      // engine (q3/q5 evidence class); the sketch build is the other
+      // half of the ratio and is work the oracle does not perform by
+      // construction. probe/verify ≈ bare anti-join on tmpfs, as the
+      // operator scaladoc predicts: the bloom's payoff term is the
+      // ~20x narrower network exchange, invisible on RAM-backed
+      // shuffle dirs.
       // upper cap keeps est*10 overflow-safe (bytesOnDisk returns
       // Long.MaxValue for an unreadable path) and is already far past
       // Spark's runtime-filter clamp

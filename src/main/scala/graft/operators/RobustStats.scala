@@ -27,6 +27,23 @@ object RobustStats {
     * (n, median_cents, mad_cents, n_outliers, outlier_frac 6dp).
     */
   def madReport(df: DataFrame, valueCol: String): DataFrame = {
+    val (hist, report) = madReportFrame(df, valueCol)
+    // the report is ONE row, so it is materialized eagerly and the
+    // bounded histogram cache released here — a lazy return would pin
+    // a session-lifetime cache entry per distinct input plan on any
+    // caller that (unlike Bench) never clears the cache manager
+    val row = report.head()
+    hist.unpersist(blocking = false)
+    df.sparkSession.createDataFrame(
+      java.util.Collections.singletonList(row), report.schema)
+  }
+
+  /** The lazy (histogram, report) pair behind [[madReport]] — exposed
+    * so PlanSpec can assert the report's plan shape (the public entry
+    * point returns an eagerly-materialized local row). Caller owns
+    * the histogram's unpersist.
+    */
+  private[graft] def madReportFrame(df: DataFrame, valueCol: String): (DataFrame, DataFrame) = {
     val cents = floor(col(valueCol) * lit(100.0) + lit(0.5)).cast("long")
     // cached: the med/dev/tally branches prune different columns, so
     // their hist subtrees differ and ReusedExchange does NOT collapse
@@ -67,13 +84,6 @@ object RobustStats {
         col("n_outliers"),
         (floor(col("n_outliers").cast("double") / col("n") * lit(1e6)
           + lit(0.5)) / lit(1e6)).as("outlier_frac"))
-    // the report is ONE row, so it is materialized eagerly and the
-    // bounded histogram cache released here — a lazy return would pin
-    // a session-lifetime cache entry per distinct input plan on any
-    // caller that (unlike Bench) never clears the cache manager
-    val row = report.head()
-    hist.unpersist(blocking = false)
-    df.sparkSession.createDataFrame(
-      java.util.Collections.singletonList(row), report.schema)
+    (hist, report)
   }
 }

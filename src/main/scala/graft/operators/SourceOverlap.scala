@@ -35,14 +35,52 @@ import graft.functions.{TextFunctions => TF}
   */
 object SourceOverlap {
 
-  /** Shared-shingle matrix over `docs`. `k` is the shingle width. */
-  def matrix(docs: DataFrame, srcCol: String, textCol: Column, k: Int): DataFrame = {
-    // one shingle-keyed exchange: distinct sources per shingle
-    val bySh = docs
+  /** The one shingle-keyed exchange both exact forms fold off:
+    * distinct sources per shingle.
+    */
+  def shingleSets(docs: DataFrame, srcCol: String, textCol: Column,
+      k: Int): DataFrame =
+    docs
       .select(col(srcCol).as("src"), explode(TF.shingles(textCol, k)).as("sh"))
       .groupBy("sh")
       .agg(sort_array(collect_set(col("src"))).as("srcs"))
 
+  /** Shared-shingle matrix over `docs`. `k` is the shingle width.
+    *
+    * The [[shingleSets]] frame is persisted (memory-and-disk) for the
+    * duration: its three consumers (totals, pair grid, and the final
+    * join) prune different columns, so ReusedExchange does NOT unify
+    * their subtrees and the un-materialized form re-runs the corpus
+    * tokenize/shingle pass per branch (r10 plan audit: up to 5
+    * shingle exchanges in the combined check harness). The cached
+    * payload is the aggregated distinct-shingle frame — typically
+    * 10-100x smaller than the token stream, and the thing a 100 TB
+    * run would materialize rather than re-scan the corpus for. The
+    * report itself is |sources|²-bounded, so it is collected eagerly
+    * and the cache released before returning (the RobustStats
+    * contract: no session-lifetime cache entries left behind).
+    */
+  def matrix(docs: DataFrame, srcCol: String, textCol: Column, k: Int): DataFrame = {
+    val bySh = shingleSets(docs, srcCol, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try materialized(matrixFromSets(bySh))
+    finally bySh.unpersist(blocking = false)
+  }
+
+  /** Eagerly materialize a report-sized (≤|sources|²-row) frame so a
+    * bounded cache backing it can be released deterministically.
+    */
+  private[graft] def materialized(report: DataFrame): DataFrame = {
+    val rows = report.collectAsList()
+    report.sparkSession.createDataFrame(rows, report.schema)
+  }
+
+  /** [[matrix]] from a prebuilt [[shingleSets]] frame — callers that
+    * also need the sketch side ([[sketchFromSets]]) hand both the SAME
+    * frame so the corpus tokenize/shingle pass and its exchange are
+    * planned once (ReusedExchange dedups the identical subtree).
+    */
+  def matrixFromSets(bySh: DataFrame): DataFrame = {
     // per-source distinct-shingle totals: |sources| rows off the same
     // aggregate (the exchange is reused; the re-agg is set-sized)
     val totals = bySh.select(explode(col("srcs")).as("src"))
@@ -79,16 +117,48 @@ object SourceOverlap {
     * estimates — small overlaps between large sources read noisy, the
     * standard sketch-intersection caveat). Output:
     * (src_a, src_b, est_a, est_b, est_shared) for every pair.
+    *
+    * Measured (r10 DevAB, sf10, steady-state min): this standalone
+    * form runs 0.78-0.81 s vs the exact [[matrix]]'s 7.0-7.2 s —
+    * ~9x — because it never builds per-shingle source sets and its
+    * exchange carries |sources| KB blobs. (r9's bench row read 11.3 s
+    * because the GATE is a check harness that also runs the exact
+    * matrix and, before r10, re-tokenized the corpus for the sketch
+    * side; the harness now folds both off one shingle pass.)
     */
   def sketchMatrix(docs: DataFrame, srcCol: String, textCol: Column,
-      k: Int, lgK: Int = 14): DataFrame = {
-    val perSrc = docs
+      k: Int, lgK: Int = 14): DataFrame =
+    pairEstimates(docs
       .select(col(srcCol).as("src"),
         explode(call_function("shingle_hash64", TF.tokens(textCol), lit(k))).as("h"))
       .groupBy("src")
-      .agg(hll_sketch_agg(col("h"), lit(lgK)).as("sk"))
-      .select(col("src"), col("sk"),
-        hll_sketch_estimate(col("sk")).cast("long").as("est_n"))
+      .agg(hll_sketch_agg(col("h"), lit(lgK)).as("sk")))
+
+  /** Per-source HLL sketches derived from a [[shingleSets]] frame a
+    * caller ALREADY pays for (the check-harness case: the exact
+    * matrix needs the shingle exchange regardless, so the sketch side
+    * piggybacks it instead of running [[sketchMatrix]]'s second
+    * corpus tokenize pass — r9 measured the standalone form slower
+    * than the exact matrix at sf10, 11.3 vs 10.9 s, precisely because
+    * both paid the same shingling CPU twice). HLL is
+    * duplicate-insensitive, so sketching each source's DISTINCT
+    * shingle set here estimates the same cardinalities the raw-stream
+    * form does; only the element hash differs (xxhash64 of the
+    * shingle string vs shingle_hash64 of the token window), which
+    * shifts estimates within the same rse class.
+    */
+  def sketchFromSets(bySh: DataFrame, lgK: Int = 14): DataFrame =
+    pairEstimates(bySh
+      .select(explode(col("srcs")).as("src"), xxhash64(col("sh")).as("h"))
+      .groupBy("src")
+      .agg(hll_sketch_agg(col("h"), lit(lgK)).as("sk")))
+
+  /** Inclusion-exclusion pair grid over per-source (src, sk) sketch
+    * rows — |sources| KB-blobs in, |sources|²-row local frame out.
+    */
+  private def pairEstimates(sketches: DataFrame): DataFrame = {
+    val perSrc = sketches.select(col("src"), col("sk"),
+      hll_sketch_estimate(col("sk")).cast("long").as("est_n"))
     val a = perSrc.select(col("src").as("src_a"), col("sk").as("sk_a"),
       col("est_n").as("est_a"))
     val b = perSrc.select(col("src").as("src_b"), col("sk").as("sk_b"),
