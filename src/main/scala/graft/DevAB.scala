@@ -50,6 +50,135 @@ object DevAB {
     }
   }
 
+  /** MAD report decomposition: histogram pass vs the full report. */
+  def madAB(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    def one(tag: String)(f: => Unit): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      System.gc(); Thread.sleep(300)
+      val t0 = System.nanoTime(); f
+      println(f"DEVAB $tag ${(System.nanoTime() - t0) / 1e9}%.3f")
+    }
+    def exec(df: org.apache.spark.sql.DataFrame): Unit =
+      df.queryExecution.toRdd.foreach(_ => ())
+    val ev = Tables.events(spark, dir).withColumn("value",
+      when(pmod(col("event_id"), lit(97L)) === 0, col("value") * 50)
+        .otherwise(col("value")))
+    (1 to 3).foreach { i =>
+      one(s"r$i hist_only") {
+        exec(ev.select(floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("c"))
+          .groupBy("c").agg(count(lit(1)).as("n")))
+      }
+      one(s"r$i full_report") {
+        exec(graft.operators.RobustStats.madReport(ev, "value"))
+      }
+    }
+  }
+
+  /** Burstiness A/B: window-lag form vs collect_list + HOF fold. */
+  def burstAB(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    def one(tag: String)(f: => Unit): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      System.gc(); Thread.sleep(300)
+      val t0 = System.nanoTime(); f
+      println(f"DEVAB $tag ${(System.nanoTime() - t0) / 1e9}%.3f")
+    }
+    def exec(df: org.apache.spark.sql.DataFrame): Unit =
+      df.queryExecution.toRdd.foreach(_ => ())
+    val ev = Tables.events(spark, dir)
+    val sec = expr(
+      "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', " +
+        "cast(ts as timestamp_ntz))").cast("long")
+    (1 to 3).foreach { i =>
+      one(s"r$i window_lag") {
+        exec(graft.operators.Burstiness.report(ev, "user_id", "ts", "event_id",
+          minGaps = 8, cvBelow = 0.3))
+      }
+      one(s"r$i collect_hof") {
+        val agg = ev.select(col("user_id"), sec.as("s"), col("event_id"))
+          .groupBy("user_id")
+          .agg(sort_array(collect_list(struct(col("s"), col("event_id")))).as("arr"))
+          .select(col("user_id"),
+            (size(col("arr")) - 1).cast("long").as("n_gaps"),
+            (element_at(col("arr"), -1)("s") - element_at(col("arr"), 1)("s")).as("sg"),
+            aggregate(
+              zip_with(slice(col("arr"), lit(1), size(col("arr")) - 1),
+                slice(col("arr"), lit(2), size(col("arr")) - 1),
+                (a, b) => (b("s") - a("s")) * (b("s") - a("s"))),
+              lit(0L).cast("decimal(38,0)"),
+              (acc, x) => acc + x.cast("decimal(38,0)")).as("qg"))
+          .filter(col("n_gaps") >= 8)
+        exec(agg)
+      }
+    }
+  }
+
+  /** Decompose q_heavy_hitters_sketch: sketch pass alone vs exact
+    * top-k alone vs the full check harness.
+    */
+  def hhAB(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import graft.operators.HeavyHitters
+    def one(tag: String)(f: => Unit): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      System.gc(); Thread.sleep(300)
+      val t0 = System.nanoTime(); f
+      println(f"DEVAB $tag ${(System.nanoTime() - t0) / 1e9}%.3f")
+    }
+    def exec(df: org.apache.spark.sql.DataFrame): Unit =
+      df.queryExecution.toRdd.foreach(_ => ())
+    val docs = Tables.documents(spark, dir)
+    (1 to 3).foreach { i =>
+      one(s"r$i sketch_only") {
+        docs.select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+          .agg(count_min_sketch(col("term"), lit(0.0001), lit(0.99), lit(42)))
+          .head()
+      }
+      one(s"r$i sketch_eps1e3") {
+        docs.select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+          .agg(count_min_sketch(col("term"), lit(0.001), lit(0.99), lit(42)))
+          .head()
+      }
+      one(s"r$i exact_only") { exec(HeavyHitters.topTerms(docs, "text", 20)) }
+      one(s"r$i full_harness") {
+        exec(HeavyHitters.topTermsSketchCheck(spark, docs, "text", 20))
+      }
+    }
+  }
+
+  /** Decompose q_embedding_standardize: moments pass vs z-pass vs
+    * long-multiply square variant.
+    */
+  def stdAB(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    def exec(df: org.apache.spark.sql.DataFrame): Unit =
+      df.queryExecution.toRdd.foreach(_ => ())
+    def one(tag: String)(f: => Unit): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      System.gc(); Thread.sleep(300)
+      val t0 = System.nanoTime(); f
+      println(f"DEVAB $tag ${(System.nanoTime() - t0) / 1e9}%.3f")
+    }
+    val emb = Tables.embeddings(spark, dir)
+    def ix(x: org.apache.spark.sql.Column) =
+      floor(x.cast("double") * lit(1e6) + lit(0.5)).cast("long")
+    (1 to 3).foreach { i =>
+      one(s"r$i moments_decimal") {
+        exec(graft.ann.Standardize.dimMoments(emb, "embedding"))
+      }
+      one(s"r$i moments_longmul") {
+        exec(emb.select(posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy("pos")
+          .agg(count(lit(1)).as("n"),
+            sum(ix(col("x")).cast("decimal(38,0)")).as("s"),
+            sum(when(abs(ix(col("x"))) < lit(3000000000L),
+                (ix(col("x")) * ix(col("x"))).cast("decimal(38,0)"))
+              .otherwise(ix(col("x")).cast("decimal(38,0)") *
+                ix(col("x")).cast("decimal(38,0)"))).as("q")))
+      }
+      one(s"r$i full_zreport") {
+        exec(graft.ann.Standardize.zReport(emb, "vec_id", "embedding"))
+      }
+    }
+  }
+
   /** Interleaved A/B: exact overlap matrix, cached-shingleSets vs
     * raw-reuse forms, same session, alternating to cancel load drift.
     */
@@ -102,6 +231,10 @@ object DevAB {
 
     if (args.contains("bloom")) { bloomStages(spark, dir); spark.stop(); return }
     if (args.contains("overlap")) { overlapAB(spark, dir); spark.stop(); return }
+    if (args.contains("std")) { stdAB(spark, dir); spark.stop(); return }
+    if (args.contains("hh")) { hhAB(spark, dir); spark.stop(); return }
+    if (args.contains("burst")) { burstAB(spark, dir); spark.stop(); return }
+    if (args.contains("mad")) { madAB(spark, dir); spark.stop(); return }
 
     val ev = Tables.events(spark, dir)
     // a) bare scan + ts conversion, 4 needed columns, no agg

@@ -1367,7 +1367,15 @@ object SparkEntry {
       // per partition, ONE ~KB blob per partition on the exchange —
       // vocabulary-independent, unlike the exact top-k whose
       // exchange is sized by the vocabulary.
-      HeavyHitters.topTermsSketchCheck(s, Tables.documents(s, d), "text", k = 20)),
+      // eps=1e-3 (7x2000 grid, ~112 KB): the grid a 100 TB run would
+      // pick (per-executor-cache-resident; still a ±0.1%·N envelope).
+      // r10 DevAB sf10: sketch pass 0.78-0.85 s at eps=1e-4 → 0.60-
+      // 0.66 s at 1e-3; exact side 0.49-0.56 s; harness ≈ their sum —
+      // the residual vs the 0.31 s oracle is that the CHECK HARNESS
+      // runs both passes while the oracle runs only the exact one
+      // (the q_hll_store_check ≥2x-by-construction class).
+      HeavyHitters.topTermsSketchCheck(s, Tables.documents(s, d), "text",
+        k = 20, eps = 0.001)),
 
     "q_token_budget" -> ((s, d) =>
       // token-budget data mixing: per-source quotas ∝ token mass,

@@ -20,6 +20,15 @@ import org.apache.spark.sql.functions._
   *  - the standardize itself is a narrow per-row HOF projection;
   *  - constant dimensions (zero variance) map to z = 0 rather than a
   *    division blow-up.
+  *
+  * Performance floor (r10 DevAB, sf10 = 200k x 64-dim vectors,
+  * DuckDB oracle 0.30 s): moments pass 0.46 s + z/checksum pass
+  * ~0.45 s ≈ 0.9 s total. Both engines run the same TWO full element
+  * passes — the residual is Spark's generated-row explode + decimal
+  * sum against the embedded engine's vectorized unnest + HUGEINT,
+  * not plan waste; the documented approx flip (double sums) would
+  * trade the oracle-exact replay guarantee for ~half the moments
+  * cost and is rejected while the gate's oracle is exact.
   */
 object Standardize {
 
@@ -34,12 +43,19 @@ object Standardize {
       .groupBy("pos")
       .agg(count(lit(1)).as("n"),
         sum(ix(col("x")).cast("decimal(38,0)")).as("s"),
-        // the square multiplies IN DECIMAL: a long ix·ix overflows for
-        // |x| beyond ~3e3 — exactly the mixed-scale features this
-        // operator exists for (ANSI would abort; non-ANSI would wrap
-        // to a silent wrong variance)
-        sum((ix(col("x")).cast("decimal(38,0)") *
-          ix(col("x")).cast("decimal(38,0)")).cast("decimal(38,0)")).as("q"))
+        // the square multiplies in LONG on the common path (|ix| <
+        // 3e9 ⇒ ix² ≤ 9e18 < Long.Max) and falls back to a DECIMAL
+        // multiply above it — a long ix·ix overflows for |x| beyond
+        // ~3e3, exactly the mixed-scale features this operator exists
+        // for (ANSI would abort; non-ANSI would wrap to a silent
+        // wrong variance). CaseWhen evaluates only the taken branch,
+        // so typical-scale features never pay the Int128 multiply
+        // (r10 DevAB, sf10: moments pass 0.55 → 0.46 s). The SUM
+        // stays decimal(38): exact at any corpus size
+        sum(when(abs(ix(col("x"))) < lit(3000000000L),
+            (ix(col("x")) * ix(col("x"))).cast("decimal(38,0)"))
+          .otherwise(ix(col("x")).cast("decimal(38,0)") *
+            ix(col("x")).cast("decimal(38,0)"))).as("q"))
       .select(col("pos"),
         (col("s").cast("double") / col("n")).as("mean"),
         sqrt((col("q").cast("double") - col("s").cast("double") * col("s")

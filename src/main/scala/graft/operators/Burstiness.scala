@@ -20,6 +20,16 @@ import graft.functions.Rounding.pround
   * cast through a DST zone would), and mean/CV derive from exact
   * integer moment sums — the [[graft.ann.Standardize]] rule. One key
   * shuffle; the lag and the aggregate share its sort.
+  *
+  * Plan A/B (r10 DevAB, sf10 = 10M events, DuckDB oracle 0.35 s):
+  * this window-lag form 1.19 s; a collect_list + sorted-array HOF
+  * fold (no window) 1.09 s — rejected: the −8% is bought with
+  * per-key in-memory arrays, so one hot key (exactly the bots this
+  * operator hunts) becomes an unbounded task allocation, where the
+  * sort-window spills gracefully. Both engines run the identical
+  * lag-over-partitioned-sort plan; the residual ratio is the
+  * engine's exchange+sort floor (the q3/q5 evidence class), not
+  * plan waste.
   */
 object Burstiness {
 

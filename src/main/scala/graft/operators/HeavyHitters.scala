@@ -73,10 +73,16 @@ object HeavyHitters {
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("term", org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("est", org.apache.spark.sql.types.LongType))))
-    exact.join(broadcast(est), Seq("term"))
+    val report = exact.join(broadcast(est), Seq("term"))
       .select(col("term"), col("cnt"),
         (col("est") >= col("cnt")).as("est_ge_exact"),
         (col("est") <= col("cnt") + lit(slack)).as("est_within_eps"))
       .orderBy(col("cnt").desc, col("term").asc)
+    // k-row report → materialize eagerly and release the top-k cache
+    // (the madReport/SourceOverlap contract: no session-lifetime
+    // cache entries left for callers that never clear the manager)
+    val rows = report.collectAsList()
+    exact.unpersist(blocking = false)
+    spark.createDataFrame(rows, report.schema)
   }
 }

@@ -20,6 +20,16 @@ import org.apache.spark.sql.functions._
   * arithmetic: dev·10⁴ > mad·44478 encodes
   * |x−med| > 3·1.4826·MAD (the normal-consistency 3σ̂ rule) with no
   * float boundary at all.
+  *
+  * Cost decomposition (r10 DevAB): the corpus histogram pass runs at
+  * PARITY with the DuckDB oracle's entire budget (0.28-0.34 s vs
+  * 0.32 s at sf10; 0.32-0.40 s at sf30) — the remaining ~0.7 s of the
+  * report is five histogram-sized single-task stages (median cum-sum,
+  * deviation fold, MAD cum-sum, tally, eager head) each doing
+  * single-digit-ms of compute and paying Spark's per-stage scheduling
+  * floor. That cost is FIXED in corpus size (measured flat sf10→sf30)
+  * and amortizes away exactly where the oracle's histogram pass keeps
+  * growing — the fixed-overhead-floor class, not plan waste.
   */
 object RobustStats {
 

@@ -221,9 +221,9 @@ class PlanSpec extends SparkSpec {
       ("q_line_dedup",           3, 2, true),
       ("q_shuffle_corpus",       1, 1, false),
       ("q_token_budget",         6, 4, true),
-      // the exact top-k side is cached inside the harness, so its
-      // exchanges sit behind InMemoryTableScan leaves
-      ("q_heavy_hitters_sketch", 0, 2, false),
+      // (r10) the k-row check harness is eagerly materialized and its
+      // top-k cache released — a local relation at the gate boundary
+      ("q_heavy_hitters_sketch", 0, 1, false),
       // late-r9 rework: the returned frame is a scan-pure narrow
       // projection (the B-row model is a separate bounded pass-1 job
       // collected before plan construction — the Ivf cell-list
