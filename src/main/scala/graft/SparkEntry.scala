@@ -1696,6 +1696,33 @@ object SparkEntry {
         Tables.embeddings(s, d).select("vec_id", "embedding"), c = 16, p = 0.05)
         .filter(col("outlier")).select("vec_id", "cluster_id", "sim")),
 
+    "q_outlier_threshold_check" -> ((s, d) =>
+      // full-oracle check for q_embedding_outliers' threshold+verdict
+      // stage (r9 verdict item 7): the assignment is FROZEN (cell =
+      // vec_id mod 16 — the "given the assignment" premise; Lloyd
+      // seeding is what makes the full gate rows-only) and the scored
+      // value is the exact integer Σ floor(x·1e6+0.5), so the per-cell
+      // exact percentile and the strict-below verdict replay
+      // identically in DuckDB. Thresholds are interpolated between
+      // integers ≥1 apart, so engine ulp differences can never flip a
+      // verdict; the threshold itself stays out of the output
+      graft.ann.Outliers.thresholdVerdicts(
+        Tables.embeddings(s, d).select(col("vec_id"),
+          pmod(col("vec_id"), lit(16L)).as("cell"),
+          aggregate(col("embedding"), lit(0L), (acc, x) =>
+            acc + floor(x.cast("double") * lit(1e6) + lit(0.5)).cast("long"))
+            .as("score")),
+        "cell", "score", p = 0.1)
+        .select(col("vec_id"), col("cell"), col("score"), col("outlier"))),
+
+    "q_classifier_margin_check" -> ((s, d) =>
+      // full-oracle check for q_quality_classifier's SCORING pass
+      // (r9 verdict item 7): portable md5 bucket + pinned integer
+      // milli-weights make every margin an exact integer DuckDB
+      // reproduces bit-for-bit — see QualityClassifier.marginCheck
+      graft.operators.QualityClassifier.marginCheck(
+        Tables.documents(s, d), "doc_id", "text")),
+
     "q_quality_classifier" -> ((s, d) => {
       // model-based quality filter (the GPT-3/LLaMA recipe): hashed
       // bag-of-words + logistic regression separating reference docs
@@ -4375,6 +4402,42 @@ object SparkEntry {
          FROM pres a JOIN pres b
            ON a.sh = b.sh AND a.source < b.source
          GROUP BY 1, 2""",
+
+    "q_classifier_margin_check" ->
+      // exact-integer replay of the scoring machinery: portable md5
+      // bucket (the CorpusShuffle hex recipe), pinned milli-weights
+      """WITH t AS (
+           SELECT doc_id,
+             CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS ts
+           FROM documents
+         ), m AS (
+           SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tok,
+             CAST(coalesce(list_sum(list_transform(ts, tk ->
+               ((CAST(('0x' || substr(md5(tk), 1, 8)) AS BIGINT) % 4096) * 31)
+                 % 1000 - 500)), 0) AS BIGINT) AS margin_milli
+           FROM t
+         )
+         SELECT doc_id, n_tok, margin_milli,
+           CAST(CASE WHEN margin_milli >= 0 THEN 1 ELSE 0 END AS BIGINT) AS predicted
+         FROM m""",
+
+    "q_outlier_threshold_check" ->
+      // frozen-assignment per-cell exact percentile + strict-below
+      // verdict over an integer-exact score: thresholds interpolate
+      // between integers >= 1 apart, so engine ulp can't flip a verdict
+      """WITH s AS (
+           SELECT vec_id, vec_id % 16 AS cell,
+             CAST(coalesce(list_sum(list_transform(embedding, x ->
+               floor(CAST(x AS DOUBLE) * 1000000 + 0.5))), 0) AS BIGINT) AS score
+           FROM embeddings
+         ), t AS (
+           SELECT cell, quantile_cont(CAST(score AS DOUBLE), 0.1) AS thr
+           FROM s GROUP BY cell
+         )
+         SELECT s.vec_id, s.cell, s.score,
+           (CAST(s.score AS DOUBLE) < t.thr) AS outlier
+         FROM s JOIN t USING (cell)""",
 
     "q_drift_psi" ->
       s"""WITH $driftBucketsSql

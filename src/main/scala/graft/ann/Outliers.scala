@@ -37,12 +37,24 @@ object Outliers {
     val sims = idx.join(broadcast(cents), Seq("cluster_id"))
       .select(col("vec_id"), col("cluster_id"),
         round(VectorFunctions.cosine(col("emb"), col("centroid")), 4).as("sim"))
-    val thresholds = sims.groupBy("cluster_id")
-      .agg(expr(s"percentile(sim, $p)").as("thr"))
-    sims.join(broadcast(thresholds), Seq("cluster_id"))
-      .select(col("vec_id"), col("cluster_id"), col("sim"),
-        (col("sim") < col("thr")).as("outlier"))
+    thresholdVerdicts(sims, "cluster_id", "sim", p)
+      .select(col("vec_id"), col("cluster_id"), col("sim"), col("outlier"))
   }
+
+  /** The per-cell exact-percentile threshold + strict-below verdict
+    * stage, factored out so the q_outlier_threshold_check gate can
+    * oracle exactly this machinery over a frozen assignment and an
+    * integer-exact value (the iterative Lloyd seeding above is what
+    * makes the full [[verdicts]] rows-only): one cell-keyed exchange
+    * of (cell, value) pairs, thresholds broadcast back as a C-row
+    * frame. All input columns pass through, plus `outlier`.
+    */
+  def thresholdVerdicts(vals: DataFrame, cellCol: String, valCol: String,
+      p: Double): DataFrame =
+    vals.join(broadcast(vals.groupBy(cellCol)
+        .agg(expr(s"percentile($valCol, $p)").as("__thr"))), Seq(cellCol))
+      .withColumn("outlier", col(valCol) < col("__thr"))
+      .drop("__thr")
 
   /** The cleaned corpus: vectors at or above their cell's percentile. */
   def prune(emb: DataFrame, c: Int, p: Double, iters: Int = 2): DataFrame =

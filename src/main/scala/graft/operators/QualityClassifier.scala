@@ -98,4 +98,32 @@ object QualityClassifier {
   def filterDocs(model: Model, docs: DataFrame, textCol: String,
                  threshold: Double): DataFrame =
     score(model, docs, textCol).filter(col("quality_prob") >= threshold)
+
+  /** Cross-engine check harness for the SCORING machinery (the
+    * q_hll_store_check pattern): the same tokenize → bucket →
+    * weight-lookup → margin-accumulate → threshold pipeline as
+    * [[score]], but under the portable md5 bucket (the CorpusShuffle
+    * `('0x'||substr(md5,1,8))::BIGINT` recipe) and pinned INTEGER
+    * milli-weights `w(b) = (b·31) mod 1000 − 500`, so an independent
+    * SQL engine replays every margin bit-for-bit and the gate gets a
+    * full hash-compared oracle. The production path keeps the
+    * codegen'd Murmur3 hashing trick — that end-to-end (train +
+    * perfect held-out separation) stays pinned by GroundTruthSpec;
+    * what was previously evidence-free in the DRIVER artifact is this
+    * scoring machinery, which is pure SQL given a literal model.
+    * Margins are exact integer sums, so no float summation-order or
+    * exp() libm divergence can enter the compare.
+    */
+  def marginCheck(docs: DataFrame, idCol: String, textCol: String,
+                  dims: Int = 4096): DataFrame = {
+    val bucket = (t: Column) =>
+      conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long") % dims
+    val weight = (b: Column) => (b * lit(31L)) % lit(1000L) - lit(500L)
+    tokenized(docs, textCol, Seq(idCol))
+      .select(col(idCol),
+        size(col("__toks")).cast("long").as("n_tok"),
+        aggregate(col("__toks"), lit(0L),
+          (acc, t) => acc + weight(bucket(t))).as("margin_milli"))
+      .withColumn("predicted", (col("margin_milli") >= 0L).cast("long"))
+  }
 }
