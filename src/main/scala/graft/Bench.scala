@@ -85,7 +85,12 @@ object Bench {
     "q_mad_outliers",
     // burstiness bot screen: one user-keyed exchange, lag + agg
     // share its sort
-    "q_burstiness")
+    "q_burstiness",
+    // r10 check harnesses (bench-row-from-birth): the classifier
+    // scoring replay (one tokenize + md5-bucket scan pass) and the
+    // frozen-assignment outlier threshold check (one embeddings pass
+    // + C-row threshold broadcast)
+    "q_classifier_margin_check", "q_outlier_threshold_check")
 
   // Timed every tier but EXCLUDED from the headline totals: these have
   // no DuckDB oracle (not SQL-expressible), so including them would make
@@ -98,20 +103,24 @@ object Bench {
   private val extras = Seq("q_dedup_minhash", "q_semdedup",
     "q_compression_quality")
 
-  // sf30 demonstration subset (r8 verdict item 1): the queries whose
-  // sf10 ratios were adjudicated floor-or-weak — if the residual cost
-  // is fixed per-job overhead (broadcast driver round-trips, job
-  // launch), these ratios must FALL as the SF grows; if it is plan
-  // waste, they stay flat or grow.
+  // sf30 demonstration tier (r8 verdict item 1; widened per r9 item
+  // 5): every headliner whose sf10 Spark time is >= 2 s — deep enough
+  // that fixed per-job cost is a falling fraction, so the tier
+  // separates engine floors from plan waste (it killed the r8 q3
+  // "amortization" theory and the r9 bloom diagnosis lives on it) —
+  // plus the original floor-adjudicated seven and q_mad_outliers
+  // (whose ~0.7 s post-histogram cost is measured FLAT sf10->sf30,
+  // the amortization demonstrator).
   private val sf30Subset = Seq(
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q_dedup_exact", "q_ann_bruteforce", "q_event_windows",
-    // bloom ingest dedup joins the amortization curve: its builder-side
-    // ratios fall ~5.0x (sf10) -> ~3.6x (sf30) against the md5-identity
-    // oracle (fixed sketch-collect + job-launch + cache-materialize
-    // cost over a sub-second DuckDB number) — the sf30 point documents
-    // whether the fall continues
-    "q_bloom_ingest_dedup")
+    "q_bloom_ingest_dedup",
+    "q_v4_ml_dataset", "q_token_count", "q_medallion_silver",
+    "q_corpus_prep", "q_asof_join", "q_dedup_clusters", "q_tfidf",
+    "q_unigram_logprob", "q_passage_dedup", "q_dsir_weights",
+    "q_ccnet_buckets", "q_pmi_cooccur", "q_hll_store_check",
+    "q_source_overlap", "q_source_overlap_sketch", "q_backoff_logprob",
+    "q_mad_outliers")
 
   /** Tier-freshness preamble (r9 verdict item 8): the gitignored tier
     * parquet was wiped twice during r9 and the old existence-only gate

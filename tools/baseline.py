@@ -46,7 +46,10 @@ HEADLINERS = [
     # purpose: it times the same token exchange as q_freq_spectrum)
     "q_backoff_logprob", "q_unicode_clean", "q_freq_spectrum",
     "q_domain_policy", "q_change_points", "q_embedding_standardize",
-    "q_source_overlap_sketch", "q_mad_outliers", "q_burstiness"]
+    "q_source_overlap_sketch", "q_mad_outliers", "q_burstiness",
+    # r10 check harnesses (bench-row-from-birth): classifier scoring
+    # replay, frozen-assignment outlier threshold check
+    "q_classifier_margin_check", "q_outlier_threshold_check"]
 
 sf_dir = sys.argv[1]
 oracle = json.load(open(sys.argv[2]))
