@@ -90,7 +90,12 @@ object Bench {
     // scoring replay (one tokenize + md5-bucket scan pass) and the
     // frozen-assignment outlier threshold check (one embeddings pass
     // + C-row threshold broadcast)
-    "q_classifier_margin_check", "q_outlier_threshold_check")
+    "q_classifier_margin_check", "q_outlier_threshold_check",
+    // r10 operators (bench-row-from-birth): keep-best canonical
+    // dedup (digest exchange, WindowGroupLimit partial top-1) and
+    // n-gram novelty (shingle-keyed anti-join, the decontaminate
+    // shape)
+    "q_dedup_keep_best", "q_ngram_novelty")
 
   // Timed every tier but EXCLUDED from the headline totals: these have
   // no DuckDB oracle (not SQL-expressible), so including them would make

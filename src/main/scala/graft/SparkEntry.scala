@@ -1419,6 +1419,37 @@ object SparkEntry {
         "doc_id", "text")
         .select("doc_id", "lang", "n_chars")),
 
+    "q_dedup_keep_best" -> ((s, d) =>
+      // canonical selection (r10): exact dedup keeping the HIGHEST-
+      // priority copy per content group (priority = lower source
+      // suffix wins, a metadata score — content-derived scores tie on
+      // byte-identical text), lowest doc_id breaking ties. The staged
+      // recrawl slice shares its original's source (id tiebreak must
+      // keep the first crawl); the generator's natural 1/625 dup
+      // pairs straddle ADJACENT round-robin sources (priority must
+      // pick the lower suffix regardless of id). Kept rows fold to a
+      // per-source profile
+      Deduplicator.keepBest(
+        withRecrawls(Tables.documents(s, d).select("doc_id", "text", "source")),
+        "doc_id", "text",
+        score = lit(0) - substring(col("source"), 4, 6).cast("int"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("n_chars"))),
+
+    "q_ngram_novelty" -> ((s, d) => {
+      // n-gram novelty vs a reference corpus (r10): per candidate
+      // doc, the fraction of its distinct 3-grams absent from the
+      // reference slice (docs ≡ 0 mod 5) — the memorization/
+      // recombination diagnostic; one shingle-keyed anti-join, per-doc
+      // shingle sets deduped in-row before the explode
+      val docs = Tables.documents(s, d)
+      graft.operators.Novelty.report(
+        docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0L),
+        docs.filter(pmod(col("doc_id"), lit(5L)) === 0L),
+        "doc_id", "text", k = 3)
+    }),
+
     "q_bloom_ingest_dedup" -> ((s, d) => {
       // batch form of the continuous-ingest dedup gate, through the
       // bloom-prefilter recipe: ONE corpus pass builds the membership
@@ -2902,6 +2933,57 @@ object SparkEntry {
          SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
            count(*) AS group_size
          FROM aug GROUP BY md5(text)""",
+
+    "q_dedup_keep_best" ->
+      """WITH off AS (
+           SELECT CAST(coalesce(power(10, length(CAST(greatest(coalesce(max(doc_id), 0), 0) AS VARCHAR))), 1000000) AS BIGINT) AS v
+           FROM documents
+         ), aug AS (
+           SELECT doc_id, text, source FROM documents
+           UNION ALL
+           SELECT doc_id + (SELECT v FROM off), text, source FROM documents
+           WHERE doc_id % 10 = 3
+         ), ranked AS (
+           SELECT *, row_number() OVER (PARTITION BY md5(text)
+             ORDER BY CAST(substr(source, 4) AS INT) ASC, doc_id ASC) AS rn
+           FROM aug
+         )
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars
+         FROM ranked WHERE rn = 1 GROUP BY source""",
+
+    "q_ngram_novelty" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS ts
+           FROM documents
+         ), sh AS (
+           SELECT doc_id, doc_id % 5 = 0 AS is_ref,
+             CASE WHEN len(ts) = 0 THEN CAST([] AS VARCHAR[])
+                  WHEN len(ts) <= 3 THEN [array_to_string(ts, ' ')]
+                  ELSE list_distinct(list_transform(range(1, len(ts) - 1),
+                         i -> array_to_string(ts[i:i+2], ' ')))
+             END AS shs
+           FROM t
+         ), ref AS (
+           SELECT DISTINCT unnest(shs) AS sh FROM sh WHERE is_ref
+         ), cand AS (
+           SELECT doc_id, unnest(shs) AS sh FROM sh WHERE NOT is_ref
+         ), novel AS (
+           SELECT doc_id, count(*) AS n_novel FROM cand c
+           WHERE NOT EXISTS (SELECT 1 FROM ref r WHERE r.sh = c.sh)
+           GROUP BY doc_id
+         ), totals AS (
+           SELECT doc_id, CAST(len(shs) AS BIGINT) AS n_grams
+           FROM sh WHERE NOT is_ref
+         )
+         SELECT t.doc_id, t.n_grams,
+           CAST(coalesce(n.n_novel, 0) AS BIGINT) AS n_novel,
+           CASE WHEN t.n_grams = 0 THEN 0.0
+                ELSE floor(CAST(coalesce(n.n_novel, 0) AS DOUBLE) / t.n_grams
+                       * 10000 + 0.5) / 10000.0 END AS novelty
+         FROM totals t LEFT JOIN novel n USING (doc_id)""",
 
     "q_stream_windows" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,

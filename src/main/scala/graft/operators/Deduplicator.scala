@@ -66,4 +66,29 @@ object Deduplicator {
       .select(col("keep_id").as(idCol))
     df.join(keepers, Seq(idCol), "left_semi")
   }
+
+  /** Canonical selection: drop exact duplicates keeping the
+    * HIGHEST-`scoreCol` copy per content group, ties broken by lowest
+    * id — the keep-the-best-copy policy pipelines apply when
+    * duplicates differ in provenance (the clean dump copy of a page
+    * should survive, not the boilerplate-wrapped crawl copy; for
+    * byte-identical text the score must come from metadata — source
+    * priority, crawl recency — since any content-derived score ties).
+    *
+    * One digest-keyed shuffle. The per-group winner is a row_number
+    * top-1, which Spark 4 plans as WindowGroupLimit with a PARTIAL
+    * pass below the exchange (the q_window_dedup machinery): each map
+    * task ships one candidate row per content group it sees, never
+    * the group — the only admissible shape when a hot page has
+    * millions of copies.
+    */
+  def keepBest(df: DataFrame, idCol: String, contentCol: String,
+               score: Column): DataFrame = {
+    val w = Window.partitionBy(col("__dig"))
+      .orderBy(score.desc, col(idCol).asc)
+    df.withColumn("__dig", md5(col(contentCol).cast("binary")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__dig", "__rn")
+  }
 }

@@ -295,7 +295,18 @@ class PlanSpec extends SparkSpec {
       ("q_mad_outliers",         0, 1, false),
       // burstiness: one user-keyed exchange (lag + agg share the
       // sort); 2 leaves = the organic scan + the planted-bot branch
-      ("q_burstiness",           1, 2, false))
+      ("q_burstiness",           1, 2, false),
+      // r10: keep-best dedup — digest exchange with WindowGroupLimit
+      // partial below it + source agg; BNLJ = the 1-row recrawl
+      // offset broadcast; leaves are staged-batch cache probes
+      ("q_dedup_keep_best",      3, 5, true),
+      // r10: n-gram novelty — reference distinct-shingle exchange,
+      // shingle-keyed anti join, doc-keyed count + totals join
+      ("q_ngram_novelty",        5, 4, false),
+      // r10 check harnesses: classifier margin replay is a pure scan
+      // pass; outlier threshold check = one cell agg + broadcast-back
+      ("q_classifier_margin_check", 0, 1, false),
+      ("q_outlier_threshold_check", 1, 2, false))
     val failures = golden.flatMap { case (q, maxShuffles, maxLeaves, bnljOk) =>
       val p = SparkEntry.queries(q)(spark, sf()).queryExecution.executedPlan
       audit(q, p, maxShuffles, maxLeaves, bnljOk)

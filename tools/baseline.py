@@ -49,7 +49,9 @@ HEADLINERS = [
     "q_source_overlap_sketch", "q_mad_outliers", "q_burstiness",
     # r10 check harnesses (bench-row-from-birth): classifier scoring
     # replay, frozen-assignment outlier threshold check
-    "q_classifier_margin_check", "q_outlier_threshold_check"]
+    "q_classifier_margin_check", "q_outlier_threshold_check",
+    # r10 operators: keep-best canonical dedup, n-gram novelty
+    "q_dedup_keep_best", "q_ngram_novelty"]
 
 sf_dir = sys.argv[1]
 oracle = json.load(open(sys.argv[2]))
