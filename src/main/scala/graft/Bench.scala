@@ -95,7 +95,10 @@ object Bench {
     // dedup (digest exchange, WindowGroupLimit partial top-1) and
     // n-gram novelty (shingle-keyed anti-join, the decontaminate
     // shape)
-    "q_dedup_keep_best", "q_ngram_novelty")
+    "q_dedup_keep_best", "q_ngram_novelty",
+    // robust median/IQR scaling: per-dim histogram exchange + keyed
+    // rank windows + broadcast-stats HOF pass
+    "q_robust_scale")
 
   // Timed every tier but EXCLUDED from the headline totals: these have
   // no DuckDB oracle (not SQL-expressible), so including them would make

@@ -2003,6 +2003,14 @@ object SparkEntry {
       // narrow HOF standardize, integerized z checksums
       graft.ann.Standardize.zReport(Tables.embeddings(s, d), "vec_id", "embedding")),
 
+    "q_robust_scale" -> ((s, d) =>
+      // robust median/IQR per-dim scaling (r10): rank-exact quartiles
+      // on the per-dim integerized value histogram (no interpolation,
+      // no float boundary), stats broadcast, narrow HOF scale with
+      // integer checksums — the heavy-tail-safe feature-prep pass
+      graft.ann.Standardize.robustReport(Tables.embeddings(s, d),
+        "vec_id", "embedding")),
+
     "q_pca_project" -> ((s, d) => {
       // PCA reduce-before-index: fit = ONE corpus moment pass
       // (per-partition d×d blocks → driver Jacobi eigensolve, the
@@ -3854,6 +3862,43 @@ object SparkEntry {
          SELECT vec_id, CAST(max(d) AS BIGINT) AS n_dims,
            CAST(sum(z) AS BIGINT) AS z_sum, CAST(max(z) AS BIGINT) AS z_max
          FROM zs GROUP BY vec_id""",
+
+    "q_robust_scale" ->
+      // rank-exact quartiles per dim (smallest value whose running
+      // count passes floor(p·(n−1)) — the RobustStats rule), so the
+      // scaled integer checksums replay exactly
+      """WITH g AS (
+           SELECT vec_id, len(embedding) AS d,
+             generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+           FROM embeddings
+         ), ixed AS (
+           SELECT vec_id, pos, d,
+             CAST(floor(x * 1000000.0 + 0.5) AS BIGINT) AS ix
+           FROM g
+         ), hist AS (
+           SELECT pos, ix AS v, count(*) AS n FROM ixed GROUP BY 1, 2
+         ), cum AS (
+           SELECT pos, v, n,
+             sum(n) OVER (PARTITION BY pos ORDER BY v) AS cum,
+             sum(n) OVER (PARTITION BY pos) AS tot
+           FROM hist
+         ), st AS (
+           SELECT pos,
+             min(CASE WHEN cum - 1 >= floor(0.25 * (tot - 1)) THEN v END) AS q1,
+             min(CASE WHEN cum - 1 >= floor(0.5 * (tot - 1)) THEN v END) AS med,
+             min(CASE WHEN cum - 1 >= floor(0.75 * (tot - 1)) THEN v END) AS q3
+           FROM cum GROUP BY pos
+         ), rs AS (
+           SELECT i.vec_id, i.d,
+             CASE WHEN st.q3 = st.q1 THEN 0
+                  ELSE CAST(floor(CAST(i.ix - st.med AS DOUBLE)
+                         / (st.q3 - st.q1) * 10000.0 + 0.5) AS BIGINT) END AS r
+           FROM ixed i JOIN st USING (pos)
+         )
+         SELECT vec_id, CAST(max(d) AS BIGINT) AS n_dims,
+           CAST(sum(r) AS BIGINT) AS r_sum, CAST(max(r) AS BIGINT) AS r_max
+         FROM rs GROUP BY vec_id""",
 
     "q_sq8_quantize" ->
       """WITH ex AS (

@@ -61,6 +61,56 @@ object Standardize {
         sqrt((col("q").cast("double") - col("s").cast("double") * col("s")
           / col("n")) / col("n")).as("std"))
 
+  /** Robust (median/IQR) per-dimension scaling report — the
+    * heavy-tail-safe counterpart to [[zReport]]: mean/std are dragged
+    * by the very outliers feature prep wants to tame, median and
+    * interquartile range are 25-50%-breakdown estimators (sklearn's
+    * RobustScaler recipe). Rank-EXACT on the 1e6-integerized value
+    * histogram per dimension (the [[graft.operators.RobustStats]]
+    * rule applied per-pos): ONE (pos, value)-keyed exchange builds
+    * the per-dim histograms — bounded by dims × |distinct quantized
+    * values|, never corpus rows, and partial-aggregated map-side;
+    * the rank windows run PARTITIONED BY pos over distinct values;
+    * quartiles are the smallest value whose running count passes
+    * floor(p·(n−1)) — no interpolation, no float boundary, so the
+    * scaled checksums replay identically in any engine. Stats
+    * broadcast as pos-ordered arrays; the scale itself is a narrow
+    * HOF. Constant dims (IQR 0) map to r = 0. Output per row:
+    * (id, n_dims, r_sum, r_max) over r = floor((ix−med)/IQR·10⁴+0.5).
+    */
+  def robustReport(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ixed = emb.filter(size(col(vecCol)) > 0)
+      .select(col(idCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .select(col(idCol), col("pos"), ix(col("x")).as("v"))
+    val hist = ixed.groupBy("pos", "v").agg(count(lit(1)).as("n"))
+    val cum = hist.select(col("pos"), col("v"), col("n"),
+      sum("n").over(Window.partitionBy("pos").orderBy("v")).as("cum"),
+      sum("n").over(Window.partitionBy("pos")).as("tot"))
+    def rank(p: Double) =
+      min(when(col("cum") - 1 >= floor(lit(p) * (col("tot") - 1)), col("v")))
+    val stats = cum.groupBy("pos").agg(
+      rank(0.25).as("q1"), rank(0.5).as("med"), rank(0.75).as("q3"))
+    val row = stats.agg(
+      transform(array_sort(collect_list(struct(col("pos"), col("med")))),
+        s => s("med")).as("meds"),
+      transform(array_sort(collect_list(struct(col("pos"),
+          (col("q3") - col("q1")).as("iqr")))),
+        s => s("iqr")).as("iqrs"))
+    def r(x: Column, m: Column, iqr: Column): Column =
+      when(iqr === 0L, lit(0L)).otherwise(
+        floor((ix(x) - m).cast("double") / iqr * lit(10000.0) + lit(0.5))
+          .cast("long"))
+    emb.filter(size(col(vecCol)) > 0)
+      .crossJoin(broadcast(row))
+      .withColumn("rs", transform(col(vecCol), (x, i) =>
+        r(x, element_at(col("meds"), i + 1), element_at(col("iqrs"), i + 1))))
+      .select(col(idCol),
+        size(col(vecCol)).cast("long").as("n_dims"),
+        aggregate(col("rs"), lit(0L), (a, c) => a + c).as("r_sum"),
+        array_max(col("rs")).as("r_max"))
+  }
+
   /** One broadcastable row with pos-ordered mean/std arrays. */
   def momentsRow(emb: DataFrame, vecCol: String): DataFrame =
     dimMoments(emb, vecCol).agg(

@@ -306,7 +306,11 @@ class PlanSpec extends SparkSpec {
       // r10 check harnesses: classifier margin replay is a pure scan
       // pass; outlier threshold check = one cell agg + broadcast-back
       ("q_classifier_margin_check", 0, 1, false),
-      ("q_outlier_threshold_check", 1, 2, false))
+      ("q_outlier_threshold_check", 1, 2, false),
+      // r10: robust scale — (pos, value) histogram exchange, keyed
+      // rank windows over distinct values, dims-row stats fold; BNLJ
+      // = the 1-row broadcast stats frame
+      ("q_robust_scale",          3, 2, true))
     val failures = golden.flatMap { case (q, maxShuffles, maxLeaves, bnljOk) =>
       val p = SparkEntry.queries(q)(spark, sf()).queryExecution.executedPlan
       audit(q, p, maxShuffles, maxLeaves, bnljOk)

@@ -39,6 +39,34 @@ class Round10OpsSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("robustReport: rank-exact quartiles; a planted outlier cannot move the scale") {
+    import graft.ann.Standardize
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
+    def df(rows: Seq[(Long, Seq[Float])]) = spark.createDataFrame(
+      rows.map(r => org.apache.spark.sql.Row(r._1, r._2)).asJava, schema)
+    // dim0: values 1..5 -> q1=2, med=3, q3=4, IQR=2 (rank rule: cum-1 >=
+    // floor(p*4) -> ranks 1,2,3). dim1: constant -> IQR 0 -> r=0
+    val base = df(Seq(
+      (1L, Seq(1f, 7f)), (2L, Seq(2f, 7f)), (3L, Seq(3f, 7f)),
+      (4L, Seq(4f, 7f)), (5L, Seq(5f, 7f))))
+    val out = Standardize.robustReport(base, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // r(dim0) = floor((x-3)*1e6/2e6*1e4+0.5) = (x-3)*5000; r(dim1)=0
+    assert(out(1L) == ((2L, -10000L, 0L)))
+    assert(out(3L) == ((2L, 0L, 0L)))
+    assert(out(5L) == ((2L, 10000L, 10000L)))
+    // plant a wild outlier in dim0: median and IQR are 50/25% breakdown
+    // estimators, so one corrupt row cannot move the other rows' scale
+    // (the z-score form would drag every mean/std with it)
+    val poisoned = base.unionByName(df(Seq((99L, Seq(1e6f, 7f)))))
+    val out2 = Standardize.robustReport(poisoned, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out2(1L) == -10000L && out2(3L) == 0L && out2(5L) == 10000L)
+  }
+
   test("novelty: identical doc scores 0, disjoint doc scores 1, mixed in between") {
     val ref = docsDf(Seq((100L, "a b c d e", "r")))
     val cand = docsDf(Seq(

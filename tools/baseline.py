@@ -51,7 +51,9 @@ HEADLINERS = [
     # replay, frozen-assignment outlier threshold check
     "q_classifier_margin_check", "q_outlier_threshold_check",
     # r10 operators: keep-best canonical dedup, n-gram novelty
-    "q_dedup_keep_best", "q_ngram_novelty"]
+    "q_dedup_keep_best", "q_ngram_novelty",
+    # robust median/IQR per-dim scaling
+    "q_robust_scale"]
 
 sf_dir = sys.argv[1]
 oracle = json.load(open(sys.argv[2]))
