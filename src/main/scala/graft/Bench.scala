@@ -98,7 +98,9 @@ object Bench {
     "q_dedup_keep_best", "q_ngram_novelty",
     // robust median/IQR scaling: per-dim histogram exchange + keyed
     // rank windows + broadcast-stats HOF pass
-    "q_robust_scale")
+    "q_robust_scale",
+    // char-diversity gibberish screen: zero-shuffle sorted-run fold
+    "q_char_diversity")
 
   // Timed every tier but EXCLUDED from the headline totals: these have
   // no DuckDB oracle (not SQL-expressible), so including them would make

@@ -2003,6 +2003,20 @@ object SparkEntry {
       // narrow HOF standardize, integerized z checksums
       graft.ann.Standardize.zReport(Tables.embeddings(s, d), "vec_id", "embedding")),
 
+    "q_char_diversity" -> ((s, d) => {
+      // char-level gibberish screen (r10): Simpson concentration +
+      // modal-char stats from a ZERO-shuffle sorted-run fold; the
+      // organic corpus is char-diverse, so one doc per 211 becomes a
+      // planted single-char flood (mirrored in the oracle) that must
+      // flag while prose does not. Simpson over entropy: rational in
+      // exact integer counts — no libm ln() boundary
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(211L)) === 7L,
+          repeat(lit("a"), (lit(50L) + pmod(col("doc_id"), lit(100L))).cast("int")))
+          .otherwise(col("text")).as("text"))
+      graft.functions.CharDiversity.flagged(docs, "doc_id", "text")
+    }),
+
     "q_robust_scale" -> ((s, d) =>
       // robust median/IQR per-dim scaling (r10): rank-exact quartiles
       // on the per-dim integerized value histogram (no interpolation,
@@ -3862,6 +3876,41 @@ object SparkEntry {
          SELECT vec_id, CAST(max(d) AS BIGINT) AS n_dims,
            CAST(sum(z) AS BIGINT) AS z_sum, CAST(max(z) AS BIGINT) AS z_max
          FROM zs GROUP BY vec_id""",
+
+    "q_char_diversity" ->
+      // explode + groupBy char counts — a different plan computing
+      // the same exact integers as the Spark sorted-run fold (the
+      // cross-engine witness); simpson is one IEEE division + floor
+      """WITH base AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 211 = 7
+                  THEN repeat('a', CAST(50 + doc_id % 100 AS INT))
+                  ELSE text END AS text
+           FROM documents
+         ), ch AS (
+           SELECT doc_id, unnest(list_transform(range(1, length(text) + 1),
+             i -> text[i])) AS c
+           FROM base WHERE length(text) > 0
+         ), hist AS (
+           SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2
+         ), agg AS (
+           SELECT doc_id, sum(n) AS n_chars, count(*) AS distinct_chars,
+             max(n) AS max_char_n, sum(n * n) AS sumsq
+           FROM hist GROUP BY doc_id
+         ), rep AS (
+           SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+             CAST(distinct_chars AS BIGINT) AS distinct_chars,
+             CAST(max_char_n AS BIGINT) AS max_char_n,
+             floor(CAST(sumsq AS DOUBLE) / (CAST(n_chars AS DOUBLE) * n_chars)
+               * 10000 + 0.5) / 10000.0 AS simpson
+           FROM agg
+           UNION ALL
+           SELECT doc_id, 0, 0, 0, 0.0 FROM base WHERE length(text) = 0
+         )
+         SELECT doc_id, n_chars, distinct_chars, max_char_n, simpson,
+           (n_chars > 0 AND (CAST(max_char_n AS DOUBLE) / n_chars > 0.2
+              OR simpson > 0.1)) AS flagged
+         FROM rep""",
 
     "q_robust_scale" ->
       // rank-exact quartiles per dim (smallest value whose running

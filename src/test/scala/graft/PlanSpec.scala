@@ -310,7 +310,10 @@ class PlanSpec extends SparkSpec {
       // r10: robust scale — (pos, value) histogram exchange, keyed
       // rank windows over distinct values, dims-row stats fold; BNLJ
       // = the 1-row broadcast stats frame
-      ("q_robust_scale",          3, 2, true))
+      ("q_robust_scale",          3, 2, true),
+      // r10: char diversity — a pure scan pass (sorted-run fold),
+      // zero exchanges by design
+      ("q_char_diversity",        0, 1, false))
     val failures = golden.flatMap { case (q, maxShuffles, maxLeaves, bnljOk) =>
       val p = SparkEntry.queries(q)(spark, sf()).queryExecution.executedPlan
       audit(q, p, maxShuffles, maxLeaves, bnljOk)

@@ -67,6 +67,29 @@ class Round10OpsSpec extends SparkSpec {
     assert(out2(1L) == -10000L && out2(3L) == 0L && out2(5L) == 10000L)
   }
 
+  test("charDiversity: run-length fold matches hand counts; floods flag") {
+    import graft.functions.CharDiversity
+    val df = docsDf(Seq(
+      (1L, "aaa", "s"),    // n=3 dist=1 max=3 simpson=9/9=1.0
+      (2L, "abab", "s"),   // n=4 dist=2 max=2 simpson=8/16=0.5
+      (3L, "abcd", "s"),   // n=4 dist=4 max=1 simpson=4/16=0.25
+      (4L, "", "s")))      // empty -> zeros
+    val out = CharDiversity.report(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(1L) == ((3L, 1L, 3L, 1.0)))
+    assert(out(2L) == ((4L, 2L, 2L, 0.5)))
+    assert(out(3L) == ((4L, 4L, 1L, 0.25)))
+    assert(out(4L) == ((0L, 0L, 0L, 0.0)))
+    // flag thresholds are sized for documents, so the diverse case
+    // must be long enough that its modal char sits under maxFrac
+    val flags = CharDiversity.flagged(
+      df.unionByName(docsDf(Seq((5L, "abcdefghij klmno", "s")))),
+      "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(flags(1L) && !flags(5L) && !flags(4L))
+  }
+
   test("novelty: identical doc scores 0, disjoint doc scores 1, mixed in between") {
     val ref = docsDf(Seq((100L, "a b c d e", "r")))
     val cand = docsDf(Seq(

@@ -53,7 +53,9 @@ HEADLINERS = [
     # r10 operators: keep-best canonical dedup, n-gram novelty
     "q_dedup_keep_best", "q_ngram_novelty",
     # robust median/IQR per-dim scaling
-    "q_robust_scale"]
+    "q_robust_scale",
+    # char-diversity gibberish screen
+    "q_char_diversity"]
 
 sf_dir = sys.argv[1]
 oracle = json.load(open(sys.argv[2]))
