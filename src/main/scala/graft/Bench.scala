@@ -111,7 +111,10 @@ object Bench {
   // q_compression_quality joins the extras: zlib is not
   // SQL-expressible, so it has no oracle-engine baseline by nature
   private val extras = Seq("q_dedup_minhash", "q_semdedup",
-    "q_compression_quality")
+    "q_compression_quality",
+    // r10: incremental LSH ingest (rows-only by nature — minhash
+    // family; index build + batch screen timed as one)
+    "q_lsh_ingest_dedup")
 
   // sf30 demonstration tier (r8 verdict item 1; widened per r9 item
   // 5): every headliner whose sf10 Spark time is >= 2 s — deep enough

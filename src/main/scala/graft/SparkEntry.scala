@@ -2003,6 +2003,41 @@ object SparkEntry {
       // narrow HOF standardize, integerized z checksums
       graft.ann.Standardize.zReport(Tables.embeddings(s, d), "vec_id", "embedding")),
 
+    "q_lsh_ingest_dedup" -> ((s, d) => {
+      // incremental NEAR-dup ingest (r10): the MinHash analog of
+      // q_bloom_ingest_dedup — a persisted banded-LSH index screens
+      // each crawl batch without re-shingling history. The batch is
+      // a one-token-appended recrawl slice (J = s/(s+1) ≈ 1, must
+      // flag against its original) + token-REVERSED docs (disjoint
+      // shingle direction ⇒ novel, must survive). rows-only by
+      // nature (minhash family); LshIngestSpec pins exact flag/
+      // survive sets and the incremental-append property
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val base = s"/tmp/graft_lshidx_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.dedup.LshIngest.writeIndex(docs, "doc_id", "text", base)
+      val recrawl = docs.filter(pmod(col("doc_id"), lit(10L)) === 3L)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(col("text"), lit(" zzrecrawlpad")).as("text"),
+          lit("recrawl").as("batch_src"))
+      val fresh = docs.filter(pmod(col("doc_id"), lit(10L)) === 4L)
+        .select((col("doc_id") + 20000000L).as("doc_id"),
+          concat_ws(" ", reverse(split(trim(lower(col("text"))), "\\s+")))
+            .as("text"),
+          lit("fresh_reversed").as("batch_src"))
+      val incoming = recrawl.unionByName(fresh).cache()
+      val (novel, dups, _, _) = graft.dedup.LshIngest.screen(
+        s, incoming, "doc_id", "text", base, threshold = 0.5)
+      incoming.groupBy("batch_src").agg(count(lit(1)).as("n_in"))
+        .join(novel.groupBy("batch_src").agg(count(lit(1)).as("n_novel")),
+          Seq("batch_src"), "left")
+        .join(incoming.join(dups.select(col("doc_id")), Seq("doc_id"), "left_semi")
+            .groupBy("batch_src").agg(count(lit(1)).as("n_flagged")),
+          Seq("batch_src"), "left")
+        .select(col("batch_src"), col("n_in"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          coalesce(col("n_flagged"), lit(0L)).as("n_flagged"))
+    }),
+
     "q_char_diversity" -> ((s, d) => {
       // char-level gibberish screen (r10): Simpson concentration +
       // modal-char stats from a ZERO-shuffle sorted-run fold; the
