@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, StringTrim, Up
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 
-import graft.functions.{CollectMinK, CosineSimilarity, MinHash64, NfcNormalize, NgramRepetition, ShingleHash64, SimHash64}
+import graft.functions.{CharDiversityStats, CollectMinK, CosineSimilarity, MinHash64, NfcNormalize, NgramRepetition, ShingleHash64, SimHash64}
 
 /** Engine extensions, registered through the public
   * `spark.sql.extensions` hook (GraftSession sets it). Native
@@ -53,6 +53,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "ngram_repetition(tokens, k) takes exactly two arguments")
         require(children(1).foldable, "ngram_repetition: k must be a literal")
         NgramRepetition(children.head, children(1).eval().asInstanceOf[Number].intValue())
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("char_diversity_stats"),
+      new ExpressionInfo(classOf[CharDiversityStats].getName, "char_diversity_stats"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1,
+          "char_diversity_stats(text) takes exactly one argument")
+        CharDiversityStats(children.head)
       }))
     // Spark's OWN runtime-filter bloom machinery, surfaced as callable
     // functions (they are registered internal-only upstream): the

@@ -90,6 +90,22 @@ class Round10OpsSpec extends SparkSpec {
     assert(flags(1L) && !flags(5L) && !flags(4L))
   }
 
+  test("char_diversity_stats native expression is bit-identical to the HOF fold") {
+    import graft.functions.CharDiversity
+    // the whole sf0.001 corpus plus adversarial literals: empty,
+    // single char, runs, multi-byte code points (é = 2 UTF-8 bytes,
+    // 汉 = 3, 𝄞 = a surrogate pair — n_chars counts CODE POINTS)
+    val corpus = Tables.documents(spark, sf()).select("doc_id", "text")
+      .unionByName(docsDf(Seq(
+        (9000001L, "", "s"), (9000002L, "x", "s"), (9000003L, "aaaabbb", "s"),
+        (9000004L, "héllo héllo", "s"), (9000005L, "汉字 汉字 汉字", "s"),
+        (9000006L, "a𝄞b𝄞c", "s"))).select("doc_id", "text"))
+    val native = CharDiversity.report(corpus, "doc_id", "text")
+    val hof = CharDiversity.reportHof(corpus, "doc_id", "text")
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty,
+      native.exceptAll(hof).unionByName(hof.exceptAll(native)).collect().take(5).mkString("\n"))
+  }
+
   test("novelty: identical doc scores 0, disjoint doc scores 1, mixed in between") {
     val ref = docsDf(Seq((100L, "a b c d e", "r")))
     val cand = docsDf(Seq(
