@@ -146,7 +146,7 @@ object Bench {
     * tier). A tier that fails is SKIPPED and named in `stale`.
     */
   private def tierFresh(spark: SparkSession, dir: String, factor: Long,
-                        baseDir: String = "/root/testdata/sf0.1"): Boolean = {
+                        baseDir: String): Boolean = {
     def n(d: String, t: String): Long =
       try spark.read.parquet(s"$d/$t.parquet").count()
       catch { case _: Throwable => -1L }
@@ -294,6 +294,57 @@ object Bench {
 
   private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
 
+  /** Parse a committed BASELINE*.md's embedded ```json block — the
+    * "queries" (and optional "extras") name→seconds maps. Flat regex
+    * parse: the block holds only flat {"name": num} objects.
+    */
+  private[graft] def baselineMaps(path: String): Option[(Map[String, Double], Map[String, Double])] =
+    try {
+      val f = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(f)) None
+      else {
+        val text = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+        "(?s)```json\\s*(\\{.*?\\})\\s*```".r.findFirstMatchIn(text).map { blk =>
+          val block = blk.group(1)
+          def obj(key: String): Map[String, Double] =
+            ("\"" + key + "\"\\s*:\\s*\\{([^}]*)\\}").r.findFirstMatchIn(block).map { m =>
+              "\"([^\"]+)\"\\s*:\\s*([-0-9.eE+]+)".r.findAllMatchIn(m.group(1))
+                .map(p => p.group(1) -> p.group(2).toDouble).toMap
+            }.getOrElse(Map.empty)
+          (obj("queries"), obj("extras"))
+        }
+      }
+    } catch { case _: Throwable => None }
+
+  /** Comparable subset vs a committed baseline: (n, sparkTotal,
+    * baselineTotal) over the intersection of the tier's succeeded
+    * headline queries with the baseline's recorded queries.
+    */
+  private def comparable(t: Tier, path: String): Option[(Int, Double, Double)] =
+    baselineMaps(path).map { case (bq, _) =>
+      val common = t.headline.filter { case (k, v) => v >= 0 && bq.contains(k) }
+      (common.size, common.map(_._2).sum, common.map { case (k, _) => bq(k) }.sum)
+    }
+
+  /** Artifact-computed comparable ratio (r10 verdict item 3): the
+    * bench itself computes and PRINTS the Spark/baseline ratio per
+    * tier over the exact headline intersection — build-log and SURVEY
+    * prose must quote only this field, never a hand-derived number.
+    */
+  private def ratioJson(t: Tier, path: String): String =
+    (comparable(t, path), baselineMaps(path)) match {
+      case (Some((n, sparkTotal, baseTotal)), Some((bq, bx))) =>
+        val excluded = t.headline.collect { case (k, v) if v >= 0 && !bq.contains(k) => k }
+        val ratio = if (baseTotal > 0) sparkTotal / baseTotal else -1.0
+        val exJson = excluded.map("\"" + _ + "\"").mkString("[", ",", "]")
+        val extrasRatios = t.extraResults.collect {
+          case (k, v) if v >= 0 && bx.get(k).exists(_ > 0) =>
+            "\"" + k + "\":" + f"${v / bx(k)}%.3f"
+        }.mkString("{", ",", "}")
+        f""","baseline_file":"$path","baseline_n":$n,"spark_comparable_total":$sparkTotal%.3f,"baseline_total":$baseTotal%.3f,"ratio":$ratio%.3f,"ratio_excluded":$exJson,"extras_ratio":$extrasRatios"""
+      case _ => ""
+    }
+
   private case class Tier(results: Seq[QRes], preQuiet: Boolean, pre: Probe) {
     // a tier is clean iff it STARTED on a quiet box (loadavg +
     // sentinel) and every kept query measurement ran between two
@@ -323,6 +374,12 @@ object Bench {
   private def runTier(spark: SparkSession, cores: Int, idleSec: Double,
                       dir: String, names: Seq[String], runs: Int,
                       agg: Seq[Double] => Double): Tier = {
+    // stage per-tier artifacts (persisted indexes) BEFORE the timed
+    // loop: their one-time build is the cost the incremental
+    // operators amortize away, so it must not land inside (r10
+    // verdict item 1) — nor inflate the first run's spread past the
+    // dirty bound
+    try SparkEntry.stageTier(spark, dir) catch { case _: Throwable => () }
     val pre = waitQuiet(spark, cores, idleSec)
     val rs = timeGuarded(spark, dir, names, runs, agg, idleSec)
     Tier(rs, pre.quiet(cores, idleSec), pre)
@@ -366,7 +423,11 @@ object Bench {
     def tierIf(dir: String, factor: Long, tag: String)(
         run: => Tier): Option[Tier] =
       if (!new java.io.File(s"$dir/lineitem.parquet").exists || dir == sfDir) None
-      else if (!tierFresh(spark, dir, factor)) { stale += tag; None }
+      // freshness is relative to the RUN's base tier (sfDir), not a
+      // hard-coded absolute path — a bench run from another checkout
+      // or data root must not silently skip every scaled tier
+      // (r10 advice item 3)
+      else if (!tierFresh(spark, dir, factor, baseDir = sfDir)) { stale += tag; None }
       else Some(run)
 
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "testdata/sf1")
@@ -374,7 +435,7 @@ object Bench {
       runTier(spark, cpus, idleSec, sf1Dir, headliners ++ extras,
         runs = 2, _.min)
     }
-    val sf1Json = sf1Tier.map(t => s""","sf1":{"dir":"$sf1Dir","runs":2,${t.json}}""").getOrElse("")
+    val sf1Json = sf1Tier.map(t => s""","sf1":{"dir":"$sf1Dir","runs":2,${t.json}${ratioJson(t, "BASELINE_SF1.md")}}""").getOrElse("")
 
     // ---- optional sf10 tier: the FULL headliner set (r7 verdict item 2 —
     // the 5-query tier settled its borderliners decisively, so every
@@ -385,7 +446,7 @@ object Bench {
       runTier(spark, cpus, idleSec, sf10Dir, headliners ++ extras,
         runs = 2, _.min)
     }
-    val sf10Json = sf10Tier.map(t => s""","sf10":{"dir":"$sf10Dir","runs":2,${t.json}}""").getOrElse("")
+    val sf10Json = sf10Tier.map(t => s""","sf10":{"dir":"$sf10Dir","runs":2,${t.json}${ratioJson(t, "BASELINE_SF10.md")}}""").getOrElse("")
 
     // ---- optional sf30 tier: the floor-amortization demonstration
     // (r8 verdict item 1) — only the adjudicated-floor/weak subset,
@@ -395,7 +456,7 @@ object Bench {
       runTier(spark, cpus, idleSec, sf30Dir, sf30Subset,
         runs = 2, _.min)
     }
-    val sf30Json = sf30Tier.map(t => s""","sf30":{"dir":"$sf30Dir","runs":2,${t.json}}""").getOrElse("")
+    val sf30Json = sf30Tier.map(t => s""","sf30":{"dir":"$sf30Dir","runs":2,${t.json}${ratioJson(t, "BASELINE_SF30.md")}}""").getOrElse("")
 
     // ---- cross-tier physical sanity (r8 verdict item 5): same query,
     // more data, must not be faster beyond noise — else the small
@@ -417,8 +478,20 @@ object Bench {
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val xtierJson = s""","cross_tier_dirty":{"sf01":${arr(xtier01)},"sf1":${arr(xtier1)}}"""
 
-    val allClean = (Seq(t0) ++ sf1Tier ++ sf10Tier ++ sf30Tier).forall(_.clean) &&
-      xtier01.isEmpty && xtier1.isEmpty && stale.isEmpty
+    // `contended` decomposed (r10 verdict item 4): the top-level flag
+    // is the OR of named reasons, so an artifact reader sees exactly
+    // which component tripped it (a dirty tier, a cross-tier
+    // violation, or a stale skipped tier) instead of discounting a
+    // run whose tier blocks all read clean
+    val reasons = scala.collection.mutable.ListBuffer[String]()
+    if (!t0.clean) reasons += "sf01_dirty"
+    if (sf1Tier.exists(!_.clean)) reasons += "sf1_dirty"
+    if (sf10Tier.exists(!_.clean)) reasons += "sf10_dirty"
+    if (sf30Tier.exists(!_.clean)) reasons += "sf30_dirty"
+    if (xtier01.nonEmpty) reasons += "cross_tier_sf01"
+    if (xtier1.nonEmpty) reasons += "cross_tier_sf1"
+    stale.foreach(t => reasons += s"stale_$t")
+    val allClean = reasons.isEmpty
     // top-level total/queries are headline-only (baseline-comparable);
     // the per-tier blocks carry the "extras" timings
     val total = t0.headline.filter(_._2 >= 0).map(_._2).sum
@@ -428,8 +501,9 @@ object Bench {
     val staleJson = s""","stale_tiers":${arr(stale.toSeq)}"""
 
     // full artifact: every tier block, probes, per-query timings
+    val reasonsJson = s""","contended_reasons":${arr(reasons.toSeq)}"""
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","idle_calibration_sec":$idleSec%.3f,"load_gate":${BenchGuard.LoadFraction * cpus}%.1f,"sentinel_bound_sec":${BenchGuard.SentinelSlack * idleSec}%.3f,"contended":${!allClean}$staleJson,"sf01":{${t0.json}}$sf1Json$sf10Json$sf30Json$xtierJson}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","idle_calibration_sec":$idleSec%.3f,"load_gate":${BenchGuard.LoadFraction * cpus}%.1f,"sentinel_bound_sec":${BenchGuard.SentinelSlack * idleSec}%.3f,"contended":${!allClean}$reasonsJson$staleJson,"sf01":{${t0.json}${ratioJson(t0, "BASELINE.md")}}$sf1Json$sf10Json$sf30Json$xtierJson}"""
     val out = new java.io.PrintWriter("BENCH_LAST.json")
     try out.println(json) finally out.close()
 
@@ -440,10 +514,17 @@ object Bench {
     // a truncated raw tail (r9 verdict item 4). Per-tier totals +
     // clean flags fit; per-query tier detail lives in BENCH_LAST.json
     // (committed each round).
-    def tierBrief(tag: String, t: Option[Tier]): Option[String] =
-      t.map(x => f""""$tag":{"total":${x.headline.filter(_._2 >= 0).map(_._2).sum}%.2f,"clean":${x.clean}}""")
-    val tiers = (Seq(tierBrief("sf1", sf1Tier), tierBrief("sf10", sf10Tier),
-      tierBrief("sf30", sf30Tier)).flatten :+
+    def tierBrief(tag: String, t: Option[Tier], basePath: String): Option[String] =
+      t.map { x =>
+        val ratio = comparable(x, basePath).collect {
+          case (_, sp, b) if b > 0 => f""","ratio":${sp / b}%.2f""" }.getOrElse("")
+        f""""$tag":{"total":${x.headline.filter(_._2 >= 0).map(_._2).sum}%.2f,"clean":${x.clean}$ratio}"""
+      }
+    val tiers = (Seq(tierBrief("sf1", sf1Tier, "BASELINE_SF1.md"),
+      tierBrief("sf10", sf10Tier, "BASELINE_SF10.md"),
+      tierBrief("sf30", sf30Tier, "BASELINE_SF30.md")).flatten ++
+      comparable(t0, "BASELINE.md").collect {
+        case (_, sp, b) if b > 0 => f""""sf01_ratio":${sp / b}%.2f""" } :+
       s""""xtier_dirty":${(xtier01 ++ xtier1).distinct.size}""").mkString(",")
     val compact = compactLine(total, t0.headline, failedJson, sfDir,
       !allClean, stale.toSeq, tiers)

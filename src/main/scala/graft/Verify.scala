@@ -18,6 +18,10 @@ object Verify {
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    try SparkEntry.stageTier(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] stageTier failed: ${e.getMessage}")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>

@@ -68,21 +68,64 @@ object LshIngest {
       .write.mode("overwrite").parquet(s"$path/sigs")
   }
 
+  /** Build the persisted index ONCE per distinct corpus: a cheap
+    * corpus fingerprint (row count + char total, the bpe-fixture
+    * keying) is stamped beside the index, and a matching stamp skips
+    * the rebuild. This is the staging contract the bench relies on —
+    * the index build is the amortized-away cost the operator exists
+    * to avoid per batch, so the TIMED unit must be screen+delta only
+    * (r10 mismeasured exactly this: every bench run re-shingled and
+    * re-wrote the full-corpus index, 18.2 s at sf10 for a screen that
+    * costs a fraction of that). Returns true when a build ran.
+    */
+  def ensureIndex(corpus: DataFrame, idCol: String, textCol: String,
+                  path: String, shingleK: Int = 3, numHashes: Int = 64,
+                  numBands: Int = 16, maxBucket: Int = 64): Boolean = {
+    val fp = corpus.agg(count(lit(1)), sum(length(col(textCol))))
+      .head match { case r => s"${r.getLong(0)}_${r.getLong(1)}_k${shingleK}_h${numHashes}_b${numBands}_m$maxBucket" }
+    val marker = java.nio.file.Paths.get(path, "_FINGERPRINT")
+    val fresh = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim == fp
+    if (!fresh) {
+      writeIndex(corpus, idCol, textCol, path, shingleK, numHashes,
+        numBands, maxBucket)
+      java.nio.file.Files.write(marker, fp.getBytes("UTF-8"))
+    }
+    !fresh
+  }
+
   /** Screen `incoming` against the stored index: returns
     * (novel, dupVerdicts, batchBands, batchSigs) — novel rows pass
     * through with all input columns; dupVerdicts is
     * (doc_id, matched_id, jaccard) for flagged incoming docs; the
     * index rows are the batch's delta for the append that makes the
     * next batch see this one.
+    *
+    * Hot-bucket bound: `writeIndex` prunes degenerate buckets once at
+    * build time, but the incremental workflow appends each batch's
+    * band rows verbatim — over many batches a bucket can REGROW past
+    * `maxBucket` (a near-constant band across a template-heavy crawl).
+    * The probe therefore re-applies the bound on the CURRENT stored
+    * index (one map-side-combined count over the band keys — ~b rows
+    * per indexed doc in, |buckets| rows out) before the candidate
+    * join, so no probe ever fans out against a regrown bucket; the
+    * same `maxBucket` must be used at build and probe.
     */
   def screen(spark: SparkSession, incoming: DataFrame, idCol: String,
              textCol: String, indexPath: String, threshold: Double = 0.5,
-             shingleK: Int = 3, numHashes: Int = 64, numBands: Int = 16)
+             shingleK: Int = 3, numHashes: Int = 64, numBands: Int = 16,
+             maxBucket: Int = 64)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val (batchBands, batchSigsRaw) = indexRows(incoming, idCol, textCol,
       shingleK, numHashes, numBands)
     val batchSigs = batchSigsRaw.cache()
-    val storedBands = spark.read.parquet(s"$indexPath/bands")
+    val storedBandsRaw = spark.read.parquet(s"$indexPath/bands")
+    val keepable = storedBandsRaw.groupBy("band_id", "band_hash")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBucket)
+      .select("band_id", "band_hash")
+    val storedBands = storedBandsRaw
+      .join(keepable, Seq("band_id", "band_hash"), "left_semi")
     val storedSigs = spark.read.parquet(s"$indexPath/sigs")
     val candidates = batchBands
       .join(storedBands

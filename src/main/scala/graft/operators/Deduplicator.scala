@@ -86,7 +86,14 @@ object Deduplicator {
                score: Column): DataFrame = {
     val w = Window.partitionBy(col("__dig"))
       .orderBy(score.desc, col(idCol).asc)
-    df.withColumn("__dig", md5(col(contentCol).cast("binary")))
+    // NULL content PASSES THROUGH: md5(NULL) is NULL, which would
+    // otherwise collapse every NULL-content row into one group and
+    // drop all but one (r10 advice item 4). Each NULL row gets a
+    // unique id-derived digest instead — its own singleton group, so
+    // it survives, and the NULL rows never pile onto one window
+    // partition (the skew a shared NULL key would create).
+    df.withColumn("__dig", coalesce(md5(col(contentCol).cast("binary")),
+        concat(lit("__null__"), col(idCol).cast("string"))))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__dig", "__rn")

@@ -54,7 +54,12 @@ object Novelty {
     // matches and is excluded from the novel count)
     val pairs = candidates
       .select(col(idCol), TF.shingles(col(textCol), k).as("__shs"))
-      .select(col(idCol), size(col("__shs")).cast("long").as("__n"),
+      // coalesce: TF.shingles(NULL text) is NULL, and size(NULL) is
+      // NULL (not 0) — without it a NULL-text doc reports NULL
+      // n_grams/novelty instead of the documented zero-gram 0.0
+      // (r10 advice item 4)
+      .select(col(idCol),
+        coalesce(size(col("__shs")), lit(0)).cast("long").as("__n"),
         explode_outer(col("__shs")).as("__sh"))
     val refSet = reference
       .select(explode(TF.shingles(col(textCol), k)).as("__sh"))

@@ -97,7 +97,11 @@ object Events {
       .groupBy(col("window"), col("event_type"))
       .agg(sum(col("n")).as("n_events"),
         round(sum(col("sv")), 2).as("sum_value"),
-        count(lit(1)).as("n_users"))
+        // count(user_id), not count(*): a NULL user_id forms its own
+        // inner group, which count(*) would tally as one "user" —
+        // count(col) skips it, matching count(DISTINCT user_id)
+        // semantics on nullable inputs (r10 advice item 2)
+        count(col("user_id")).as("n_users"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"), col("n_users"))
 
