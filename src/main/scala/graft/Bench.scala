@@ -56,11 +56,12 @@ object Bench {
     // 2x-corpus probe whose hit fraction alone reaches the verify join
     "q_bloom_ingest_dedup",
     // final r9 operators, same policy: PMI association mining (two
-    // corpus tokenize passes + a pair-keyed exchange), the skew
+    // corpus tokenize passes + a pair-keyed exchange) and the skew
     // advisor (the counts-only key exchange a prospective join would
-    // pay), and the HLL store check harness (sketch deltas + merge +
-    // exact envelope sides over one cached 3-column orders projection)
-    "q_pmi_cooccur", "q_skew_advisor", "q_hll_store_check",
+    // pay). q_hll_store_check moved to the correctness gate only in
+    // r11 (verdict item 2): its timed cost was ~85% exact ENVELOPE,
+    // not operator — the operator is benched as q_hll_store (extras)
+    "q_pmi_cooccur", "q_skew_advisor",
     // cross-source contamination matrix (one shingle-keyed exchange)
     // and the drift verdict (two corpus scans + B-row exchanges)
     "q_source_overlap", "q_drift_summary",
@@ -76,11 +77,11 @@ object Bench {
     // exchange (daily partial agg) + key-partitioned frames
     "q_change_points",
     // embedding standardization: the full posexplode moment pass +
-    // broadcast-stats HOF rewrite over every vector
+    // broadcast-stats HOF rewrite over every vector.
+    // q_source_overlap_sketch (the exact+sketch check harness) moved
+    // to the correctness gate only in r11 — the benched name is the
+    // standalone sub-exchange operator q_overlap_sketch (extras)
     "q_embedding_standardize",
-    // sketch-overlap check harness (exact side pays the shingle
-    // exchange by design — same caveat as q_hll_store_check)
-    "q_source_overlap_sketch",
     // MAD robust outliers: one corpus exchange to the value histogram
     "q_mad_outliers",
     // burstiness bot screen: one user-keyed exchange, lag + agg
@@ -112,9 +113,18 @@ object Bench {
   // SQL-expressible, so it has no oracle-engine baseline by nature
   private val extras = Seq("q_dedup_minhash", "q_semdedup",
     "q_compression_quality",
-    // r10: incremental LSH ingest (rows-only by nature — minhash
-    // family; index build + batch screen timed as one)
-    "q_lsh_ingest_dedup")
+    // r10: incremental LSH ingest (index build staged OUTSIDE the
+    // timed unit since r11 — the bench measures screen+verify+delta,
+    // the per-batch cost; comparable-WORK DuckDB row recorded under
+    // the baseline's "extras")
+    "q_lsh_ingest_dedup",
+    // r11 (verdict item 2 + r10 overlap-sketch note): the OPERATOR
+    // forms of the two check harnesses — sketch store build+merge+
+    // estimate, and the sub-exchange sketch overlap matrix. Both
+    // rows-only by nature (HLL estimates aren't SQL); both carry
+    // comparable-WORK baselines (DuckDB answering the same question
+    // exactly) under the baseline's "extras"
+    "q_hll_store", "q_overlap_sketch")
 
   // sf30 demonstration tier (r8 verdict item 1; widened per r9 item
   // 5): every headliner whose sf10 Spark time is >= 2 s — deep enough
@@ -131,9 +141,13 @@ object Bench {
     "q_v4_ml_dataset", "q_token_count", "q_medallion_silver",
     "q_corpus_prep", "q_asof_join", "q_dedup_clusters", "q_tfidf",
     "q_unigram_logprob", "q_passage_dedup", "q_dsir_weights",
-    "q_ccnet_buckets", "q_pmi_cooccur", "q_hll_store_check",
-    "q_source_overlap", "q_source_overlap_sketch", "q_backoff_logprob",
-    "q_mad_outliers")
+    "q_ccnet_buckets", "q_pmi_cooccur", "q_hll_store",
+    "q_source_overlap", "q_overlap_sketch", "q_backoff_logprob",
+    "q_mad_outliers",
+    // r11 (verdict item 4): q_robust_scale exceeded the >=2 s-at-sf10
+    // admission rule from birth but was absent from the sf30 tier;
+    // the staged LSH screen joins for its amortization evidence
+    "q_robust_scale", "q_lsh_ingest_dedup")
 
   /** Tier-freshness preamble (r9 verdict item 8): the gitignored tier
     * parquet was wiped twice during r9 and the old existence-only gate

@@ -211,6 +211,92 @@ object DevAB {
     }
   }
 
+  /** q_hll_store_check stage decomposition (r10 verdict item 2): the
+    * gate regressed 1.39x r9->r10 after the cache rework. Stages:
+    * cache materialization, each delta build, merge+estimates, exact
+    * per-part, exact global, full gate cached vs UNcached vs a
+    * one-pass restructure (both deltas from one exchange; both exact
+    * sides from one distinct (part,key) frame).
+    */
+  def hllAB(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import graft.operators.SketchStore
+    import org.apache.spark.sql.{Column, DataFrame}
+    def exec(df: DataFrame): Unit = df.queryExecution.toRdd.foreach(_ => ())
+    def one(tag: String)(f: => Unit): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      System.gc(); Thread.sleep(300)
+      val t0 = System.nanoTime(); f
+      println(f"DEVAB $tag ${(System.nanoTime() - t0) / 1e9}%.3f")
+    }
+    def proj = Tables.orders(spark, dir)
+      .select(year(col("o_orderdate")).cast("long").as("part"),
+        col("o_orderkey"), col("o_custkey"))
+    val bound = (est: Column, exact: Column) =>
+      (abs(est - exact).cast("double") / exact <= 0.1).as("within_10pct")
+    def gate(o: DataFrame): DataFrame = {
+      def delta(parity: Int) =
+        SketchStore.build(o.filter(pmod(col("o_orderkey"), lit(2)) === parity),
+          "part", col("o_custkey"))
+      val store = SketchStore.mergeIncremental(delta(0), delta(1), "part")
+      val perPart = SketchStore.estimates(store)
+        .join(o.groupBy("part").agg(count_distinct(col("o_custkey")).as("exact_distinct")), "part")
+        .select(col("part"), col("n_rows"), col("exact_distinct"),
+          bound(col("distinct_est"), col("exact_distinct")))
+      val global = SketchStore.estimates(SketchStore.rollup(store))
+        .crossJoin(o.agg(count_distinct(col("o_custkey")).as("exact_distinct")))
+        .select(lit(-1L).as("part"), col("n_rows"), col("exact_distinct"),
+          bound(col("distinct_est"), col("exact_distinct")))
+      perPart.unionByName(global)
+    }
+    def gateOnePass(o: DataFrame): DataFrame = {
+      // both deltas in ONE exchange (parity inside the group key),
+      // then a KB-sized merge; exact sides from ONE distinct
+      // (part, custkey) frame
+      val both = o.groupBy(col("part"), pmod(col("o_orderkey"), lit(2)).as("__p"))
+        .agg(count(lit(1)).as("n_rows"),
+          hll_sketch_agg(col("o_custkey"), lit(12)).as("sketch"))
+        .cache()
+      val store = SketchStore.mergeIncremental(
+        both.filter(col("__p") === 0).drop("__p"),
+        both.filter(col("__p") === 1).drop("__p"), "part")
+      val pc = o.select(col("part"), col("o_custkey")).distinct().cache()
+      val perPartExact = pc.groupBy("part").agg(count(lit(1)).as("exact_distinct"))
+      val globalExact = pc.select("o_custkey").distinct()
+        .agg(count(lit(1)).as("exact_distinct"))
+      val perPart = SketchStore.estimates(store)
+        .join(perPartExact, "part")
+        .select(col("part"), col("n_rows"), col("exact_distinct"),
+          bound(col("distinct_est"), col("exact_distinct")))
+      val global = SketchStore.estimates(SketchStore.rollup(store))
+        .crossJoin(globalExact)
+        .select(lit(-1L).as("part"), col("n_rows"), col("exact_distinct"),
+          bound(col("distinct_est"), col("exact_distinct")))
+      perPart.unionByName(global)
+    }
+    (1 to 3).foreach { i =>
+      one(s"r$i full_gate_cached") {
+        val o = proj.cache()
+        try exec(gate(o)) finally o.unpersist(blocking = true)
+      }
+      one(s"r$i full_gate_uncached") { exec(gate(proj)) }
+      one(s"r$i full_gate_onepass_uncached") { exec(gateOnePass(proj)) }
+      one(s"r$i cache_mat_only") {
+        val o = proj.cache()
+        try exec(o) finally o.unpersist(blocking = true)
+      }
+      one(s"r$i delta_build_one") {
+        exec(SketchStore.build(
+          proj.filter(pmod(col("o_orderkey"), lit(2)) === 0), "part", col("o_custkey")))
+      }
+      one(s"r$i exact_perpart") {
+        exec(proj.groupBy("part").agg(count_distinct(col("o_custkey")).as("x")))
+      }
+      one(s"r$i exact_global") {
+        exec(proj.agg(count_distinct(col("o_custkey")).as("x")))
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("testdata/sf30")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -229,6 +315,7 @@ object DevAB {
       println(f"DEVAB $tag min=${ts.min}%.3f runs=${ts.map(t => f"$t%.3f").mkString(",")}")
     }
 
+    if (args.contains("hll")) { hllAB(spark, dir); spark.stop(); return }
     if (args.contains("bloom")) { bloomStages(spark, dir); spark.stop(); return }
     if (args.contains("overlap")) { overlapAB(spark, dir); spark.stop(); return }
     if (args.contains("std")) { stdAB(spark, dir); spark.stop(); return }

@@ -569,15 +569,22 @@ object SparkEntry {
       // two sketch builds, the merge, and the cache materialization —
       // >=2x the oracle SQL's work BY CONSTRUCTION (check-harness
       // shape); the operator itself is the one-exchange build/merge.
-      // The 3-column
-      // projection is cached: the harness probes it five times (two
-      // delta builds + two exact sides + the rollup cross) — uncached
-      // that is five parquet rescans of orders (the staged-batch
-      // precedent from q_bloom_ingest_dedup).
+      // The 3-column projection is NOT cached: r10 cached it for the
+      // harness's five probes and REGRESSED the gate 1.39x — r11
+      // DevAB at sf10 (hllAB, min-of-3 steady state): full gate
+      // 3.5-4.1 s uncached vs 3.8-4.0 s cached with an 11.6 s cold
+      // first run, because building the columnar cache costs more
+      // than the five pushed-down 3-column parquet rescans it saves,
+      // and materialization serializes the probes behind a barrier.
+      // The stage split (same session): exact per-part 2.1-2.4 s +
+      // exact global 1.3-1.8 s = ~85% of the gate is the exact
+      // ENVELOPE, not the operator (delta builds 2x0.4-0.6 s) — so
+      // the bench headline is now q_hll_store (the operator alone,
+      // extras) and this envelope harness is the CORRECTNESS gate
+      // only (r10 verdict item 2).
       val o = Tables.orders(s, d)
         .select(year(col("o_orderdate")).cast("long").as("part"),
           col("o_orderkey"), col("o_custkey"))
-        .cache()
       def delta(parity: Int) =
         SketchStore.build(o.filter(pmod(col("o_orderkey"), lit(2)) === parity),
           "part", col("o_custkey"))
@@ -593,6 +600,38 @@ object SparkEntry {
         .select(lit(-1L).as("part"), col("n_rows"), col("exact_distinct"),
           bound(col("distinct_est"), col("exact_distinct")))
       perPart.unionByName(global)
+    }),
+
+    "q_hll_store" -> ((s, d) => {
+      // the persisted-sketch-store OPERATOR alone (r10 verdict item
+      // 2): both parity deltas built in ONE partition-keyed exchange
+      // (parity inside the group key — halves the build exchanges of
+      // the two-filter form), incremental merge, per-part + rolled-up
+      // estimates. This is what a 100 TB profile pipeline actually
+      // pays per delta; the exact-envelope comparison lives in
+      // q_hll_store_check (correctness gate only). rows-only by
+      // nature (DataSketches HLL estimates aren't SQL); the
+      // lossless-union property (merged estimate == from-scratch
+      // estimate) is spec-pinned, and the comparable-WORK baseline
+      // (DuckDB answering the same per-part + global distinct
+      // question exactly) is EXTRAS_BASELINE_SQL in tools/baseline.py.
+      val o = Tables.orders(s, d)
+        .select(year(col("o_orderdate")).cast("long").as("part"),
+          col("o_orderkey"), col("o_custkey"))
+      val both = o.groupBy(col("part"), pmod(col("o_orderkey"), lit(2)).as("__p"))
+        .agg(count(lit(1)).as("n_rows"),
+          hll_sketch_agg(col("o_custkey"), lit(12)).as("sketch"))
+        .cache()
+      val store = SketchStore.mergeIncremental(
+        both.filter(col("__p") === 0).drop("__p"),
+        both.filter(col("__p") === 1).drop("__p"), "part")
+      val out = SketchStore.estimates(store)
+        .unionByName(SketchStore.estimates(SketchStore.rollup(store))
+          .select(lit(-1L).as("part"), col("n_rows"), col("distinct_est")))
+      // |parts|+1 rows: materialize eagerly, release the KB-sized
+      // delta cache (the SourceOverlap.materialized contract)
+      try graft.operators.SourceOverlap.materialized(out)
+      finally both.unpersist(blocking = false)
     }),
 
     "q_pmi_cooccur" -> ((s, d) =>
@@ -641,6 +680,22 @@ object SparkEntry {
       try graft.operators.SourceOverlap.materialized(report)
       finally bySh.unpersist(blocking = false)
     }),
+
+    "q_overlap_sketch" -> ((s, d) =>
+      // the standalone sub-exchange overlap OPERATOR (r10 verdict:
+      // "the bench should carry the standalone operator and let the
+      // gate keep the check"): per-source HLL sketches built from one
+      // narrow corpus shingle pass — KB blobs to the driver, never a
+      // shingle exchange — then pairwise inclusion-exclusion. This is
+      // the form a 100 TB pipeline runs when it does NOT need the
+      // exact matrix; r10 measured it 0.78-0.81 s vs the exact
+      // matrix's 7.0-7.2 s at sf10. rows-only by nature (HLL); the
+      // envelope-vs-exact harness stays in q_source_overlap_sketch
+      // (correctness gate); comparable-WORK baseline = the exact
+      // matrix SQL (EXTRAS_BASELINE_FROM_ORACLE in tools/baseline.py).
+      graft.operators.SourceOverlap.materialized(
+        SourceOverlap.sketchMatrix(Tables.documents(s, d), "source",
+          col("text"), k = 3))),
 
     "q_drift_psi" -> ((s, d) => {
       // ingest-drift monitoring: per-bucket PSI table between the
@@ -4855,6 +4910,16 @@ object SparkEntry {
       // q_bpe_train's (unknown sf dir -> zero rows -> loud fail)
       """SELECT doc_id, n_bpe, bpe_md5
          FROM read_parquet('/root/repo/tools/fixtures/bpe_enc_*.parquet')
+         WHERE n_docs = (SELECT count(*) FROM documents)
+           AND sum_chars = (SELECT sum(n_chars) FROM documents)""",
+
+    "q_compression_quality" ->
+      // exact expected per-doc deflate lengths from an INDEPENDENT
+      // Python zlib (tools/compress_oracle.py — same zlib stream as
+      // the JDK Deflater at pinned level 6, verified byte-identical),
+      // fixtures keyed like q_bpe_train's (r10 verdict item 6)
+      """SELECT doc_id, raw_bytes, deflate_bytes, ratio
+         FROM read_parquet('/root/repo/tools/fixtures/deflate_*.parquet')
          WHERE n_docs = (SELECT count(*) FROM documents)
            AND sum_chars = (SELECT sum(n_chars) FROM documents)""",
 

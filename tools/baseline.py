@@ -36,9 +36,11 @@ HEADLINERS = [
     # temperature mixture rates, bloom-prefiltered incremental dedup
     "q_gopher_rules", "q_temperature_mix", "q_bloom_ingest_dedup",
     # final r9 operators (bench rows from birth): PMI association
-    # mining, shuffle-skew advisor, HLL store check harness (its exact
-    # count-distinct columns are the oracle side)
-    "q_pmi_cooccur", "q_skew_advisor", "q_hll_store_check",
+    # mining, shuffle-skew advisor. q_hll_store_check and
+    # q_source_overlap_sketch left the bench in r11 (their timed cost
+    # was the exact ENVELOPE, not the operator — the operators are
+    # benched as the q_hll_store / q_overlap_sketch extras below)
+    "q_pmi_cooccur", "q_skew_advisor",
     "q_source_overlap", "q_drift_summary",
     # fifth-session r9 operators (bench rows from birth): Stupid
     # Backoff LM scoring, unicode NFC cleanup, Zipf frequency
@@ -46,7 +48,7 @@ HEADLINERS = [
     # purpose: it times the same token exchange as q_freq_spectrum)
     "q_backoff_logprob", "q_unicode_clean", "q_freq_spectrum",
     "q_domain_policy", "q_change_points", "q_embedding_standardize",
-    "q_source_overlap_sketch", "q_mad_outliers", "q_burstiness",
+    "q_mad_outliers", "q_burstiness",
     # r10 check harnesses (bench-row-from-birth): classifier scoring
     # replay, frozen-assignment outlier threshold check
     "q_classifier_margin_check", "q_outlier_threshold_check",
@@ -125,7 +127,23 @@ EXTRAS_BASELINE_SQL = {
       FROM batch b LEFT JOIN flagged f
         ON b.doc_id = f.doc_id AND b.batch_src = f.batch_src
       GROUP BY 1""",
+    # q_hll_store: the operator answers "distinct keys per partition /
+    # overall, incrementally maintainable" — the comparable work for an
+    # engine with no mergeable sketches is the exact answer
+    "q_hll_store": """
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS part,
+             count(*) AS n_rows,
+             count(DISTINCT o_custkey) AS distinct_est
+      FROM orders GROUP BY 1
+      UNION ALL
+      SELECT -1, count(*), count(DISTINCT o_custkey) FROM orders""",
 }
+
+# extras whose comparable-work SQL IS an existing oracle entry:
+# q_overlap_sketch answers the q_source_overlap question (the exact
+# pairwise shared-shingle matrix) with KB sketches instead of a
+# shingle exchange — the exact matrix SQL is the work it replaces
+EXTRAS_BASELINE_FROM_ORACLE = {"q_overlap_sketch": "q_source_overlap"}
 
 sf_dir = sys.argv[1]
 oracle = json.load(open(sys.argv[2]))
@@ -172,7 +190,11 @@ for q in HEADLINERS:
     timings[q] = time_sql(oracle[q])
 
 # comparable-work extras rows (outside the headline total)
-extras_subset = [q for q in EXTRAS_BASELINE_SQL
+extras_sql = dict(EXTRAS_BASELINE_SQL)
+for q, src in EXTRAS_BASELINE_FROM_ORACLE.items():
+    if src in oracle:
+        extras_sql[q] = oracle[src]
+extras_subset = [q for q in extras_sql
                  if len(sys.argv) <= 5 or q in sys.argv[5].split(",")]
 extras_prev = {}
 if os.path.exists(out_md):
@@ -182,7 +204,7 @@ if os.path.exists(out_md):
         extras_prev = dict(json.loads(m2.group(1)).get("extras", {}))
 extras = dict(extras_prev)
 for q in extras_subset:
-    extras[q] = time_sql(EXTRAS_BASELINE_SQL[q])
+    extras[q] = time_sql(extras_sql[q])
 
 if merged:
     merged.update(timings)
