@@ -464,6 +464,110 @@ object Events {
     spark.read.parquet(tablePath)
       .filter(!coalesce(col(tombstoneCol), lit(false)))
 
+  /** Streaming MERGE sink as a REAL file-source query (the
+    * dedupFileStream harness pattern): three staged changeset files —
+    * v1 snapshot, v2 updates (every 97th key repriced), v3 tombstones
+    * (every 101st key deleted), the q_upsert construction — stream one
+    * file per micro-batch through [[upsertSink]], and the read-back
+    * state table must equal the one-shot batch MERGE, which the shared
+    * DuckDB oracle asserts value-for-value. Because the winner per key
+    * is version-ordered, the result is micro-batch-boundary-invariant
+    * (3 batches or 1 — same table), which is what makes a restart-safe
+    * streaming merge possible at all.
+    */
+  def upsertFileStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.{Files, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val base = graft.Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    val snap = base.withColumn("version", lit(1L)).withColumn("deleted", lit(false))
+    val ups = base.filter(pmod(col("o_orderkey"), lit(97)) === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice") * 2).as("o_totalprice"), lit("U").as("o_orderstatus"))
+      .withColumn("version", lit(2L)).withColumn("deleted", lit(false))
+    val dels = base.filter(pmod(col("o_orderkey"), lit(101)) === 0)
+      .withColumn("version", lit(3L)).withColumn("deleted", lit(true))
+    val stage = Files.createTempDirectory("graft_upsert_stream")
+    val work = Files.createTempDirectory("graft_upsert_work")
+    try {
+      Seq(snap, ups, dels).zipWithIndex.foreach { case (df, i) =>
+        val sub = work.resolve(f"b$i%02d")
+        df.coalesce(1).write.mode("overwrite").parquet(sub.toString)
+        val listing = Files.list(sub)
+        val part =
+          try listing.iterator().asScala
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          finally listing.close()
+        val dst = stage.resolve(f"$i%02d_changes.parquet")
+        Files.copy(part, dst, StandardCopyOption.REPLACE_EXISTING)
+        // ordered modification times -> deterministic micro-batch order
+        Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime
+          .fromMillis(System.currentTimeMillis() + i * 60000L))
+      }
+      val stream = spark.readStream.schema(snap.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(stage.toString)
+      val q = upsertSink(stream, Seq("o_orderkey"), "version", Some("deleted"),
+        s"$work/table", s"$work/cp")
+      try q.processAllAvailable() finally q.stop()
+      upsertSinkView(spark, s"$work/table", "deleted")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus", "version")
+        .localCheckpoint(eager = true) // materialize before the dirs die
+    } finally {
+      Seq(stage, work).foreach { d =>
+        val walked = Files.walk(d)
+        try walked.iterator().asScala.toSeq.reverse.foreach(p => Files.deleteIfExists(p))
+        finally walked.close()
+      }
+    }
+  }
+
+  /** Exactly-once file sink across a RESTART, as a gate query: the
+    * events feed streams through an AvailableNow parquet-sink query
+    * run TWICE against the same checkpoint (the second run IS the
+    * restart — its committed input batches must not reprocess, and the
+    * sink's _spark_metadata commit log must admit no duplicate files).
+    * The read-back per-type aggregate equals one clean copy of the
+    * feed, which the DuckDB oracle asserts; a broken restart would
+    * double every count.
+    */
+  def exactlyOnceFileStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val stage = Files.createTempDirectory("graft_eo_stream")
+    val work = Files.createTempDirectory("graft_eo_sink")
+    try {
+      stageEventsFeed(sfDir, stage, "00_events")
+      val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+      def runOnce(): Unit = {
+        val q = spark.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(stage.toString)
+          .select(col("event_id"), col("event_type"), col("value"))
+          .writeStream.format("parquet")
+          .option("path", s"$work/out").option("checkpointLocation", s"$work/cp")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+      }
+      runOnce()
+      runOnce() // the restart
+      spark.read.parquet(s"$work/out")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          (sum(floor(col("value") * lit(100.0) + lit(0.5)).cast("long"))
+            .cast("double") / lit(100.0)).as("sum_value"))
+        .localCheckpoint(eager = true)
+    } finally {
+      Seq(stage, work).foreach { d =>
+        val walked = Files.walk(d)
+        try walked.iterator().asScala.toSeq.reverse.foreach(p => Files.deleteIfExists(p))
+        finally walked.close()
+      }
+    }
+  }
+
   /** Streaming exact dedup: drop events whose (event_id) was already
     * seen, with state bounded by the watermark —
     * `dropDuplicatesWithinWatermark` keeps a key in state only until
