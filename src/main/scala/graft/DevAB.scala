@@ -297,6 +297,148 @@ object DevAB {
     }
   }
 
+  /** Flat-floor evidence for the r10 newborn sub-second laggards
+    * (r10 verdict item 5) + the q_robust_scale decomposition (item 4):
+    * for each gate, time the MANDATORY input stage (the scan/exchange
+    * any engine answering the question pays) against the full gate,
+    * at sf10 and sf30 — a remainder that stays flat while data grows
+    * 3x is per-stage scheduling floor, not plan waste (the
+    * mad_outliers method).
+    */
+  def floorsAB(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    def exec(df: org.apache.spark.sql.DataFrame): Unit =
+      df.queryExecution.toRdd.foreach(_ => ())
+    def one(tag: String)(f: => Unit): Unit = {
+      val ts = (1 to 3).map { _ =>
+        spark.sharedState.cacheManager.clearCache()
+        System.gc(); Thread.sleep(300)
+        val t0 = System.nanoTime(); f
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"DEVAB $tag min=${ts.min}%.3f runs=${ts.map(t => f"$t%.3f").mkString(",")}")
+    }
+    def gate(name: String): Unit = exec(SparkEntry.queries(name)(spark, dir))
+
+    // q_dedup_keep_best: mandatory = scan + per-row content digest
+    val docs = Tables.documents(spark, dir)
+    one("keepbest_scan_digest")(exec(docs.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("d"), length(col("text")).as("s"))))
+    one("keepbest_full")(gate("q_dedup_keep_best"))
+
+    // q_change_points: mandatory = events scan + daily per-type agg
+    val ev = Tables.events(spark, dir)
+    one("changepoints_daily_agg")(exec(ev.groupBy(to_date(col("ts")).as("day"),
+      col("event_type")).agg(count(lit(1)).as("n"))))
+    one("changepoints_full")(gate("q_change_points"))
+
+    // q_domain_policy: mandatory = url synth + host parse + host agg
+    one("domain_host_agg")(exec(docs.withColumn("url",
+        concat(lit("https://"),
+          when(pmod(col("doc_id"), lit(5L)) === 0, lit("cdn.")).otherwise(lit("")),
+          col("source"), lit("-"), pmod(col("doc_id"), lit(7L)).cast("string"),
+          lit(".example.com/p/"), col("doc_id").cast("string")))
+      .select(regexp_extract(col("url"), "^https?://([^/]+)", 1).as("host"))
+      .groupBy("host").agg(count(lit(1)).as("n"))))
+    one("domain_full")(gate("q_domain_policy"))
+
+    // q_drift_summary: mandatory = two corpus scans + global extremes
+    one("drift_scan_extremes") {
+      exec(docs.filter(pmod(col("doc_id"), lit(2L)) === 0L)
+        .agg(min("n_chars"), max("n_chars"), count(lit(1))))
+      exec(docs.filter(pmod(col("doc_id"), lit(2L)) === 1L)
+        .agg(min((col("n_chars") * lit(1.25)).as("c")), count(lit(1))))
+    }
+    one("drift_full")(gate("q_drift_summary"))
+
+    // q_outlier_threshold_check: mandatory = embeddings scan + the
+    // integer score fold over every vector (the HOF is the data pass)
+    val emb = Tables.embeddings(spark, dir)
+    one("outlier_score_fold")(exec(emb.select(col("vec_id"),
+      pmod(col("vec_id"), lit(16L)).as("cell"),
+      aggregate(col("embedding"), lit(0L), (acc, x) =>
+        acc + floor(x.cast("double") * lit(1e6) + lit(0.5)).cast("long")).as("score"))))
+    one("outlier_full")(gate("q_outlier_threshold_check"))
+
+    // q_robust_scale stages: integerized per-dim histogram exchange;
+    // + rank windows (stats only); full gate adds the broadcast-stats
+    // HOF scale pass over every vector
+    one("robust_hist_exchange")(exec(emb
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("pos"), floor(col("x").cast("double") * lit(1e6) + lit(0.5))
+        .cast("long").as("ix"))
+      .agg(count(lit(1)).as("n"))))
+    one("robust_full")(gate("q_robust_scale"))
+  }
+
+  /** r10 verdict item 8: the one-more-lever A/Bs for the q3/q5 sf30
+    * residuals. q3: re-measure Spark's runtime bloom filter on the
+    * fact side at sf30 (r9 rejected it at sf10; the shuffle-payload
+    * term it saves grows with SF). q5: measure the persisted
+    * orders-map lever — build+write the (o_orderkey, c_nationkey)
+    * map once, bucket it by orderkey, and time the query that reads
+    * it back vs the from-raw gate.
+    */
+  def tpchAB(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    def exec(df: org.apache.spark.sql.DataFrame): Unit =
+      df.queryExecution.toRdd.foreach(_ => ())
+    def one(tag: String)(f: => Unit): Unit = {
+      val ts = (1 to 3).map { _ =>
+        spark.sharedState.cacheManager.clearCache()
+        System.gc(); Thread.sleep(300)
+        val t0 = System.nanoTime(); f
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"DEVAB $tag min=${ts.min}%.3f runs=${ts.map(t => f"$t%.3f").mkString(",")}")
+    }
+    def withConfs(kv: (String, String)*)(f: => Unit): Unit = {
+      val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+      kv.foreach { case (k, v) => spark.conf.set(k, v) }
+      try f finally old.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    one("q3_current")(exec(SparkEntry.queries("q3_shipping_priority")(spark, dir)))
+    one("q3_bloom")(withConfs(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1g",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0") {
+      exec(SparkEntry.queries("q3_shipping_priority")(spark, dir))
+    })
+
+    one("q5_current")(exec(SparkEntry.queries("q5_local_supplier")(spark, dir)))
+    // the persisted-map lever: one-time build of the asian-orders map
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(spark, dir)
+    val asianNations = broadcast(n.join(broadcast(r),
+      col("n_regionkey") === col("r_regionkey")))
+    val asianCust = Tables.customer(spark, dir)
+      .join(asianNations, col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "c_nationkey")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp_ntz"))
+    val mapPath = "/tmp/graft_q5_ordersmap"
+    one("q5_map_build_write") {
+      broadcast(asianCust).join(o, col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "c_nationkey")
+        .write.mode("overwrite").parquet(mapPath)
+    }
+    one("q5_from_staged_map") {
+      val asianOrders = spark.read.parquet(mapPath)
+      val out = Tables.lineitem(spark, dir)
+        .join(broadcast(asianOrders), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+        .groupBy("c_nationkey")
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), round(col("rev"), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+      exec(out)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("testdata/sf30")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -315,6 +457,8 @@ object DevAB {
       println(f"DEVAB $tag min=${ts.min}%.3f runs=${ts.map(t => f"$t%.3f").mkString(",")}")
     }
 
+    if (args.contains("tpch")) { tpchAB(spark, dir); spark.stop(); return }
+    if (args.contains("floors")) { floorsAB(spark, dir); spark.stop(); return }
     if (args.contains("hll")) { hllAB(spark, dir); spark.stop(); return }
     if (args.contains("bloom")) { bloomStages(spark, dir); spark.stop(); return }
     if (args.contains("overlap")) { overlapAB(spark, dir); spark.stop(); return }
