@@ -120,12 +120,19 @@ object LshIngest {
       shingleK, numHashes, numBands)
     val batchSigs = batchSigsRaw.cache()
     val storedBandsRaw = spark.read.parquet(s"$indexPath/bands")
-    val keepable = storedBandsRaw.groupBy("band_id", "band_hash")
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") <= maxBucket)
-      .select("band_id", "band_hash")
+    // one pass, one exchange: the window count applies the bucket
+    // bound on the index's CURRENT state (counting only — a
+    // degenerate bucket sorts and spills, it never materializes a
+    // list), and the window's hash(band_id, band_hash) output
+    // partitioning is exactly the candidate join's requirement, so
+    // the stored side is never exchanged again (the r11 rework: the
+    // groupBy-count + left_semi form scanned and shuffled the index
+    // twice — candidates stage 4.1 s vs the full-gate budget at sf10)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("band_id", "band_hash")
     val storedBands = storedBandsRaw
-      .join(keepable, Seq("band_id", "band_hash"), "left_semi")
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n") <= maxBucket)
     val storedSigs = spark.read.parquet(s"$indexPath/sigs")
     val candidates = batchBands
       .join(storedBands
