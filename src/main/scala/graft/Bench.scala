@@ -101,7 +101,12 @@ object Bench {
     // rank windows + broadcast-stats HOF pass
     "q_robust_scale",
     // char-diversity gibberish screen: zero-shuffle sorted-run fold
-    "q_char_diversity")
+    "q_char_diversity",
+    // r11 operators (bench-row-from-birth): EWMA volume smoothing
+    // (one daily-agg exchange + bounded prefix folds) and chat/SFT
+    // transcript assembly (one user-keyed exchange serving both the
+    // session window and the ordered per-session concat)
+    "q_ewma_anomaly", "q_chat_assemble")
 
   // Timed every tier but EXCLUDED from the headline totals: these have
   // no DuckDB oracle (not SQL-expressible), so including them would make

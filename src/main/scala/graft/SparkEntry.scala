@@ -2491,6 +2491,29 @@ object SparkEntry {
 
     "q_sessionize" -> ((s, d) => Events.sessionizeBatch(Tables.events(s, d), 30)),
 
+    "q_ewma_anomaly" -> ((s, d) =>
+      // EWMA ingest-volume smoothing + relative-jump spikes (r11):
+      // alpha pinned to 1/2 so the recursion is one IEEE add + one
+      // exact power-of-two scale per day, replayed bit-for-bit by the
+      // oracle's recursive CTE — a full value oracle for a smoother
+      // (operators.Ewma: one daily-agg exchange, then bounded
+      // per-type prefix folds; no window-scan primitive, no collect)
+      graft.operators.Ewma.dailySpikes(Tables.events(s, d), "event_type", "ts")),
+
+    "q_chat_assemble" -> ((s, d) =>
+      // conversation/SFT transcript assembly (r11): inactivity-gapped
+      // sessions reassembled into ordered training documents — ONE
+      // user-keyed exchange serves both the session window and the
+      // per-session ordered concat (the agg key starts with the
+      // window's partition key). Turn text uses cent-long values
+      // (double→string formatting is not portable across engines);
+      // the transcript rides as (n_turns, n_chars, md5)
+      graft.operators.ChatAssembly.transcripts(
+        Tables.events(s, d), "user_id", "ts", "event_id",
+        turn = concat(col("event_type"), lit(":"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long").cast("string")),
+        gapMinutes = 30, sep = "\n")),
+
     "q_sessionize_native" -> ((s, d) =>
       // Spark's built-in session_window: overlapping [ts, ts+gap)
       // windows merge, so the gap rule is strict-< and the reported
@@ -5571,6 +5594,60 @@ object SparkEntry {
            max(ts) + INTERVAL 30 MINUTE AS session_end,
            count(*) AS n_events, round(sum(value), 2) AS sum_value
          FROM g GROUP BY user_id, session_seq""",
+
+    "q_ewma_anomaly" ->
+      // the exact alpha=1/2 recursion replayed by a recursive CTE:
+      // (y + n) * 0.5 is one IEEE add + an exact power-of-two scale,
+      // in day order — bit-identical across engines
+      """WITH RECURSIVE daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+           FROM events GROUP BY 1, 2
+         ), o AS (
+           SELECT event_type, day, n,
+             row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+           FROM daily
+         ), r AS (
+           SELECT event_type, day, n, rn, CAST(n AS DOUBLE) AS y, false AS spike
+           FROM o WHERE rn = 1
+           UNION ALL
+           SELECT o.event_type, o.day, o.n, o.rn, (r.y + o.n) * 0.5,
+             abs(o.n - r.y) > 0.5 * r.y
+           FROM r JOIN o ON o.event_type = r.event_type AND o.rn = r.rn + 1
+         )
+         SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+           floor(y * 10000 + 0.5) / 10000 AS ewma, spike
+         FROM r""",
+
+    "q_chat_assemble" ->
+      // q_sessionize's session identity + ordered string_agg turn
+      // concat; cent-long turn values keep the text engine-portable
+      """WITH e AS (
+           SELECT event_id, ts, user_id,
+             event_type || ':' ||
+               CAST(CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS VARCHAR) AS turn,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events
+         ), f AS (
+           SELECT *, CASE WHEN prev_ts IS NULL
+                            OR date_diff('second', prev_ts, ts) > 1800
+                          THEN 1 ELSE 0 END AS new_session
+           FROM e
+         ), g AS (
+           SELECT *, sum(new_session) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS session_seq
+           FROM f
+         ), t AS (
+           SELECT user_id, session_seq,
+             CAST(min(ts) AS TIMESTAMP) AS session_start,
+             count(*) AS n_turns,
+             string_agg(turn, chr(10) ORDER BY ts, event_id) AS transcript
+           FROM g GROUP BY user_id, session_seq
+         )
+         SELECT user_id, CAST(session_seq AS BIGINT) AS session_id,
+           session_start, n_turns,
+           CAST(length(transcript) AS BIGINT) AS n_chars,
+           md5(transcript) AS transcript_md5
+         FROM t""",
 
     "q_sessionize" ->
       """WITH e AS (

@@ -65,6 +65,24 @@ class PlanSpec extends SparkSpec {
     assert(qe.executedPlan.toString.contains("TakeOrdered"), qe.executedPlan.toString)
   }
 
+  test("ewma: one daily-agg exchange, map-side partial, no Window at all") {
+    val qe = SparkEntry.queries("q_ewma_anomaly")(spark, sf()).queryExecution
+    val windows = qe.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.isEmpty, windows.mkString("\n")) // prefix folds, not scans
+    val p = qe.executedPlan.toString
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("chat assembly: ONE user-keyed exchange serves window and session agg") {
+    val qe = SparkEntry.queries("q_chat_assemble")(spark, sf()).queryExecution
+    val p = qe.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1, s"$shuffles shuffles:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
   test("global sample: TakeOrdered, never a global Sort") {
     val p = plan("q_sample_global")
     assert(p.contains("TakeOrdered"), p)

@@ -37,6 +37,55 @@ class Round11OpsSpec extends SparkSpec {
     assert(math.abs(global.head._3 - exact).toDouble / exact <= 0.1)
   }
 
+  test("ewma: alpha=1/2 prefix recursion and relative-jump spikes, hand-checked") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", StringType),
+      StructField("ts", TimestampNTZType)))
+    def t(day: Int, h: Int) = java.time.LocalDateTime.of(2024, 1, day, h, 0)
+    // day counts for key a: 4, 8, 2, 2 -> ewma 4, 6, 4, 3
+    val rows = (Seq.fill(4)(1) ++ Seq.fill(8)(2) ++ Seq.fill(2)(3) ++ Seq.fill(2)(4))
+      .zipWithIndex.map { case (day, i) =>
+        org.apache.spark.sql.Row("a", t(day, i % 24))
+      }
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val out = graft.operators.Ewma.dailySpikes(df, "k", "ts")
+      .orderBy("day")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 4L, 4.0, false),   // seed day never flags
+      ("2024-01-02", 8L, 6.0, true),    // |8-4| = 4 > 0.5*4
+      ("2024-01-03", 2L, 4.0, true),    // |2-6| = 4 > 3
+      ("2024-01-04", 2L, 3.0, false)))  // |2-4| = 2 > 2 is false (strict)
+  }
+
+  test("chat assembly: gap split, deterministic turn order, ties by tiebreak") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("user_id", LongType),
+      StructField("ts", TimestampNTZType), StructField("event_id", LongType),
+      StructField("txt", StringType)))
+    def t(h: Int, m: Int) = java.time.LocalDateTime.of(2024, 1, 1, h, m)
+    val rows = Seq(
+      // session 1: two turns 10 min apart; same-ts pair ordered by event_id
+      (1L, t(10, 0), 5L, "a"), (1L, t(10, 0), 4L, "z"), (1L, t(10, 10), 6L, "b"),
+      // 50-min gap > 30 -> session 2
+      (1L, t(11, 0), 7L, "c"),
+      // another user entirely
+      (2L, t(10, 0), 8L, "x"))
+      .map(r => org.apache.spark.sql.Row(r._1, r._2, r._3, r._4))
+    val out = graft.operators.ChatAssembly.transcripts(
+      spark.createDataFrame(rows.asJava, schema),
+      "user_id", "ts", "event_id", turn = col("txt"), gapMinutes = 30, sep = "|")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out((1L, 1L)) == (3L, 5L, md5("z|a|b"))) // event_id 4 ("z") before 5 ("a")
+    assert(out((1L, 2L)) == (1L, 1L, md5("c")))
+    assert(out((2L, 1L)) == (1L, 1L, md5("x")))
+  }
+
   test("q_overlap_sketch: estimates sit inside the check harness envelope") {
     // the standalone operator must estimate the same matrix the
     // exact+sketch harness (q_source_overlap_sketch, oracle-green)

@@ -57,7 +57,10 @@ HEADLINERS = [
     # robust median/IQR per-dim scaling
     "q_robust_scale",
     # char-diversity gibberish screen
-    "q_char_diversity"]
+    "q_char_diversity",
+    # r11 operators (bench rows from birth): EWMA volume smoothing,
+    # chat/SFT transcript assembly
+    "q_ewma_anomaly", "q_chat_assemble"]
 
 # Comparable-WORK baselines for extras (r10 verdict item 1): these
 # queries have no value-level oracle (minhash family), but the work a
