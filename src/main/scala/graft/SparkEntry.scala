@@ -150,10 +150,17 @@ object SparkEntry {
     * fingerprint-guarded no-ops once staged), so a standalone
     * `queries(name)` call still works anywhere.
     */
-  def stageTier(spark: SparkSession, dir: String): Unit =
+  def stageTier(spark: SparkSession, dir: String): Unit = {
     graft.dedup.LshIngest.ensureIndex(
       Tables.documents(spark, dir).select("doc_id", "text"), "doc_id", "text",
       s"/tmp/graft_lshidx_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    graft.ann.Ivf.ensureAppendedIndex(
+      emb.filter(pmod(col("vec_id"), lit(5L)) =!= 0L),
+      emb.filter(pmod(col("vec_id"), lit(5L)) === 0L),
+      s"/tmp/graft_ivfapp_${dir.replaceAll("[^a-zA-Z0-9]", "_")}", c = 16)
+    ()
+  }
 
   // ---------------------------------------------------------------
   // Analytics V1-V4 (reference test/query_gold_validations.sql),
@@ -2052,6 +2059,32 @@ object SparkEntry {
       val tmp = s"/tmp/graft_ivf_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
       graft.ann.Ivf.writeIndex(emb, tmp, c = 16)
       graft.ann.Ivf.topKIndexed(tmp, emb.filter(col("vec_id") < 8), k = 5, nprobe = 12)
+    }),
+
+    "q_ann_ivf_append" -> ((s, d) => {
+      // incremental ANN index maintenance (r11): a new embedding
+      // batch (every 5th vector) is assigned to the EXISTING
+      // centroids and appended into the partitioned cells/ layout —
+      // no k-means re-run, no corpus rewrite (Ivf.appendToIndex; the
+      // LshIngest staging pattern, fingerprint-stamped, Bench
+      // pre-stages via stageTier). The gate then searches with
+      // shifted-id COPIES of the appended vectors: each query's
+      // top-1 must be its appended original at cosine 1.0 through
+      // the partition-pruned indexed scan — visibility of the append
+      // is a FULL oracle, not a recall bound (self-hits are excluded
+      // by id, so the copy trick is what makes the check exact).
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val base = emb.filter(pmod(col("vec_id"), lit(5L)) =!= 0L)
+      val batch = emb.filter(pmod(col("vec_id"), lit(5L)) === 0L)
+      val tmp = s"/tmp/graft_ivfapp_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.ann.Ivf.ensureAppendedIndex(base, batch, tmp, c = 16)
+      val queries = batch.filter(col("vec_id") < 40)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      graft.ann.Ivf.topKIndexed(tmp, queries, k = 5, nprobe = 12)
+        .groupBy("query_id")
+        .agg(max(when(col("rank") === 1, col("nbr_id"))).as("top1_id"),
+          max(when(col("rank") === 1, col("sim"))).as("top1_sim"),
+          count(lit(1)).as("n_results"))
     }),
 
     "q_ann_sq8" -> ((s, d) => {
@@ -4661,6 +4694,15 @@ object SparkEntry {
          SELECT 'fresh_reversed' AS batch_src, count(*) AS n_in,
                 TRUE AS partition_ok, TRUE AS verdict_ok
          FROM documents WHERE doc_id % 10 = 4""",
+
+    "q_ann_ivf_append" ->
+      // append visibility as an EXACT oracle: every shifted-id copy
+      // of an appended vector must surface its original as top-1 at
+      // cosine 1.0 (no other random vector rounds to 1.0 at 4dp),
+      // with a full k=5 result list from the probed cells
+      """SELECT vec_id + 1000000 AS query_id, vec_id AS top1_id,
+                1.0 AS top1_sim, CAST(5 AS BIGINT) AS n_results
+         FROM embeddings WHERE vec_id % 5 = 0 AND vec_id < 40""",
 
     "q_dedup_clusters" ->
       """WITH RECURSIVE toks AS (

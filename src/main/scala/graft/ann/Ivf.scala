@@ -186,6 +186,48 @@ object Ivf {
       .write.mode("overwrite").partitionBy("cluster_id").parquet(s"$path/cells")
   }
 
+  /** Incremental index maintenance — the 100 TB ingest path: assign a
+    * NEW batch to the EXISTING centroids and append its rows into the
+    * partitioned cells/ layout. A nightly embedding batch must not
+    * re-run k-means or rewrite the corpus: cell directories only gain
+    * appended files, the centroid table is untouched, and every
+    * later [[topKIndexed]] search sees the batch through the same
+    * partition-pruned scan. Centroid drift under sustained appends is
+    * a separate offline re-clustering/compaction, exactly as in
+    * IVF-based vector stores.
+    */
+  def appendToIndex(batch: DataFrame, path: String): Unit = {
+    val spark = batch.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids")
+    index(batch, cents)
+      .repartition(col("cluster_id"))
+      .write.mode("append").partitionBy("cluster_id").parquet(s"$path/cells")
+  }
+
+  /** Fingerprint-staged build-then-append (the LshIngest.ensureIndex
+    * pattern): build the index from `base` and append `batch` ONCE
+    * per distinct input; a matching stamp skips both. Appends are not
+    * idempotent on re-run (files accumulate), which is exactly why
+    * the stamp guards the whole flow. Returns true when a build ran.
+    */
+  def ensureAppendedIndex(base: DataFrame, batch: DataFrame, path: String,
+                          c: Int = 16, iters: Int = 2): Boolean = {
+    val fp = {
+      val b = base.agg(count(lit(1)), sum(col("vec_id"))).head
+      val a = batch.agg(count(lit(1)), sum(col("vec_id"))).head
+      s"${b.getLong(0)}_${b.getLong(1)}_${a.getLong(0)}_${a.getLong(1)}_c${c}_i$iters"
+    }
+    val marker = java.nio.file.Paths.get(path, "_FINGERPRINT")
+    val fresh = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim == fp
+    if (!fresh) {
+      writeIndex(base, path, c, iters)
+      appendToIndex(batch, path)
+      java.nio.file.Files.write(marker, fp.getBytes("UTF-8"))
+    }
+    !fresh
+  }
+
   /** Search a written index. The union of probed cells is collected
     * to the driver — bounded by `c` (tens to low hundreds) regardless
     * of corpus size — and pushed into the scan as a LITERAL partition

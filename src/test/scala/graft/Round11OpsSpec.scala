@@ -86,6 +86,30 @@ class Round11OpsSpec extends SparkSpec {
     assert(out((2L, 1L)) == (1L, 1L, md5("x")))
   }
 
+  test("IVF append: batch visible through the pruned scan; stamp skips rebuild") {
+    val emb = Tables.embeddings(spark, sf()).select("vec_id", "embedding")
+    val base = emb.filter(pmod(col("vec_id"), lit(5L)) =!= 0L)
+    val batch = emb.filter(pmod(col("vec_id"), lit(5L)) === 0L)
+    val tmp = "/tmp/graft_ivfapp_spec"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    assert(graft.ann.Ivf.ensureAppendedIndex(base, batch, tmp, c = 8))
+    // idempotence: the stamp must skip the rebuild AND the re-append
+    assert(!graft.ann.Ivf.ensureAppendedIndex(base, batch, tmp, c = 8))
+    val nCells = spark.read.parquet(s"$tmp/cells").count()
+    assert(nCells == emb.count(), s"cells hold $nCells rows") // base + batch, no dups
+    // a shifted-id copy of an appended vector finds its original at 1.0
+    val q = batch.limit(2)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val top1 = graft.ann.Ivf.topKIndexed(tmp, q, k = 3, nprobe = 8)
+      .filter(col("rank") === 1)
+      .select("query_id", "nbr_id", "sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(top1.nonEmpty)
+    top1.foreach { case (qid, nbr, sim) =>
+      assert(nbr == qid - 1000000L && sim == 1.0, s"($qid, $nbr, $sim)")
+    }
+  }
+
   test("q_overlap_sketch: estimates sit inside the check harness envelope") {
     // the standalone operator must estimate the same matrix the
     // exact+sketch harness (q_source_overlap_sketch, oracle-green)
