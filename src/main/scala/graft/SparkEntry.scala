@@ -579,6 +579,73 @@ object SparkEntry {
             / col("distinct_keys") <= 0.1).as("within_10pct"))
     }),
 
+    "q_percentile_sketch_check" -> ((s, d) => {
+      // sketch percentiles under a cross-engine harness (r10 verdict
+      // item 7's pattern): per-type approx_percentile (the mergeable
+      // fixed-size KLL-style sketch — the 100 TB quantile path) is
+      // ASSERTED inside its rank-error envelope against rank-exact
+      // bracket values, and the rank-exact percentile itself (an
+      // actual data element, engine-portable — the
+      // q_group_percentiles machinery) is the oracle-compared value.
+      // delta = 5/accuracy: the sketch guarantees rank error
+      // <= n/accuracy; the x5 absorbs duplicate-value rank collapse.
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      val acc = 10000
+      val delta = 5.0 / acc
+      val ps = Seq(0.5, 0.9, 0.99)
+      val w = Window.partitionBy("event_type").orderBy("value")
+      val ranked = ev.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy("event_type")))
+      // bracket ranks carry a +-2 rank slack on top of delta: the
+      // sketch targets 1-indexed ceil(p*n) while the exact selection
+      // is 0-indexed floor(p*(n-1)) — at small n the off-by-one
+      // exceeds delta*n (measured: 4 false verdicts at sf0.001's
+      // ~2k-row types with the bare bracket)
+      def atRank(p: Double, frac: Double, off: Int, as: String) = ranked
+        .filter(col("rn") - 1 ===
+          greatest(least(floor(lit(frac) * (col("n") - 1)) + lit(off.toLong),
+            (col("n") - 1).cast("long")), lit(0L)))
+        .select(col("event_type"), lit(p).as("p"), col("value").as(as))
+      val exacts = ps.map(p => atRank(p, p, 0, "exact_value")).reduce(_ unionAll _)
+      val los = ps.map(p => atRank(p, math.max(p - delta, 0.0), -2, "lo")).reduce(_ unionAll _)
+      val his = ps.map(p => atRank(p, math.min(p + delta, 1.0), 2, "hi")).reduce(_ unionAll _)
+      val approx = ev.groupBy("event_type")
+        .agg(expr(s"approx_percentile(value, array(${ps.mkString(", ")}), $acc)").as("aq"))
+        .select(col("event_type"), posexplode(col("aq")).as(Seq("__i", "av")))
+        .withColumn("p", element_at(array(ps.map(lit): _*), col("__i") + 1))
+        .drop("__i")
+      exacts.join(los, Seq("event_type", "p"))
+        .join(his, Seq("event_type", "p"))
+        .join(approx, Seq("event_type", "p"))
+        .select(col("event_type"),
+          (col("p") * 100).cast("long").as("p_pct"),
+          col("exact_value"),
+          (col("av") >= col("lo") && col("av") <= col("hi")).as("within_bound"))
+    }),
+
+    "q_sampled_profile_check" -> ((s, d) => {
+      // seeded sampled profiling under a cross-engine harness: the
+      // Bernoulli draw is engine-specific (Spark's XORShift per
+      // partition), so the oracle pins PROPERTIES — the sample size
+      // inside an 8-sigma binomial band and the sampled mean inside
+      // 0.2 stddev of the exact mean — alongside the exact row count.
+      // This is what sampling-based profiling promises at 100 TB:
+      // read f of the data, answer within statistical bounds.
+      val ev = Tables.events(s, d).select(col("value"))
+      val frac = 0.2
+      val sampled = ev.sample(withReplacement = false, frac, seed = 42L)
+        .agg(count(lit(1)).as("n_sampled"), avg("value").as("mean_s"))
+      val exact = ev.agg(count(lit(1)).as("n_rows"), avg("value").as("mean"),
+        stddev_pop("value").as("sd"))
+      sampled.crossJoin(exact).select(
+        col("n_rows"),
+        (abs(col("n_sampled") - col("n_rows") * frac) <=
+          lit(8.0) * sqrt(col("n_rows") * frac * (1 - frac))).as("size_ok"),
+        (abs(col("mean_s") - col("mean")) <= lit(0.2) * col("sd")).as("mean_ok"))
+    }),
+
     "q_hll_store_check" -> ((s, d) => {
       // persisted mergeable HLL sketches (SketchStore): the store is
       // built as TWO independent deltas (orderkey parity — the
@@ -4328,6 +4395,26 @@ object SparkEntry {
            CAST(generate_subscripts(cs, 1) - 1 AS BIGINT) AS chunk_id,
            unnest(cs) AS chunk
          FROM ch""",
+
+    "q_percentile_sketch_check" ->
+      // the rank-exact values are the compared payload; the sketch's
+      // envelope verdicts are pinned TRUE
+      """WITH r AS (
+           SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM events
+         )
+         SELECT event_type, CAST(p * 100 AS BIGINT) AS p_pct,
+           value AS exact_value, TRUE AS within_bound
+         FROM r, unnest([0.5, 0.9, 0.99]) AS t(p)
+         WHERE rn - 1 = floor(p * (n - 1))""",
+
+    "q_sampled_profile_check" ->
+      // the exact row count is the compared payload; the sampling
+      // property verdicts are pinned TRUE
+      """SELECT count(*) AS n_rows, TRUE AS size_ok, TRUE AS mean_ok
+         FROM events""",
 
     "q_group_percentiles" ->
       """WITH r AS (
