@@ -691,6 +691,50 @@ object SparkEntry {
       perPart.unionByName(global)
     }),
 
+    "q_hist_store_check" -> ((s, d) => {
+      // persisted mergeable HISTOGRAM store (r11) — the quantile
+      // analog of the HLL store: two parity deltas fold o_totalprice
+      // cents into width-1000 buckets, the merge is pure count
+      // ADDITION (exact at any depth), and every percentile read is
+      // within one bucket of exact by construction. The harness
+      // asserts exactly that: per (part, p), |histogram estimate −
+      // rank-exact percentile| <= width, booleans pinned TRUE in the
+      // oracle beside the exact per-part row/bucket counts.
+      import org.apache.spark.sql.expressions.Window
+      val width = 1000L
+      val o = Tables.orders(s, d).select(
+        year(col("o_orderdate")).cast("long").as("part"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
+        col("o_orderkey"))
+      def delta(par: Int) = graft.operators.HistStore.build(
+        o.filter(pmod(col("o_orderkey"), lit(2)) === par), "part",
+        col("cents"), width)
+      val store = graft.operators.HistStore
+        .mergeIncremental(delta(0), delta(1), "part")
+      val est = graft.operators.HistStore
+        .percentileEstimates(store, "part", Seq(0.5, 0.95), width)
+      val perPart = store.groupBy("part")
+        .agg(sum(col("n")).as("n_rows"), count(lit(1)).as("n_buckets"))
+      // rank-exact per-part percentile off the cent-level histogram
+      // (bounded frame: distinct cents per part, never raw rows)
+      val centHist = o.groupBy(col("part"), col("cents")).agg(count(lit(1)).as("cn"))
+      val w = Window.partitionBy("part").orderBy("cents")
+      val cum = centHist
+        .withColumn("hi", sum(col("cn")).over(w))
+        .withColumn("lo", col("hi") - col("cn"))
+        .withColumn("total", sum(col("cn")).over(Window.partitionBy("part")))
+      val exact = Seq(0.5, 0.95).map { p =>
+        cum.filter(col("lo") <= floor(lit(p) * (col("total") - 1)) &&
+            floor(lit(p) * (col("total") - 1)) < col("hi"))
+          .select(col("part"), lit(p).as("p"), col("cents").as("exact_int"))
+      }.reduce(_ unionAll _)
+      est.join(exact, Seq("part", "p"))
+        .join(perPart, Seq("part"))
+        .select(col("part"), (col("p") * 100).cast("long").as("p_pct"),
+          col("n_rows"), col("n_buckets"),
+          (abs(col("est_int") - col("exact_int")) <= width).as("within_width"))
+    }),
+
     "q_hll_store" -> ((s, d) => {
       // the persisted-sketch-store OPERATOR alone (r10 verdict item
       // 2): both parity deltas built in ONE partition-keyed exchange
@@ -4415,6 +4459,21 @@ object SparkEntry {
       // property verdicts are pinned TRUE
       """SELECT count(*) AS n_rows, TRUE AS size_ok, TRUE AS mean_ok
          FROM events""",
+
+    "q_hist_store_check" ->
+      // exact per-part row/bucket counts compared; the within-one-
+      // bucket percentile property pinned TRUE
+      """WITH c AS (
+           SELECT CAST(year(o_orderdate) AS BIGINT) AS part,
+                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM orders
+         ), nb AS (
+           SELECT part, count(*) AS n_rows,
+                  count(DISTINCT floor(cents / 1000)) AS n_buckets
+           FROM c GROUP BY 1
+         )
+         SELECT part, p_pct, n_rows, n_buckets, TRUE AS within_width
+         FROM nb, unnest([CAST(50 AS BIGINT), CAST(95 AS BIGINT)]) AS t(p_pct)""",
 
     "q_group_percentiles" ->
       """WITH r AS (

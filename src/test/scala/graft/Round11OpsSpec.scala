@@ -110,6 +110,27 @@ class Round11OpsSpec extends SparkSpec {
     }
   }
 
+  test("hist store: merged deltas equal a from-scratch build exactly") {
+    import graft.operators.HistStore
+    val o = Tables.orders(spark, sf()).select(
+      year(col("o_orderdate")).cast("long").as("part"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
+      col("o_orderkey"))
+    val width = 1000L
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val merged = HistStore.mergeIncremental(
+      HistStore.build(o.filter(pmod(col("o_orderkey"), lit(2)) === 0), "part", col("cents"), width),
+      HistStore.build(o.filter(pmod(col("o_orderkey"), lit(2)) === 1), "part", col("cents"), width),
+      "part")
+    val scratch = HistStore.build(o, "part", col("cents"), width)
+    assert(rows(merged) == rows(scratch)) // count ADDITION: exact, not approximate
+    // estimates land within one bucket of a value that exists
+    val est = HistStore.percentileEstimates(merged, "part", Seq(0.5), width)
+      .collect().map(r => r.getLong(2))
+    assert(est.nonEmpty && est.forall(_ > 0))
+  }
+
   test("q_overlap_sketch: estimates sit inside the check harness envelope") {
     // the standalone operator must estimate the same matrix the
     // exact+sketch harness (q_source_overlap_sketch, oracle-green)
