@@ -103,10 +103,12 @@ object Bench {
     // char-diversity gibberish screen: zero-shuffle sorted-run fold
     "q_char_diversity",
     // r11 operators (bench-row-from-birth): EWMA volume smoothing
-    // (one daily-agg exchange + bounded prefix folds) and chat/SFT
+    // (one daily-agg exchange + bounded prefix folds), chat/SFT
     // transcript assembly (one user-keyed exchange serving both the
-    // session window and the ordered per-session concat)
-    "q_ewma_anomaly", "q_chat_assemble")
+    // session window and the ordered per-session concat), and URL
+    // frontier dedup (narrow canonicalize pass + one canonical-keyed
+    // exchange)
+    "q_ewma_anomaly", "q_chat_assemble", "q_url_dedup")
 
   // Timed every tier but EXCLUDED from the headline totals: these have
   // no DuckDB oracle (not SQL-expressible), so including them would make
@@ -151,8 +153,9 @@ object Bench {
     "q_mad_outliers",
     // r11 (verdict item 4): q_robust_scale exceeded the >=2 s-at-sf10
     // admission rule from birth but was absent from the sf30 tier;
-    // the staged LSH screen joins for its amortization evidence
-    "q_robust_scale", "q_lsh_ingest_dedup")
+    // the staged LSH screen joins for its amortization evidence, and
+    // the chat-assembly newborn qualifies at 2.9 s sf10
+    "q_robust_scale", "q_lsh_ingest_dedup", "q_chat_assemble")
 
   /** Tier-freshness preamble (r9 verdict item 8): the gitignored tier
     * parquet was wiped twice during r9 and the old existence-only gate

@@ -2386,6 +2386,57 @@ object SparkEntry {
       // corpus scale), WindowGroupLimit top-k on the 4dp-rounded score
       graft.operators.TfIdf.topTerms(Tables.documents(s, d), "doc_id", "text", k = 3)),
 
+    "q_url_dedup" -> ((s, d) => {
+      // URL-canonicalization frontier dedup (r11): the corpus has no
+      // URL column, so the gate synthesizes four messy variants of
+      // the same page per id group — raw, SHOUTED scheme/host with
+      // www. + :443 + trailing slash, tracking params, kept params
+      // out of order + fragment — and the canonicalizer must collapse
+      // the first three and sort the fourth. The oracle constructs
+      // the EXPECTED canonical analytically from doc_id (it never
+      // parses), so every normalization rule is value-checked.
+      val docs = Tables.documents(s, d).select("doc_id", "source")
+      val gid = floor(col("doc_id") / 4).cast("long").cast("string")
+      val v = pmod(col("doc_id"), lit(4L))
+      val urls = docs.select(col("doc_id"),
+        when(v === 0, concat(lit("https://"), col("source"),
+            lit(".example.com/p/"), gid))
+          .when(v === 1, concat(lit("HTTPS://WWW."), upper(col("source")),
+            lit(".EXAMPLE.COM:443/p/"), gid, lit("/")))
+          .when(v === 2, concat(lit("https://"), col("source"),
+            lit(".example.com/p/"), gid, lit("?gclid=xyz&utm_source=feed")))
+          .otherwise(concat(lit("https://"), col("source"),
+            lit(".example.com/p/"), gid, lit("?b=2&a=1#frag")))
+          .as("url"))
+      graft.operators.UrlCanonical.dupReport(urls, "doc_id", "url")
+    }),
+
+    "q_verbatim_contamination" -> ((s, d) => {
+      // verbatim eval-leak scan (r11): 40-char eval snippets pasted
+      // into every (50k+1)-th training doc must flag through the
+      // broadcast contains-semi join — the exact-substring check that
+      // catches what token-boundary shingle overlap (q_decontaminate)
+      // cannot. Snippets shorter than 20 chars are excluded on both
+      // sides (contains(text, '') is vacuously true).
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val evalDocs = docs.filter(pmod(col("doc_id"), lit(50L)) === 0L)
+      val snippets = evalDocs
+        .select(substring(col("text"), 11, 40).as("snippet"))
+        .filter(length(col("snippet")) >= 20)
+      val planted = docs.filter(pmod(col("doc_id"), lit(50L)) =!= 0L)
+        .join(evalDocs.select((col("doc_id") + 1).as("doc_id"),
+          substring(col("text"), 11, 40).as("__sn")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("__sn").isNotNull && length(col("__sn")) >= 20,
+            concat(col("text"), lit(" ... "), col("__sn")))
+            .otherwise(col("text")).as("text"))
+      val flagged = graft.pipeline.Decontaminate.verbatimFlagged(
+        planted, snippets, "text", "snippet")
+      planted.agg(count(lit(1)).as("n_train"))
+        .crossJoin(snippets.agg(count(lit(1)).as("n_eval")))
+        .crossJoin(flagged.agg(count(lit(1)).as("n_flagged")))
+    }),
+
     "q_decontaminate" -> ((s, d) => {
       // benchmark decontamination: every 10th doc plays the eval set,
       // the rest are the training corpus (the 100 TB side — only the
@@ -5658,6 +5709,44 @@ object SparkEntry {
     // exact mirror of Decontaminate.stats(k=3, threshold=0.5): same
     // shingle CTE as the ngram oracles, eval = every 10th doc, train =
     // the rest; hit counts via inner join on distinct shingles
+    "q_url_dedup" ->
+      // the oracle CONSTRUCTS the expected canonical analytically —
+      // the Spark side must parse and normalize its way to the same
+      // string (host lower-cased: the corpus source labels already
+      // are, lower() documents the invariant)
+      """WITH u AS (
+           SELECT doc_id, lower(source) AS src,
+             CAST(floor(doc_id / 4.0) AS BIGINT) AS gid,
+             doc_id % 4 AS v
+           FROM documents
+         ), canon AS (
+           SELECT doc_id,
+             'https://' || src || '.example.com/p/' || CAST(gid AS VARCHAR) ||
+             CASE WHEN v = 3 THEN '?a=1&b=2' ELSE '' END AS canonical_url
+           FROM u
+         )
+         SELECT canonical_url, count(*) AS n_dups, min(doc_id) AS keep_id
+         FROM canon GROUP BY 1""",
+
+    "q_verbatim_contamination" ->
+      """WITH ev AS (
+           SELECT doc_id, substr(text, 11, 40) AS snippet
+           FROM documents WHERE doc_id % 50 = 0
+         ), sn AS (
+           SELECT snippet FROM ev WHERE length(snippet) >= 20
+         ), train AS (
+           SELECT d.doc_id,
+             CASE WHEN e.snippet IS NOT NULL AND length(e.snippet) >= 20
+                  THEN d.text || ' ... ' || e.snippet ELSE d.text END AS text
+           FROM documents d LEFT JOIN ev e ON d.doc_id = e.doc_id + 1
+           WHERE d.doc_id % 50 <> 0
+         )
+         SELECT (SELECT count(*) FROM train) AS n_train,
+                (SELECT count(*) FROM sn) AS n_eval,
+                (SELECT count(*) FROM train t WHERE EXISTS
+                   (SELECT 1 FROM sn s WHERE contains(t.text, s.snippet)))
+                  AS n_flagged""",
+
     "q_decontaminate" ->
       """WITH train AS (
            SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0

@@ -25,6 +25,25 @@ object Decontaminate {
     eval.select(explode(TextFunctions.shingles(col(textCol), k)).as("shingle"))
       .distinct()
 
+  /** VERBATIM contamination scan (r11): flag training docs containing
+    * any eval snippet as an exact substring — the check that catches
+    * what token-boundary shingle overlap cannot (an eval answer
+    * pasted mid-token, inside markup, or shorter than k words).
+    * `snippets` must be the SMALL side (benchmark answer strings —
+    * thousands of rows): it broadcasts, and the scan is a
+    * broadcast-nested-loop LEFT SEMI `contains` join — the one place
+    * a nested loop is the correct plan, because containment has no
+    * equi-key; the big side streams through once and short-circuits
+    * on first hit. At huge snippet counts the production form swaps
+    * in a multi-pattern automaton; the operator boundary (small
+    * broadcast pattern side, one training pass) is the same.
+    */
+  def verbatimFlagged(train: DataFrame, snippets: DataFrame,
+                      textCol: String, snippetCol: String): DataFrame =
+    train.join(
+      broadcast(snippets.select(col(snippetCol).as("__snip")).distinct()),
+      contains(col(textCol), col("__snip")), "left_semi")
+
   /** Per-training-doc contamination stats: shingle count, eval-shingle
     * hits, hit fraction, and a boolean flag at `threshold`. Every
     * training row is preserved (zero-shingle docs report 0.0 via the

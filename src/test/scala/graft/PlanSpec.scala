@@ -83,6 +83,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange rangepartitioning"), p)
   }
 
+  test("url dedup: narrow canonicalize, one canonical-keyed exchange") {
+    val p = plan("q_url_dedup")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1, s"$shuffles shuffles:\n$p")
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("global sample: TakeOrdered, never a global Sort") {
     val p = plan("q_sample_global")
     assert(p.contains("TakeOrdered"), p)

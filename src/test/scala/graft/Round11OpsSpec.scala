@@ -131,6 +131,43 @@ class Round11OpsSpec extends SparkSpec {
     assert(est.nonEmpty && est.forall(_ > 0))
   }
 
+  test("url canonicalize: case/www/port/slash/tracking/fragment/sort rules") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("u", StringType)))
+    val in = Seq(
+      "HTTPS://WWW.Ex.COM:443/Path/A/",        // case+www+port+slash; path case KEPT
+      "https://ex.com/Path/A?utm_source=x&gclid=1", // tracking dropped
+      "https://ex.com/Path/A?b=2&a=1#frag",    // kept params sorted, fragment dropped
+      "https://ex.com/Path/A",                 // already canonical
+      "not a url at all")                      // unparseable -> NULL
+    val out = spark.createDataFrame(
+      in.map(org.apache.spark.sql.Row(_)).asJava, schema)
+      .select(graft.operators.UrlCanonical.canonicalize(col("u")).as("c"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(out(0).contains("https://ex.com/Path/A"))
+    assert(out(1).contains("https://ex.com/Path/A"))
+    assert(out(2).contains("https://ex.com/Path/A?a=1&b=2"))
+    assert(out(3).contains("https://ex.com/Path/A"))
+    assert(out(4).isEmpty)
+  }
+
+  test("verbatim contamination: planted snippet flags, clean doc survives") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    val train = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(1L, "the quick brown fox PLANTED EVAL ANSWER HERE jumps"),
+      org.apache.spark.sql.Row(2L, "an entirely unrelated training document")).asJava,
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+    val snippets = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row("PLANTED EVAL ANSWER HERE")).asJava,
+      StructType(Seq(StructField("snippet", StringType))))
+    val flagged = graft.pipeline.Decontaminate
+      .verbatimFlagged(train, snippets, "text", "snippet")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(flagged == Seq(1L))
+  }
+
   test("q_overlap_sketch: estimates sit inside the check harness envelope") {
     // the standalone operator must estimate the same matrix the
     // exact+sketch harness (q_source_overlap_sketch, oracle-green)

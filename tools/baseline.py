@@ -59,8 +59,8 @@ HEADLINERS = [
     # char-diversity gibberish screen
     "q_char_diversity",
     # r11 operators (bench rows from birth): EWMA volume smoothing,
-    # chat/SFT transcript assembly
-    "q_ewma_anomaly", "q_chat_assemble"]
+    # chat/SFT transcript assembly, URL frontier dedup
+    "q_ewma_anomaly", "q_chat_assemble", "q_url_dedup"]
 
 # Comparable-WORK baselines for extras (r10 verdict item 1): these
 # queries have no value-level oracle (minhash family), but the work a
