@@ -2744,6 +2744,15 @@ object SparkEntry {
       // recrawl must vanish, the fresh batch must survive
       graft.streaming.Ingest.ingestDedupFileStream(s, d)),
 
+    "q_stream_sketch_store" -> ((s, d) =>
+      // streaming maintenance of the persisted HLL sketch store
+      // (r11): each micro-batch folds once and merges into the
+      // standing store (lossless union — identical to a one-shot
+      // build no matter where batch boundaries fall); the read-back
+      // estimates sit inside the 10% envelope of exact per-type
+      // distincts, with exact row counts the oracle's compare side
+      graft.streaming.Events.sketchStoreFileStream(s, d)),
+
     "q_stream_upsert" -> ((s, d) =>
       // streaming MERGE sink gated end-to-end (r10 verdict item 7):
       // three changeset files (snapshot / repriced updates /
@@ -3736,6 +3745,14 @@ object SparkEntry {
     // the streaming MERGE sink must converge to the identical state
     // table the one-shot batch MERGE produces — same oracle verbatim
     "q_stream_upsert" -> upsertMergeSql,
+
+    "q_stream_sketch_store" ->
+      // exact per-type row and distinct counts compared; the
+      // streaming store's envelope verdict pinned TRUE
+      """SELECT event_type, count(*) AS n_rows,
+           count(DISTINCT user_id) AS exact_distinct,
+           TRUE AS within_10pct
+         FROM events GROUP BY event_type""",
 
     "q_stream_exactly_once" ->
       // one clean copy of the feed per type — a restart that

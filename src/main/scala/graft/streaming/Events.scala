@@ -523,6 +523,78 @@ object Events {
     }
   }
 
+  /** Streaming maintenance of the persisted HLL sketch store — the
+    * literal form of [[graft.operators.SketchStore]]'s contract: each
+    * micro-batch folds ONCE into per-partition (n_rows, sketch) rows
+    * and merges into the standing store (union is lossless at fixed
+    * lgK, so the result is IDENTICAL to a one-shot build no matter
+    * where the micro-batch boundaries fall — the property that makes
+    * the profile maintainable from a stream at all). The store stays
+    * O(partitions) KB rows; no micro-batch ever rescans history.
+    */
+  def sketchStoreSink(changes: DataFrame, partCol: String, key: String,
+                      tablePath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = changes.sparkSession
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val delta = graft.operators.SketchStore.build(batch, partCol, col(key))
+        val p = new org.apache.hadoop.fs.Path(tablePath)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val merged =
+          if (fs.exists(p))
+            graft.operators.SketchStore.mergeIncremental(
+              spark.read.parquet(tablePath), delta, partCol)
+          else delta
+        merged.localCheckpoint(true)
+          .write.mode("overwrite").parquet(tablePath)
+        ()
+      }
+      .start()
+  }
+
+  /** The sketch-store sink as a gate harness: the events feed streams
+    * one file per micro-batch through [[sketchStoreSink]] (partition =
+    * event_type, key = user_id), and the read-back store is checked
+    * against exact per-type distincts — estimates inside the 10%
+    * envelope, row counts EXACT (the oracle's side of the compare).
+    */
+  def sketchStoreFileStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val stage = Files.createTempDirectory("graft_sketch_stream")
+    val work = Files.createTempDirectory("graft_sketch_store")
+    try {
+      stageEventsFeed(sfDir, stage, "00_events")
+      val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+      val stream = spark.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(stage.toString)
+        .select(col("event_type"), col("user_id"))
+      val q = sketchStoreSink(stream, "event_type", "user_id",
+        s"$work/store", s"$work/cp")
+      try q.processAllAvailable() finally q.stop()
+      val est = graft.operators.SketchStore.estimates(
+        spark.read.parquet(s"$work/store"))
+      val exact = graft.Tables.events(spark, sfDir)
+        .groupBy("event_type")
+        .agg(count_distinct(col("user_id")).as("exact_distinct"))
+      est.join(exact, "event_type")
+        .select(col("event_type"), col("n_rows"), col("exact_distinct"),
+          (abs(col("distinct_est") - col("exact_distinct")).cast("double")
+            / col("exact_distinct") <= 0.1).as("within_10pct"))
+        .localCheckpoint(eager = true)
+    } finally {
+      Seq(stage, work).foreach { d =>
+        val walked = Files.walk(d)
+        try walked.iterator().asScala.toSeq.reverse.foreach(p => Files.deleteIfExists(p))
+        finally walked.close()
+      }
+    }
+  }
+
   /** Exactly-once file sink across a RESTART, as a gate query: the
     * events feed streams through an AvailableNow parquet-sink query
     * run TWICE against the same checkpoint (the second run IS the
