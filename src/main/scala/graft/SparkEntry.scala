@@ -2172,6 +2172,40 @@ object SparkEntry {
       graft.ann.Ivf.topKIndexed(tmp, emb.filter(col("vec_id") < 8), k = 5, nprobe = 12)
     }),
 
+    "q_ann_recall_check" -> ((s, d) => {
+      // the ANN family's recall floors as a DRIVER-CHECKED gate (r11):
+      // brute-force top-5 is the truth set, and each approximate
+      // method's recall against it is folded to a boolean the oracle
+      // pins TRUE. Floors are cross-TIER (measured sf0.001/0.01/0.1:
+      // lsh 0.90/0.825/1.0, ivf 0.95/0.90/0.925, sq8 same, pq
+      // 0.975/0.925/0.75 — uniform-random vectors are the worst case
+      // for every family, and the per-tier wobble is hash geometry,
+      // not regression): lsh>=0.8, ivf/sq8>=0.85, pq>=0.7.
+      // Deterministic because every hash family is. Upgrades four
+      // rows-only operators to driver-checked properties; exact
+      // top-k membership and the tighter per-tier floors stay the
+      // GroundTruthSpec's job.
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val q = emb.filter(col("vec_id") < 8)
+      val exact = graft.ann.Knn.bruteForceTopK(emb, q, k = 5)
+        .select("query_id", "nbr_id")
+      def recallRow(name: String, approx: DataFrame, floor: Double) =
+        exact.join(approx.select("query_id", "nbr_id"),
+            Seq("query_id", "nbr_id"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+          .crossJoin(exact.agg(count(lit(1)).as("n_true")))
+          .select(lit(name).as("method"), col("n_true"),
+            (col("hits").cast("double") / col("n_true") >= floor).as("recall_ok"))
+      recallRow("lsh", graft.ann.Knn.lshTopK(emb, q, k = 5, tables = 16), 0.8)
+        .unionByName(recallRow("ivf",
+          graft.ann.Ivf.topK(emb, q, k = 5, c = 16, nprobe = 12), 0.85))
+        .unionByName(recallRow("sq8",
+          graft.ann.Ivf.topKSq8(emb, q, k = 5, c = 16, nprobe = 12), 0.85))
+        .unionByName(recallRow("pq",
+          graft.ann.Pq.adcRerankTopK(emb, q, "embedding", k = 5, m = 8,
+            kcent = 64, shortlist = 100), 0.7))
+    }),
+
     "q_ann_ivf_append" -> ((s, d) => {
       // incremental ANN index maintenance (r11): a new embedding
       // batch (every 5th vector) is assigned to the EXISTING
@@ -4908,6 +4942,14 @@ object SparkEntry {
          SELECT 'fresh_reversed' AS batch_src, count(*) AS n_in,
                 TRUE AS partition_ok, TRUE AS verdict_ok
          FROM documents WHERE doc_id % 10 = 4""",
+
+    "q_ann_recall_check" ->
+      // the truth-set size is exact SQL; the per-method recall-floor
+      // verdicts are pinned TRUE
+      """SELECT m AS method,
+           (SELECT count(*) FROM embeddings WHERE vec_id < 8) * 5 AS n_true,
+           TRUE AS recall_ok
+         FROM unnest(['ivf', 'lsh', 'pq', 'sq8']) AS t(m)""",
 
     "q_ann_ivf_append" ->
       // append visibility as an EXACT oracle: every shifted-id copy
