@@ -2400,6 +2400,32 @@ object SparkEntry {
       Knn.nearDupByEmbeddingAuto(emb.unionByName(planted), threshold = 0.95)
     }),
 
+    "q_embedding_dedup_check" -> ((s, d) => {
+      // the planted construction as a DRIVER-CHECKED gate (r11, the
+      // q_ann_recall_check pattern): scaled copies share every SRP
+      // sign bit, so each of the 40 construction vectors MUST flag
+      // with its counterpart as nearest at cosine exactly 1.0 —
+      // deterministic, not probabilistic recall. Oracle pins the
+      // booleans and compares the exact construction count.
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val planted = emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.01f)).as("embedding"))
+      val rep = Knn.nearDupByEmbeddingAuto(emb.unionByName(planted),
+        threshold = 0.95)
+      val counterpartOk =
+        (col("vec_id") < 20 && col("nearest_id") === col("vec_id") + 100000L &&
+          col("nearest_sim") === 1.0) ||
+        (col("vec_id") >= 100000L && col("nearest_id") === col("vec_id") - 100000L &&
+          col("nearest_sim") === 1.0)
+      rep.filter(col("vec_id") < 20 || col("vec_id") >= 100000L)
+        .agg(count(lit(1)).as("n_construction"),
+          (count(when(col("is_near_dup"), lit(1))) === count(lit(1)))
+            .as("all_flagged"),
+          (count(when(counterpartOk, lit(1))) === count(lit(1)))
+            .as("all_matched"))
+    }),
+
     "q_passage_dedup" -> ((s, d) =>
       // passage-level (exact-substring-style) dedup stats, Lee et al.
       // 2021: 8-word chunk grid, shared = hash in >=2 distinct docs.
@@ -4950,6 +4976,13 @@ object SparkEntry {
            (SELECT count(*) FROM embeddings WHERE vec_id < 8) * 5 AS n_true,
            TRUE AS recall_ok
          FROM unnest(['ivf', 'lsh', 'pq', 'sq8']) AS t(m)""",
+
+    "q_embedding_dedup_check" ->
+      // the construction size is exact SQL; the deterministic
+      // flag/counterpart verdicts are pinned TRUE
+      """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20) * 2
+             AS n_construction,
+           TRUE AS all_flagged, TRUE AS all_matched""",
 
     "q_ann_ivf_append" ->
       // append visibility as an EXACT oracle: every shifted-id copy
