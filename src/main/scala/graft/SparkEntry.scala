@@ -1559,6 +1559,25 @@ object SparkEntry {
         .filter(col("removed")).select("vec_id")
     }),
 
+    "q_semdedup_check" -> ((s, d) => {
+      // the SemDeDup planted construction as a DRIVER-CHECKED gate
+      // (r11, the q_embedding_dedup_check pattern): direction-only
+      // assignment co-clusters each 0.99-scaled copy with its
+      // original at cosine exactly 1.0, and min-id-keeps means the
+      // removed set must be EXACTLY the planted ids — n_removed
+      // compares to the exact construction size, the only-planted
+      // verdict is pinned TRUE
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val planted = emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 10000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(0.99f)).as("embedding"))
+      SemDeDup.verdictsAuto(emb.unionByName(planted), eps = 0.95)
+        .filter(col("removed"))
+        .agg(count(lit(1)).as("n_removed"),
+          (count(when(col("vec_id") >= 10000000L, lit(1))) === count(lit(1)))
+            .as("only_planted_removed"))
+    }),
+
     "q_heavy_hitters_sketch" -> ((s, d) =>
       // Count-Min sketch probe under the cross-engine check harness
       // (the q_profile_approx_check pattern): the exact top-20 terms
@@ -4983,6 +5002,12 @@ object SparkEntry {
       """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20) * 2
              AS n_construction,
            TRUE AS all_flagged, TRUE AS all_matched""",
+
+    "q_semdedup_check" ->
+      // removed set == the planted ids, exactly
+      """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20)
+             AS n_removed,
+           TRUE AS only_planted_removed""",
 
     "q_ann_ivf_append" ->
       // append visibility as an EXACT oracle: every shifted-id copy
