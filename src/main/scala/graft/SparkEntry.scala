@@ -2156,6 +2156,18 @@ object SparkEntry {
       Knn.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), k = 5)
     }),
 
+    "q_matryoshka_recall" -> ((s, d) => {
+      // Matryoshka dim-vs-recall table (r11): how much recall the
+      // 16/32-dim prefixes of the 64-dim embeddings retain against
+      // full-dim top-5 — the MRL truncation-tradeoff eval. Fully
+      // deterministic (4-dp cosine + id tie-break at every dim), so
+      // the oracle replays the whole table value-for-value; dim=64
+      // is the identity row (recall 1.0) pinning the harness itself.
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      Knn.truncatedRecall(emb, emb.filter(col("vec_id") < 8), k = 5,
+        dims = Seq(16, 32, 64))
+    }),
+
     "q_hard_negatives" -> ((s, d) => {
       // contrastive hard-negative mining: top-5 nearest with a
       // DIFFERENT label per query — label filter prunes before the
@@ -5767,6 +5779,46 @@ object SparkEntry {
          )
          SELECT query_id, CAST(rnk AS BIGINT) AS rank, nbr_id, sim
          FROM ranked WHERE rnk <= 5""",
+
+    "q_matryoshka_recall" ->
+      // full-dim truth vs prefix-truncated top-5 at each dim, the
+      // identical rounded-cosine + id-tie-break ranking in SQL
+      """WITH c AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+         ), q AS (
+           SELECT vec_id, e FROM c WHERE vec_id < 8
+         ), ft AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+             round(list_dot_product(q.e, c.e)
+               / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))), 4)
+               AS sim
+           FROM c CROSS JOIN q WHERE q.vec_id <> c.vec_id
+         ), fr AS (
+           SELECT query_id, nbr_id FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, nbr_id ASC) AS rnk
+             FROM ft) WHERE rnk <= 5
+         ), dims AS (
+           SELECT unnest([CAST(16 AS BIGINT), 32, 64]) AS dim
+         ), tt AS (
+           SELECT d.dim, q.vec_id AS query_id, c.vec_id AS nbr_id,
+             round(list_dot_product(q.e[1:d.dim], c.e[1:d.dim])
+               / (sqrt(list_dot_product(q.e[1:d.dim], q.e[1:d.dim]))
+                  * sqrt(list_dot_product(c.e[1:d.dim], c.e[1:d.dim]))), 4)
+               AS sim
+           FROM dims d CROSS JOIN c CROSS JOIN q WHERE q.vec_id <> c.vec_id
+         ), tr AS (
+           SELECT dim, query_id, nbr_id FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY dim, query_id ORDER BY sim DESC, nbr_id ASC) AS rnk
+             FROM tt) WHERE rnk <= 5
+         ), hits AS (
+           SELECT tr.dim, count(*) AS n_hits
+           FROM tr JOIN fr USING (query_id, nbr_id) GROUP BY 1
+         ), tot AS (SELECT count(*) AS n_true FROM fr)
+         SELECT dim, n_true, n_hits,
+           floor(n_hits * 10000.0 / n_true + 0.5) / 10000.0 AS recall
+         FROM hits, tot""",
 
     "q_hard_negatives" ->
       """WITH q AS (

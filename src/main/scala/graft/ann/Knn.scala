@@ -39,6 +39,36 @@ object Knn {
         col("nbr_id"), col("sim"))
   }
 
+  /** Matryoshka truncation eval (Kusupati et al. 2022,
+    * arXiv:2205.13147): recall of PREFIX-truncated-dimension search
+    * against full-dimension top-k, one row per candidate dim — the
+    * table that decides how many dims an MRL-trained embedding can
+    * shed for index size/speed before recall pays. Prefix slicing is
+    * the MRL contract (coarse-to-fine information ordering); on
+    * non-MRL embeddings the same table quantifies the damage.
+    * Deterministic: 4-dp-rounded cosine with id tie-break at every
+    * dim, so the top-k SETS are engine-portable and the recalls are
+    * exact values, not bounds. Each dim's search is one broadcast
+    * scan pass (the bruteForceTopK shape); the recall join touches
+    * only k-row-per-query frames.
+    */
+  def truncatedRecall(corpus: DataFrame, queries: DataFrame, k: Int,
+                      dims: Seq[Int]): DataFrame = {
+    def trunc(df: DataFrame, dm: Int) =
+      df.select(col("vec_id"), slice(col("embedding"), 1, dm).as("embedding"))
+    val full = bruteForceTopK(corpus, queries, k).select("query_id", "nbr_id")
+    dims.map { dm =>
+      val t = bruteForceTopK(trunc(corpus, dm), trunc(queries, dm), k)
+        .select("query_id", "nbr_id")
+      full.join(t, Seq("query_id", "nbr_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(full.agg(count(lit(1)).as("n_true")))
+        .select(lit(dm.toLong).as("dim"), col("n_true"), col("n_hits"),
+          (floor(col("n_hits") * lit(10000.0) / col("n_true") + lit(0.5))
+            / lit(10000.0)).as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Contrastive hard-negative mining: per query, the top-k
     * most-cosine-similar corpus vectors carrying a DIFFERENT label —
     * the "closest wrong answers" a contrastive/triplet trainer wants

@@ -168,6 +168,21 @@ class Round11OpsSpec extends SparkSpec {
     assert(flagged == Seq(1L))
   }
 
+  test("matryoshka recall: identity dim is exact, truncations bounded") {
+    val emb = Tables.embeddings(spark, sf()).select("vec_id", "embedding")
+    val dim = emb.selectExpr("size(embedding)").limit(1)
+      .collect().head.getInt(0)
+    val out = graft.ann.Knn.truncatedRecall(emb,
+        emb.filter(col("vec_id") < 4), k = 3, dims = Seq(dim / 4, dim))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val (nTrue, nHitsFull, recFull) = out(dim.toLong)
+    assert(nTrue == 4 * 3 && nHitsFull == nTrue && recFull == 1.0,
+      s"identity dim must reproduce the full ranking: $out")
+    val (_, hitsT, recT) = out((dim / 4).toLong)
+    assert(hitsT <= nTrue && recT >= 0.0 && recT <= 1.0, s"$out")
+  }
+
   test("q_overlap_sketch: estimates sit inside the check harness envelope") {
     // the standalone operator must estimate the same matrix the
     // exact+sketch harness (q_source_overlap_sketch, oracle-green)
