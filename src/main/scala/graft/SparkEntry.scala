@@ -2394,8 +2394,47 @@ object SparkEntry {
     "q_dedup_minhash" -> ((s, d) =>
       MinHashLSH.nearDupSummary(Tables.documents(s, d), "doc_id", "text")),
 
+    "q_minhash_check" -> ((s, d) => {
+      // minhash's pigeonhole guarantee as a DRIVER-CHECKED gate (r11):
+      // an exact copy has the identical signature, so every band
+      // matches, the pair is always a candidate, and the verify sees
+      // jaccard exactly 1.0 — for each planted recrawl copy AND its
+      // original, deterministically, at any SF. Probabilistic recall
+      // (threshold pairs) stays GroundTruthSpec's job; this pins the
+      // exact-dup floor the operator can never miss.
+      val base = Tables.documents(s, d).select("doc_id", "text")
+      val aug = withRecrawls(base)
+      val rep = MinHashLSH.nearDupSummary(aug, "doc_id", "text")
+      val cons = base.filter(pmod(col("doc_id"), lit(10L)) === 3L)
+        .select("doc_id")
+        .unionByName(aug.select("doc_id")
+          .join(base.select("doc_id"), Seq("doc_id"), "left_anti"))
+      rep.join(cons, Seq("doc_id"), "left_semi")
+        .agg(count(lit(1)).as("n_construction"),
+          (count(when(col("is_near_dup") && col("best_jaccard") === 1.0,
+            lit(1))) === count(lit(1))).as("all_exact_flagged"))
+    }),
+
     "q_dedup_simhash" -> ((s, d) =>
       SimHash.summary(Tables.documents(s, d), "doc_id", "text", maxHamming = 16)),
+
+    "q_simhash_check" -> ((s, d) => {
+      // simhash's pigeonhole guarantee, same pattern: identical text
+      // -> identical 64-bit fingerprint -> same chunk buckets ->
+      // candidate pair at hamming exactly 0, for every construction
+      // doc, deterministically
+      val base = Tables.documents(s, d).select("doc_id", "text")
+      val aug = withRecrawls(base)
+      val rep = SimHash.summary(aug, "doc_id", "text", maxHamming = 16)
+      val cons = base.filter(pmod(col("doc_id"), lit(10L)) === 3L)
+        .select("doc_id")
+        .unionByName(aug.select("doc_id")
+          .join(base.select("doc_id"), Seq("doc_id"), "left_anti"))
+      rep.join(cons, Seq("doc_id"), "left_semi")
+        .agg(count(lit(1)).as("n_construction"),
+          (count(when(col("min_hamming") === 0, lit(1))) === count(lit(1)))
+            .as("all_zero_hamming"))
+    }),
 
     "q_ngram_jaccard" -> ((s, d) =>
       NgramJaccard.summary(Tables.documents(s, d), "doc_id", "text", k = 3, maxDf = 100)),
@@ -5020,6 +5059,18 @@ object SparkEntry {
       """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20)
              AS n_removed,
            TRUE AS only_planted_removed""",
+
+    "q_minhash_check" ->
+      // the construction is 2 rows per recrawled doc (original +
+      // copy); the pigeonhole verdict is pinned TRUE
+      """SELECT (SELECT count(*) FROM documents WHERE doc_id % 10 = 3) * 2
+             AS n_construction,
+           TRUE AS all_exact_flagged""",
+
+    "q_simhash_check" ->
+      """SELECT (SELECT count(*) FROM documents WHERE doc_id % 10 = 3) * 2
+             AS n_construction,
+           TRUE AS all_zero_hamming""",
 
     "q_ann_ivf_append" ->
       // append visibility as an EXACT oracle: every shifted-id copy
