@@ -2391,6 +2391,44 @@ object SparkEntry {
             x => pround(x, 4).cast("string"))).cast("binary")).as("pca_md5"))
     }),
 
+    "q_pca_check" -> ((s, d) => {
+      // the PCA model's linear-algebra contracts as a DRIVER-CHECKED
+      // gate (r11): orthonormal components and sorted non-negative
+      // eigenvalues verified on the driver-local model (it is a pure
+      // function of the data — covariance rounded, signs
+      // canonicalized), plus the FULL-RANK ISOMETRY verified
+      // distributed: at k = d the projection must preserve every
+      // centered squared norm, so the corpus-sum ratio is 1 to
+      // rounding. The eigensolve itself stays rows-only
+      // (q_pca_project); these booleans are what ANY correct PCA
+      // must satisfy, oracle-pinned TRUE beside the exact count.
+      val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val dim = emb.select(size(col("embedding")))
+        .limit(1).head.getInt(0)
+      val m = graft.ann.Pca.fit(emb, "embedding", k = dim)
+      def dot(a: Array[Double], b: Array[Double]) =
+        a.zip(b).map { case (x, y) => x * y }.sum
+      val orth = (0 until m.k).forall { i =>
+        (0 until m.k).forall { j =>
+          math.abs(dot(m.components(i), m.components(j)) -
+            (if (i == j) 1.0 else 0.0)) < 1e-6 } }
+      val eigsOk = m.eigenvalues.forall(_ >= -1e-9) &&
+        m.eigenvalues.sliding(2).forall(p => p.length < 2 || p(0) >= p(1) - 1e-9)
+      val meanLit = typedlit(m.mean.toSeq)
+      val proj = graft.ann.Pca.projectCol(col("embedding"), m)
+      emb.select(
+          aggregate(zip_with(transform(col("embedding"), x => x.cast("double")),
+            meanLit, (x, mu) => (x - mu) * (x - mu)), lit(0.0), _ + _).as("cn"),
+          aggregate(transform(proj, y => y * y), lit(0.0), _ + _).as("pn"))
+        .agg(count(lit(1)).as("n_vectors"),
+          sum(col("cn")).as("scn"), sum(col("pn")).as("spn"))
+        .select(col("n_vectors"),
+          lit(orth).as("orthonormal_ok"),
+          lit(eigsOk).as("eigs_sorted_ok"),
+          ((col("scn") === 0 && col("spn") === 0) ||
+            abs(col("spn") / col("scn") - 1.0) < 1e-6).as("isometry_ok"))
+    }),
+
     "q_dedup_minhash" -> ((s, d) =>
       MinHashLSH.nearDupSummary(Tables.documents(s, d), "doc_id", "text")),
 
@@ -5059,6 +5097,14 @@ object SparkEntry {
       """SELECT (SELECT count(*) FROM embeddings WHERE vec_id < 20)
              AS n_removed,
            TRUE AS only_planted_removed""",
+
+    "q_pca_check" ->
+      // exact vector count compared; the linear-algebra contracts
+      // (orthonormal basis, sorted eigenvalues, full-rank isometry)
+      // pinned TRUE
+      """SELECT count(*) AS n_vectors, TRUE AS orthonormal_ok,
+           TRUE AS eigs_sorted_ok, TRUE AS isometry_ok
+         FROM embeddings""",
 
     "q_minhash_check" ->
       // the construction is 2 rows per recrawled doc (original +
