@@ -218,10 +218,54 @@ object Bench {
     df.queryExecution.toRdd.foreach(_ => ())
 
   /** One query's guarded measurement. `sec` < 0 marks a failed query;
-    * `clean` means the kept attempt ran between two quiet sentinels.
+    * `clean` means the kept attempt ran between two quiet sentinels
+    * AND did not trip the cross-round prior tripwire; `priorOutlier`
+    * names the tripwire specifically (a subset of !clean).
     */
   private case class QRes(name: String, sec: Double, clean: Boolean,
-                          retried: Boolean)
+                          retried: Boolean, priorOutlier: Boolean = false)
+
+  /** Per-tier per-query timings parsed from a committed bench artifact
+    * (BENCH_LAST.json / BENCH_r*.json): tier tag → name → seconds,
+    * headline and extras merged. Jackson (on Spark's classpath) —
+    * these are nested objects, beyond the flat-regex baselineMaps.
+    */
+  private[graft] def artifactTierTimings(path: String): Map[String, Map[String, Double]] =
+    try {
+      val f = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(f)) Map.empty
+      else {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = om.readTree(new String(java.nio.file.Files.readAllBytes(f), "UTF-8"))
+        import scala.jdk.CollectionConverters._
+        Seq("sf01", "sf1", "sf10", "sf30").flatMap { tag =>
+          Option(root.get(tag)).map { t =>
+            def obj(key: String): Map[String, Double] =
+              Option(t.get(key)).map(_.fields().asScala
+                .map(e => e.getKey -> e.getValue.asDouble()).toMap)
+                .getOrElse(Map.empty)
+            tag -> (obj("queries") ++ obj("extras"))
+          }
+        }.toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+
+  /** Best (min) prior per-query time per tier across the given
+    * committed artifacts — the cross-round tripwire's reference
+    * ([[BenchGuard.priorOutlier]]). Min-of-artifacts so one contended
+    * prior run can't inflate the reference and mask a blip.
+    */
+  private[graft] def priorTimings(paths: Seq[String]): Map[String, Map[String, Double]] = {
+    val all = paths.map(artifactTierTimings)
+    all.flatMap(_.keys).distinct.map { tag =>
+      val maps = all.flatMap(_.get(tag))
+      val names = maps.flatMap(_.keys).distinct
+      tag -> names.flatMap { n =>
+        val ts = maps.flatMap(_.get(n)).filter(_ > 0)
+        if (ts.isEmpty) None else Some(n -> ts.min)
+      }.toMap
+    }.toMap
+  }
 
   /** Time each query as the `agg` of `runs` cache-cleared executions,
     * bracketing every query with CPU-bound sentinel probes: the probe
@@ -235,7 +279,8 @@ object Bench {
     */
   private def timeGuarded(spark: SparkSession, dir: String, names: Seq[String],
                           runs: Int, agg: Seq[Double] => Double,
-                          idleSec: Double): Seq[QRes] = {
+                          idleSec: Double,
+                          prior: Map[String, Double] = Map.empty): Seq[QRes] = {
     // (kept aggregate, max/min spread across the timed runs). A spread
     // beyond 2.5× means a load burst hit SOME run while the bracketing
     // sentinels landed in gaps — the kept min may still be honest, but
@@ -289,12 +334,20 @@ object Bench {
     var opening = sentinel(spark)
     names.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
+        // cross-round tripwire (r11 verdict item 1): a kept time >3×
+        // the best committed prior-artifact time at this tier retries
+        // exactly like a hot closing sentinel, and stays dirty if the
+        // retry trips too — the q_token_count 8× sf0.1 blip shipped
+        // inside a contended:false artifact because it fit between
+        // two quiet sentinels
+        def outlier(x: Double): Boolean =
+          BenchGuard.priorOutlier(x, prior.get(name))
         opening = waitSentinel(opening)
         var (t, spread) = attempt(fn)
         var closing = sentinel(spark)
         var clean = BenchGuard.quietPost(opening, idleSec) &&
           BenchGuard.quietPost(closing, idleSec) &&
-          (runs < 2 || spread <= SpreadBound)
+          (runs < 2 || spread <= SpreadBound) && !outlier(t)
         var retried = false
         if (!clean) {
           val reopening = waitSentinel(closing)
@@ -303,13 +356,15 @@ object Bench {
             val c2 = sentinel(spark)
             retried = true
             if (BenchGuard.quietPost(c2, idleSec) &&
-                (runs < 2 || spread2 <= SpreadBound)) { t = t2; clean = true }
+                (runs < 2 || spread2 <= SpreadBound) && !outlier(t2)) {
+              t = t2; clean = true
+            }
             else if (t2 >= 0 && (t < 0 || t2 < t)) t = t2
             closing = c2
           }
         }
         opening = closing // the closing probe opens the next query
-        QRes(name, t, clean, retried)
+        QRes(name, t, clean, retried, priorOutlier = outlier(t))
       }
     }
   }
@@ -367,13 +422,17 @@ object Bench {
       case _ => ""
     }
 
-  private case class Tier(results: Seq[QRes], preQuiet: Boolean, pre: Probe) {
+  private case class Tier(results: Seq[QRes], preQuiet: Boolean, pre: Probe,
+                          stagingFailed: Boolean = false) {
     // a tier is clean iff it STARTED on a quiet box (loadavg +
-    // sentinel) and every kept query measurement ran between two
-    // quiet sentinels; `dirty` names the exceptions so one contended
-    // query doesn't anonymously poison the tier
+    // sentinel), staging succeeded (a failed stageTier silently moves
+    // the one-time index builds INSIDE the timed unit — r11 advice
+    // item 1: the amortization claim would be invalidated with no
+    // signal in the artifact), and every kept query measurement ran
+    // between two quiet sentinels; `dirty` names the exceptions so
+    // one contended query doesn't anonymously poison the tier
     def dirty: Seq[String] = results.collect { case q if !q.clean => q.name }
-    def clean: Boolean = preQuiet && dirty.isEmpty
+    def clean: Boolean = preQuiet && !stagingFailed && dirty.isEmpty
     def timings: Seq[(String, Double)] = results.map(q => q.name -> q.sec)
     def headline: Seq[(String, Double)] =
       timings.filterNot(r => extras.contains(r._1))
@@ -385,7 +444,8 @@ object Bench {
       def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
       val total = headline.filter(_._2 >= 0).map(_._2).sum
       val retried = results.count(_.retried)
-      f""""total":$total%.3f,"clean":$clean,"retried":$retried,"pre":${pre.json},"dirty":${arr(dirty)},"queries":${obj(headline)},"extras":${obj(extraResults)},"failed":${arr(failed)}"""
+      val priorOutliers = results.collect { case q if q.priorOutlier => q.name }
+      f""""total":$total%.3f,"clean":$clean,"staging_failed":$stagingFailed,"retried":$retried,"pre":${pre.json},"dirty":${arr(dirty)},"prior_outliers":${arr(priorOutliers)},"queries":${obj(headline)},"extras":${obj(extraResults)},"failed":${arr(failed)}"""
     }
   }
 
@@ -395,16 +455,24 @@ object Bench {
     */
   private def runTier(spark: SparkSession, cores: Int, idleSec: Double,
                       dir: String, names: Seq[String], runs: Int,
-                      agg: Seq[Double] => Double): Tier = {
+                      agg: Seq[Double] => Double,
+                      prior: Map[String, Double] = Map.empty): Tier = {
     // stage per-tier artifacts (persisted indexes) BEFORE the timed
     // loop: their one-time build is the cost the incremental
     // operators amortize away, so it must not land inside (r10
     // verdict item 1) — nor inflate the first run's spread past the
-    // dirty bound
-    try SparkEntry.stageTier(spark, dir) catch { case _: Throwable => () }
+    // dirty bound. A staging FAILURE is recorded in the artifact
+    // (tier `staging_failed` + a contended reason) instead of being
+    // swallowed (r11 advice item 1): the consuming gates would
+    // silently self-stage inside the timed loop, putting the full
+    // index build into the 'screen+delta only' timed unit.
+    val stagingFailed =
+      try { SparkEntry.stageTier(spark, dir); false }
+      catch { case e: Throwable =>
+        System.err.println(s"stageTier($dir) FAILED: $e"); true }
     val pre = waitQuiet(spark, cores, idleSec)
-    val rs = timeGuarded(spark, dir, names, runs, agg, idleSec)
-    Tier(rs, pre.quiet(cores, idleSec), pre)
+    val rs = timeGuarded(spark, dir, names, runs, agg, idleSec, prior)
+    Tier(rs, pre.quiet(cores, idleSec), pre, stagingFailed)
   }
 
   def main(args: Array[String]): Unit = {
@@ -430,10 +498,26 @@ object Bench {
       }
     else spark.read.parquet(s"$sfDir/nation.parquet").count()
 
+    // cross-round tripwire reference: the best committed per-query
+    // times from the last driver-stamped round artifact plus the last
+    // full run (BENCH_LAST.json — read BEFORE this run overwrites it).
+    // Override with SPARK_GRAFT_PRIOR_BENCH=path for A/B work.
+    val priorPaths = sys.env.get("SPARK_GRAFT_PRIOR_BENCH").map(Seq(_))
+      .getOrElse {
+        val rounds = Option(new java.io.File(".").listFiles())
+          .getOrElse(Array.empty[java.io.File]).map(_.getName)
+          .filter(_.matches("BENCH_r\\d+\\.json"))
+        val newest =
+          if (rounds.isEmpty) Nil
+          else Seq(rounds.maxBy(n => "\\d+".r.findFirstIn(n).get.toInt))
+        "BENCH_LAST.json" +: newest
+      }
+    val prior = priorTimings(priorPaths)
+
     // ---- sf0.1 tier: median of 3 (discards one contended run AND one
     // anomalously fast one) --------------------------------------------------
     val t0 = runTier(spark, cpus, idleSec, sfDir, headliners ++ extras,
-      runs = 3, median)
+      runs = 3, median, prior.getOrElse("sf01", Map.empty))
 
     // ---- optional sf1 tier -------------------------------------------------
     // at sf0.1 all headliners sit inside the ~0.2 s/job scheduling floor,
@@ -455,7 +539,7 @@ object Bench {
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "testdata/sf1")
     val sf1Tier = tierIf(sf1Dir, 10L, "sf1") {
       runTier(spark, cpus, idleSec, sf1Dir, headliners ++ extras,
-        runs = 2, _.min)
+        runs = 2, _.min, prior.getOrElse("sf1", Map.empty))
     }
     val sf1Json = sf1Tier.map(t => s""","sf1":{"dir":"$sf1Dir","runs":2,${t.json}${ratioJson(t, "BASELINE_SF1.md")}}""").getOrElse("")
 
@@ -466,7 +550,7 @@ object Bench {
     val sf10Dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "testdata/sf10")
     val sf10Tier = tierIf(sf10Dir, 100L, "sf10") {
       runTier(spark, cpus, idleSec, sf10Dir, headliners ++ extras,
-        runs = 2, _.min)
+        runs = 2, _.min, prior.getOrElse("sf10", Map.empty))
     }
     val sf10Json = sf10Tier.map(t => s""","sf10":{"dir":"$sf10Dir","runs":2,${t.json}${ratioJson(t, "BASELINE_SF10.md")}}""").getOrElse("")
 
@@ -476,7 +560,7 @@ object Bench {
     val sf30Dir = sys.env.getOrElse("SPARK_GRAFT_SF30_DIR", "testdata/sf30")
     val sf30Tier = tierIf(sf30Dir, 300L, "sf30") {
       runTier(spark, cpus, idleSec, sf30Dir, sf30Subset,
-        runs = 2, _.min)
+        runs = 2, _.min, prior.getOrElse("sf30", Map.empty))
     }
     val sf30Json = sf30Tier.map(t => s""","sf30":{"dir":"$sf30Dir","runs":2,${t.json}${ratioJson(t, "BASELINE_SF30.md")}}""").getOrElse("")
 
@@ -510,6 +594,10 @@ object Bench {
     if (sf1Tier.exists(!_.clean)) reasons += "sf1_dirty"
     if (sf10Tier.exists(!_.clean)) reasons += "sf10_dirty"
     if (sf30Tier.exists(!_.clean)) reasons += "sf30_dirty"
+    if (t0.stagingFailed) reasons += "staging_failed_sf01"
+    if (sf1Tier.exists(_.stagingFailed)) reasons += "staging_failed_sf1"
+    if (sf10Tier.exists(_.stagingFailed)) reasons += "staging_failed_sf10"
+    if (sf30Tier.exists(_.stagingFailed)) reasons += "staging_failed_sf30"
     if (xtier01.nonEmpty) reasons += "cross_tier_sf01"
     if (xtier1.nonEmpty) reasons += "cross_tier_sf1"
     stale.foreach(t => reasons += s"stale_$t")
@@ -523,7 +611,7 @@ object Bench {
     val staleJson = s""","stale_tiers":${arr(stale.toSeq)}"""
 
     // full artifact: every tier block, probes, per-query timings
-    val reasonsJson = s""","contended_reasons":${arr(reasons.toSeq)}"""
+    val reasonsJson = s""","contended_reasons":${arr(reasons.toSeq)},"prior_files":${arr(priorPaths)}"""
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","idle_calibration_sec":$idleSec%.3f,"load_gate":${BenchGuard.LoadFraction * cpus}%.1f,"sentinel_bound_sec":${BenchGuard.SentinelSlack * idleSec}%.3f,"contended":${!allClean}$reasonsJson$staleJson,"sf01":{${t0.json}${ratioJson(t0, "BASELINE.md")}}$sf1Json$sf10Json$sf30Json$xtierJson}"""
     val out = new java.io.PrintWriter("BENCH_LAST.json")

@@ -76,4 +76,25 @@ object BenchGuard {
     }
   }
 
+  /** Cross-ROUND per-query tripwire (r11 verdict item 1): a query
+    * measuring more than `factor`× its best committed prior-artifact
+    * time at the SAME tier is treated like a hot closing sentinel —
+    * re-run once, and if the re-run still trips, kept but marked
+    * dirty (named in the tier's `prior_outliers`). The r11 driver run
+    * shipped q_token_count at 2.389 s against a same-day committed
+    * 0.235 s (8×, box noise) inside a `contended:false` artifact —
+    * every existing guard passed because the blip fit between two
+    * quiet sentinels. A genuine plan change that slows a query >3×
+    * also trips this, which is correct: it should be re-baselined
+    * deliberately, with the dirty mark as the prompt, not ship as a
+    * silent regression. `floorSec` skips the sub-0.3 s scheduling-
+    * jitter regime (same bound as [[crossTierViolations]]); a query
+    * with no prior record (newborn operators) never trips.
+    */
+  val PriorFactor = 3.0
+  def priorOutlier(sec: Double, prior: Option[Double],
+                   factor: Double = PriorFactor,
+                   floorSec: Double = 0.3): Boolean =
+    sec > floorSec && prior.exists(p => p > 0 && sec > factor * p)
+
 }

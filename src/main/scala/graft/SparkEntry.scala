@@ -150,15 +150,34 @@ object SparkEntry {
     * fingerprint-guarded no-ops once staged), so a standalone
     * `queries(name)` call still works anywhere.
     */
+  /** /tmp staging path for a per-tier persisted artifact, keyed by the
+    * data dir's ABSOLUTE path plus the invoking user — a relative
+    * "testdata/sf0.1" from two checkouts (or two users) must not
+    * collide on one /tmp artifact (r11 advice item 3).
+    */
+  private[graft] def stagePath(kind: String, d: String): String = {
+    val abs = new java.io.File(d).getAbsolutePath
+    val user = sys.props.getOrElse("user.name", "u")
+    s"/tmp/graft_${kind}_${user}_${abs.replaceAll("[^a-zA-Z0-9]", "_")}"
+  }
+
   def stageTier(spark: SparkSession, dir: String): Unit = {
+    // sourceFp: FS-metadata stamp of the artifact's SOURCE table —
+    // the ensure* hot path then costs a few file-attr reads, never a
+    // corpus scan (r11 advice item 5), and regenerated data with an
+    // unchanged (count, Σchars) signature still invalidates (item 3).
+    // The consuming gates pass the SAME stamp so a pre-staged index
+    // fingerprint always matches theirs.
     graft.dedup.LshIngest.ensureIndex(
       Tables.documents(spark, dir).select("doc_id", "text"), "doc_id", "text",
-      s"/tmp/graft_lshidx_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
+      stagePath("lshidx", dir),
+      sourceFp = Tables.sourceStamp(spark, dir, "documents"))
     val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
     graft.ann.Ivf.ensureAppendedIndex(
       emb.filter(pmod(col("vec_id"), lit(5L)) =!= 0L),
       emb.filter(pmod(col("vec_id"), lit(5L)) === 0L),
-      s"/tmp/graft_ivfapp_${dir.replaceAll("[^a-zA-Z0-9]", "_")}", c = 16)
+      stagePath("ivfapp", dir), c = 16,
+      sourceFp = Tables.sourceStamp(spark, dir, "embeddings"))
     ()
   }
 
@@ -2252,8 +2271,9 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
       val base = emb.filter(pmod(col("vec_id"), lit(5L)) =!= 0L)
       val batch = emb.filter(pmod(col("vec_id"), lit(5L)) === 0L)
-      val tmp = s"/tmp/graft_ivfapp_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
-      graft.ann.Ivf.ensureAppendedIndex(base, batch, tmp, c = 16)
+      val tmp = stagePath("ivfapp", d)
+      graft.ann.Ivf.ensureAppendedIndex(base, batch, tmp, c = 16,
+        sourceFp = Tables.sourceStamp(s, d, "embeddings"))
       val queries = batch.filter(col("vec_id") < 40)
         .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
       graft.ann.Ivf.topKIndexed(tmp, queries, k = 5, nprobe = 12)
@@ -2318,8 +2338,9 @@ object SparkEntry {
       // verdict; the minhash miss floor at 8 shingles is ~0.5%/doc)
       // pinned TRUE. LshIngestSpec pins the exact flag/survive sets.
       val docs = Tables.documents(s, d).select("doc_id", "text")
-      val base = s"/tmp/graft_lshidx_${d.replaceAll("[^a-zA-Z0-9]", "_")}"
-      graft.dedup.LshIngest.ensureIndex(docs, "doc_id", "text", base)
+      val base = stagePath("lshidx", d)
+      graft.dedup.LshIngest.ensureIndex(docs, "doc_id", "text", base,
+        sourceFp = Tables.sourceStamp(s, d, "documents"))
       val recrawl = docs.filter(pmod(col("doc_id"), lit(10L)) === 3L)
         .select((col("doc_id") + 10000000L).as("doc_id"),
           concat(col("text"), lit(" zzrecrawlpad")).as("text"),

@@ -55,4 +55,36 @@ object Tables {
       if (fs.exists(p)) fs.getContentSummary(p).getLength else Long.MaxValue
     } catch { case _: java.io.IOException => Long.MaxValue }
   }
+
+  /** Content stamp of a table's parquet file/directory from FILESYSTEM
+    * METADATA alone (per-file path, length, mtime — no Spark job, no
+    * data scan): the fingerprint key the staged-index builders
+    * (`LshIngest.ensureIndex`, `Ivf.ensureAppendedIndex`, the bloom /
+    * q5-map stagers) stamp their artifacts with. Regenerated data
+    * changes file mtimes/sizes even when row counts and char totals
+    * collide (the r11 advice hole: a (count, Σchars) fingerprint
+    * reuses a stale index across permuted re-generations), and the
+    * stamp costs O(files) driver-side metadata calls — so a
+    * fingerprint HIT never scans the corpus inside a timed gate
+    * (r11 advice: the old hit path re-computed count+sum(length) per
+    * bench run). None when the path is missing/unlistable: callers
+    * fall back to their scan-based fingerprint.
+    */
+  def sourceStamp(s: SparkSession, sfDir: String, name: String): Option[String] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(s"$sfDir/$name.parquet")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else {
+        val it = fs.listFiles(p, true)
+        val parts = scala.collection.mutable.ArrayBuffer[String]()
+        while (it.hasNext) {
+          val f = it.next()
+          parts += s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}"
+        }
+        val blob = fs.makeQualified(p).toString + "|" + parts.sorted.mkString(",")
+        val md = java.security.MessageDigest.getInstance("MD5")
+        Some(md.digest(blob.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+      }
+    } catch { case _: java.io.IOException => None }
 }

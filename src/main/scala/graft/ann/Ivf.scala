@@ -211,11 +211,21 @@ object Ivf {
     * the stamp guards the whole flow. Returns true when a build ran.
     */
   def ensureAppendedIndex(base: DataFrame, batch: DataFrame, path: String,
-                          c: Int = 16, iters: Int = 2): Boolean = {
-    val fp = {
-      val b = base.agg(count(lit(1)), sum(col("vec_id"))).head
-      val a = batch.agg(count(lit(1)), sum(col("vec_id"))).head
-      s"${b.getLong(0)}_${b.getLong(1)}_${a.getLong(0)}_${a.getLong(1)}_c${c}_i$iters"
+                          c: Int = 16, iters: Int = 2,
+                          sourceFp: Option[String] = None): Boolean = {
+    // caller-supplied SOURCE stamp (FS metadata, no scan) preferred;
+    // the scan fallback coalesces its sums — sum() over an EMPTY
+    // input is NULL and getLong then NPEs (r11 advice), while an
+    // empty base/batch should fingerprint stably and build an empty
+    // index. The id-sum doubles as a cheap content term only because
+    // vec_ids are the identity here; regenerated embeddings under
+    // unchanged ids are caught by the sourceFp path.
+    val fp = sourceFp.map(s => s"src:${s}_c${c}_i$iters").getOrElse {
+      def sig(df: DataFrame): String = {
+        val r = df.agg(count(lit(1)), coalesce(sum(col("vec_id")), lit(0L))).head
+        s"${r.getLong(0)}_${r.getLong(1)}"
+      }
+      s"${sig(base)}_${sig(batch)}_c${c}_i$iters"
     }
     val marker = java.nio.file.Paths.get(path, "_FINGERPRINT")
     val fresh = java.nio.file.Files.exists(marker) &&

@@ -80,9 +80,22 @@ object LshIngest {
     */
   def ensureIndex(corpus: DataFrame, idCol: String, textCol: String,
                   path: String, shingleK: Int = 3, numHashes: Int = 64,
-                  numBands: Int = 16, maxBucket: Int = 64): Boolean = {
-    val fp = corpus.agg(count(lit(1)), sum(length(col(textCol))))
-      .head match { case r => s"${r.getLong(0)}_${r.getLong(1)}_k${shingleK}_h${numHashes}_b${numBands}_m$maxBucket" }
+                  numBands: Int = 16, maxBucket: Int = 64,
+                  sourceFp: Option[String] = None): Boolean = {
+    // fingerprint = params + either the caller's SOURCE stamp (FS
+    // metadata — Tables.sourceStamp; the hot path then never scans the
+    // corpus: r11 advice, the old hit path re-ran count+sum(length)
+    // per bench run) or a scan fingerprint. The scan form carries a
+    // CONTENT term (sum of per-doc xxhash64, same single pass):
+    // (count, Σchars) alone silently reused a stale index across
+    // regenerated data with permuted content (r11 advice).
+    val params = s"k${shingleK}_h${numHashes}_b${numBands}_m$maxBucket"
+    val fp = sourceFp.map(s => s"src:${s}_$params").getOrElse {
+      val r = corpus.agg(count(lit(1)),
+        coalesce(sum(length(col(textCol))), lit(0L)),
+        coalesce(sum(xxhash64(col(textCol))), lit(0L))).head
+      s"${r.getLong(0)}_${r.getLong(1)}_x${r.getLong(2)}_$params"
+    }
     val marker = java.nio.file.Paths.get(path, "_FINGERPRINT")
     val fresh = java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim == fp

@@ -72,6 +72,46 @@ class BenchSpec extends AnyFunSuite {
       Seq("a" -> 5.0, "b" -> 5.0), Seq("b" -> -1.0)).isEmpty)
   }
 
+  test("prior tripwire catches the r11 q_token_count blip") {
+    // r11's driver-stamped artifact: q_token_count 2.389 s at sf0.1 vs
+    // 0.235 s in the committed same-day run (and 0.298 s in r10) — an
+    // 8x box-noise blip that shipped inside contended:false because it
+    // fit between two quiet sentinels. The cross-round tripwire flags
+    // it against either prior record.
+    assert(BenchGuard.priorOutlier(2.389, Some(0.235)))
+    assert(BenchGuard.priorOutlier(2.389, Some(0.298)))
+    // the committed same-day measurement itself is NOT an outlier
+    assert(!BenchGuard.priorOutlier(0.298, Some(0.235)))
+    // healthy round-over-round drift (set growth, small regressions)
+    // stays under the 3x factor
+    assert(!BenchGuard.priorOutlier(0.66, Some(0.235)))
+    // newborn operators have no prior record and never trip
+    assert(!BenchGuard.priorOutlier(9.9, None))
+    // sub-floor times jitter freely (r11's sf0.1 tier is full of
+    // 0.1-0.3 s rows whose ratios are scheduling noise)
+    assert(!BenchGuard.priorOutlier(0.29, Some(0.05)))
+    // a failed query (-1) is handled by the failed list, not this
+    assert(!BenchGuard.priorOutlier(-1.0, Some(0.235)))
+  }
+
+  test("prior timings parse committed artifacts per tier, min-merged") {
+    // BENCH_r11.json is the committed driver-stamped artifact whose
+    // sf0.1 block carries the blip itself; parsing it must yield the
+    // per-tier per-query maps the tripwire compares against
+    val r11 = Bench.artifactTierTimings("BENCH_r11.json")
+    if (r11.nonEmpty) { // absent in fresh checkouts; spec is then vacuous
+      assert(r11.contains("sf01") && r11("sf01").contains("q_token_count"))
+      // extras are merged in (they are timed rows too)
+      assert(r11("sf01").contains("q_lsh_ingest_dedup"))
+      val merged = Bench.priorTimings(Seq("BENCH_r11.json", "BENCH_LAST.json"))
+      // min-of-artifacts: the reference can only get tighter
+      assert(merged("sf01")("q_token_count") <=
+        r11("sf01")("q_token_count"))
+    }
+    // unreadable paths parse to empty, never throw
+    assert(Bench.artifactTierTimings("/nonexistent.json").isEmpty)
+  }
+
   test("compact stdout line fits the driver's 2000-char tail window") {
     // r7-r9's full multi-tier line outgrew the driver's tail and the
     // round artifact shipped `"parsed": null`. The compact line is
