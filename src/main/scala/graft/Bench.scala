@@ -52,9 +52,11 @@ object Bench {
     // rule bundle (a full corpus scan pass) and temperature mixture
     // rates (corpus tokenize + stratum-cardinality derivation)
     "q_gopher_rules", "q_temperature_mix",
-    // bloom-prefiltered incremental dedup: a corpus sketch pass + a
-    // 2x-corpus probe whose hit fraction alone reaches the verify join
-    "q_bloom_ingest_dedup",
+    // q_bloom_ingest_dedup moved to extras in r12 (verdict item 2):
+    // its index builds are staged like LshIngest's, and the same-work
+    // baseline (DuckDB probing a pre-built digest table) lives under
+    // the baseline's extras — a from-raw headline compare charged
+    // Spark for sketch+digest builds the oracle never performs
     // final r9 operators, same policy: PMI association mining (two
     // corpus tokenize passes + a pair-keyed exchange) and the skew
     // advisor (the counts-only key exchange a prospective join would
@@ -131,7 +133,18 @@ object Bench {
     // rows-only by nature (HLL estimates aren't SQL); both carry
     // comparable-WORK baselines (DuckDB answering the same question
     // exactly) under the baseline's "extras"
-    "q_hll_store", "q_overlap_sketch")
+    "q_hll_store", "q_overlap_sketch",
+    // r12 staged/approx operator forms (verdict items 2-4) — all
+    // full-or-partial-oracle GATES, benched here because their
+    // baselines need same-work treatment outside the headline total:
+    // bloom ingest probes staged sketch+digest artifacts (baseline:
+    // DuckDB anti-join against a pre-built digest table), the q5
+    // staged map reads a persisted order→nation reduction (baseline:
+    // DuckDB probing the same pre-built map), and the approx event
+    // windows flip the exact-distinct engine floor to HLL (baseline:
+    // DuckDB's own approx_count_distinct)
+    "q_bloom_ingest_dedup", "q5_local_supplier_staged",
+    "q_event_windows_approx")
 
   // sf30 demonstration tier (r8 verdict item 1; widened per r9 item
   // 5): every headliner whose sf10 Spark time is >= 2 s — deep enough
@@ -155,7 +168,11 @@ object Bench {
     // admission rule from birth but was absent from the sf30 tier;
     // the staged LSH screen joins for its amortization evidence, and
     // the chat-assembly newborn qualifies at 2.9 s sf10
-    "q_robust_scale", "q_lsh_ingest_dedup", "q_chat_assemble")
+    "q_robust_scale", "q_lsh_ingest_dedup", "q_chat_assemble",
+    // r12 staged/approx forms: benched at the amortization-
+    // demonstration tier from birth (their whole point is the sf30
+    // ratio their from-raw/exact siblings could not reach)
+    "q5_local_supplier_staged", "q_event_windows_approx")
 
   /** Tier-freshness preamble (r9 verdict item 8): the gitignored tier
     * parquet was wiped twice during r9 and the old existence-only gate

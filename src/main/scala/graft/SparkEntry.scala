@@ -178,6 +178,16 @@ object SparkEntry {
       emb.filter(pmod(col("vec_id"), lit(5L)) === 0L),
       stagePath("ivfapp", dir), c = 16,
       sourceFp = Tables.sourceStamp(spark, dir, "embeddings"))
+    // r12: the bloom ingest index (corpus sketch + digest table) and
+    // the q5 order→nation map — the two newly staged-form operators
+    val est = math.min(math.max(Tables.bytesOnDisk(spark, dir, "documents") / 64L,
+      1024L), 1L << 26)
+    graft.operators.BloomDedup.ensureIngestIndex(
+      Tables.documents(spark, dir).select("doc_id", "text"), "text",
+      stagePath("bloomidx", dir), est, est * 10L,
+      sourceFp = Tables.sourceStamp(spark, dir, "documents"))
+    graft.sources.StagedMaps.ensureOrderNationMap(spark, dir,
+      stagePath("q5map", dir))
     ()
   }
 
@@ -382,6 +392,42 @@ object SparkEntry {
       val asianOrders = broadcastIfUnder(s, d, "customer", 2 * Gi)(asianCust)
         .join(o, col("o_custkey") === col("c_custkey"))
         .select("o_orderkey", "c_nationkey")
+      l.join(broadcastIfUnder(s, d, "orders", 3 * Gi)(asianOrders),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcastIfUnder(s, d, "supplier", Gi / 2)(
+            sup.select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+        .groupBy("c_nationkey")
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), round(col("rev"), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    }),
+
+    "q5_local_supplier_staged" -> ((s, d) => {
+      // q5 through the PERSISTED order→nation map (r11 verdict item 3,
+      // adopting the LshIngest staging precedent): the r11 measurement
+      // showed ~half of every from-raw q5 run is the customer⨝orders
+      // dimension-reduction build (asianOrders materializes alone in
+      // ~1.9 s at sf30), and persisting that map once cut the repeat
+      // query 28% (3.73 vs 5.19 s). StagedMaps.ensureOrderNationMap
+      // stages it per tier (fingerprint-stamped; Bench pre-stages via
+      // stageTier), so the timed unit is what a pipeline re-asking the
+      // same window pays: map read → fact probe → supplier join → agg.
+      // Result is IDENTICAL to q5 by construction, so the gate keeps
+      // q5's FULL oracle; the bench row lives in extras with a
+      // same-work DuckDB baseline (the baseline builds the map in an
+      // untimed setup statement — EXTRAS_BASELINE_SQL).
+      val path = stagePath("q5map", d)
+      graft.sources.StagedMaps.ensureOrderNationMap(s, d, path)
+      val asianOrders = graft.sources.StagedMaps.orderNationMap(s, path)
+      val l = Tables.lineitem(s, d)
+      val sup = Tables.supplier(s, d)
+      val n = Tables.nation(s, d)
+      // same size-gated broadcast chain as q5's probe side: the map is
+      // ~6% of orders at 16 B/row (3 GiB source cap ≈ 150 MB built);
+      // past the cap AQE keeps the key-shuffled join — the cluster plan
       l.join(broadcastIfUnder(s, d, "orders", 3 * Gi)(asianOrders),
           col("l_orderkey") === col("o_orderkey"))
         .join(broadcastIfUnder(s, d, "supplier", Gi / 2)(
@@ -1692,55 +1738,50 @@ object SparkEntry {
 
     "q_bloom_ingest_dedup" -> ((s, d) => {
       // batch form of the continuous-ingest dedup gate, through the
-      // bloom-prefilter recipe: ONE corpus pass builds the membership
-      // sketch (~10 bits/doc), the incoming batch (full recrawl — must
-      // vanish — plus per-id-salted fresh docs — must survive) probes
-      // it codegen'd, and only bloom HITS reach the exact text anti-join;
-      // misses pass join-free. Exact regardless of fpp, so the oracle
-      // is the same NOT EXISTS as q_stream_ingest_dedup.
-      // docs cached: its four consumers (sketch build, verify distinct
-      // side, 2 staging branches) each re-decompress the text column
-      // from parquet otherwise — the uncached form A/B'd 60% SLOWER at
-      // sf10 (2.19 vs 1.37 s) even with the cache built inside the
-      // timed run. The sketch is sized from file METADATA (bytesOnDisk
-      // /64 over-estimates docs; over-sizing est and bits TOGETHER
-      // keeps the hash count, so fpp stays ~1% and Spark clamps at
-      // 8 MB) — no count job runs.
-      val docs = Tables.documents(s, d).select("doc_id", "text", "source").cache()
-      // the staged batch is cached as ONE relation: left as a raw union
-      // the optimizer clones the probe filter AND the verify anti-join
-      // (build side included) into each union branch — two broadcast
-      // builds of the same distinct corpus. A real ingest batch arrives
+      // bloom-prefilter recipe: the corpus membership sketch
+      // (~10 bits/doc) + the corpus digest table are STAGED once per
+      // tier (BloomDedup.ensureIngestIndex fingerprint stamp — the
+      // r11 verdict item 2 rework, the LshIngest precedent): a
+      // production ingest maintains both incrementally, so its
+      // per-batch cost is screen+verify ONLY, never a corpus re-scan.
+      // The timed unit here is exactly that: the incoming batch (full
+      // recrawl — must vanish — plus per-id-salted fresh docs — must
+      // survive) probes the on-disk sketch codegen'd, bloom MISSES
+      // pass join-free, and only hits (~9% + fpp tail) anti-join the
+      // persisted 16 B/row digest table. Exact regardless of fpp, so
+      // the oracle stays the same NOT EXISTS as q_stream_ingest_dedup.
+      // Bench pre-stages via SparkEntry.stageTier; standalone runs
+      // self-stage on first call. History: through r11 the gate built
+      // the sketch AND re-digested the corpus for the verify side
+      // inside the timed query — the r9 sf30 decomposition (cache
+      // 0.54 s + sketch 0.80 s + probe/verify 1.0-1.6 s vs DuckDB
+      // 0.631 s) shows ~55% of its 3.35x ratio was one-time build
+      // work the baseline never performs; the same-work baseline
+      // (EXTRAS_BASELINE_SQL: DuckDB probing a pre-built digest
+      // table) now compares batch cost to batch cost.
+      // The staged batch is cached as ONE relation: left as a raw
+      // union the optimizer clones the probe filter AND the verify
+      // anti-join into each branch. A real ingest batch arrives
       // materialized (one scan), so the gate stages it the same way.
-      // Batch shape matches the operator's premise (a crawl batch is
-      // MOSTLY novel): a 10% re-crawl slice (the withRecrawls %10
-      // convention; must vanish) + a full per-id-salted fresh batch
-      // (must survive) — ~9% duplicate rate, so the bloom-miss fast
-      // path carries the bulk and only the recrawl slice + fpp tail
-      // reaches the verify join.
+      // Sketch sizing from file METADATA (bytesOnDisk/64; est and
+      // bits over-sized TOGETHER keeps the hash count, fpp ~1%,
+      // Spark clamps at 8 MB) — no count job runs. Upper cap keeps
+      // est*10 overflow-safe (bytesOnDisk returns Long.MaxValue for
+      // an unreadable path).
+      val est = math.min(math.max(Tables.bytesOnDisk(s, d, "documents") / 64L, 1024L),
+        1L << 26)
+      val idx = stagePath("bloomidx", d)
+      BloomDedup.ensureIngestIndex(
+        Tables.documents(s, d).select("doc_id", "text"), "text", idx,
+        est, est * 10L, sourceFp = Tables.sourceStamp(s, d, "documents"))
+      val docs = Tables.documents(s, d).select("doc_id", "text", "source")
       val incoming = docs.filter(pmod(col("doc_id"), lit(10L)) === 3L)
         .unionByName(
           docs.select(col("doc_id"),
             concat(lit("fresh "), col("doc_id").cast("string"), lit(" "), col("text"))
               .as("text"),
             col("source"))).cache()
-      // sf30 stage decomposition (r9 verdict item 2; DevAB steady-
-      // state, DuckDB oracle 0.631 s): cache materialize 0.54 s +
-      // sketch build 0.80 s + probe/verify 1.0-1.6 s ≈ the gate's
-      // ~2.4 s. Spark's own BARE digest anti-join (the oracle's exact
-      // work) is 1.1-1.35 s — the ~2x scan/probe floor vs the embedded
-      // engine (q3/q5 evidence class); the sketch build is the other
-      // half of the ratio and is work the oracle does not perform by
-      // construction. probe/verify ≈ bare anti-join on tmpfs, as the
-      // operator scaladoc predicts: the bloom's payoff term is the
-      // ~20x narrower network exchange, invisible on RAM-backed
-      // shuffle dirs.
-      // upper cap keeps est*10 overflow-safe (bytesOnDisk returns
-      // Long.MaxValue for an unreadable path) and is already far past
-      // Spark's runtime-filter clamp
-      val est = math.min(math.max(Tables.bytesOnDisk(s, d, "documents") / 64L, 1024L),
-        1L << 26)
-      BloomDedup.incrementalKeep(docs, incoming, "text", est, est * 10L)
+      BloomDedup.incrementalKeepStaged(incoming, "text", idx)
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(length(col("text"))).as("n_chars"))
@@ -2871,6 +2912,25 @@ object SparkEntry {
     // ===== H. Streaming (batch-equivalent forms) ========================
     "q_event_windows" -> ((s, d) => Events.windowedAggBatch(Tables.events(s, d))),
 
+    "q_event_windows_approx" -> ((s, d) =>
+      // the HLL flip for the exact-distinct engine floor (r11 verdict
+      // item 4): same windowed agg with approx_count_distinct user
+      // counts — sketches partial-agg map-side, so the exchange
+      // carries |windows×types| KB rows instead of ~n user rows (the
+      // 100 TB form). rows-only by nature (estimates aren't cross-
+      // engine); the envelope gate below and StreamingSpec bound it.
+      // Benched under extras with a comparable-work DuckDB baseline
+      // (approx_count_distinct — DuckDB's own HLL on the same work)
+      Events.windowedAggApprox(Tables.events(s, d))),
+
+    "q_event_windows_approx_check" -> ((s, d) =>
+      // partial-oracle envelope for the HLL flip: exact n_events and
+      // exact distinct columns, with the 4σ (20%-or-±5) hard envelope
+      // pinned TRUE (the q_lsh_ingest_dedup upgrade pattern; rsd 0.05
+      // is a σ, so the tighter 95%-within-2σ claim lives in spec —
+      // see Events.windowedAggApproxCheck calibration note)
+      Events.windowedAggApproxCheck(Tables.events(s, d))),
+
     "q_stream_windows" -> ((s, d) => Events.windowedAggFileStream(s, d)),
 
     "q_sessionize" -> ((s, d) => Events.sessionizeBatch(Tables.events(s, d), 30)),
@@ -3199,6 +3259,25 @@ object SparkEntry {
          LIMIT 10""",
 
     "q5_local_supplier" ->
+      """SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM orders
+           JOIN lineitem ON o_orderkey = l_orderkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY n_name
+         ORDER BY revenue DESC, n_name ASC""",
+
+    // the staged-map form computes the identical result (the map is a
+    // pure materialization of the customer⨝orders reduction), so its
+    // oracle is q5's from-raw SQL verbatim — the staging advantage is
+    // benched (extras, same-work baseline), not oracled
+    "q5_local_supplier_staged" ->
       """SELECT n_name,
            round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
          FROM orders
@@ -6135,6 +6214,15 @@ object SparkEntry {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
            count(*) AS n_events, round(sum(value), 2) AS sum_value,
            count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY 1, 2""",
+
+    // envelope check for the HLL flip: exact columns + the 5% verdict
+    // pinned TRUE (estimates themselves are not cross-engine values)
+    "q_event_windows_approx_check" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users_exact,
+           TRUE AS within_envelope
          FROM events GROUP BY 1, 2""",
 
     "q_sessionize_native" ->

@@ -93,7 +93,9 @@ object LshIngest {
     val fp = sourceFp.map(s => s"src:${s}_$params").getOrElse {
       val r = corpus.agg(count(lit(1)),
         coalesce(sum(length(col(textCol))), lit(0L)),
-        coalesce(sum(xxhash64(col(textCol))), lit(0L))).head
+        // bit_xor, not sum: xor is order-independent and can never
+        // overflow under ANSI (a sum of full-range xxhash64 longs does)
+        coalesce(bit_xor(xxhash64(col(textCol))), lit(0L))).head
       s"${r.getLong(0)}_${r.getLong(1)}_x${r.getLong(2)}_$params"
     }
     val marker = java.nio.file.Paths.get(path, "_FINGERPRINT")

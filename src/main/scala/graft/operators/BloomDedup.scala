@@ -122,6 +122,80 @@ object BloomDedup {
     incrementalKeep(corpus, incoming, textCol, n, n * bitsPerItem)
   }
 
+  /** Build the PERSISTED ingest index — the two artifacts a continuous
+    * ingest maintains so that each batch pays screen cost ONLY (the
+    * LshIngest.writeIndex analog for the exact-dedup family):
+    *  - `bloom.bin`: the serialized corpus membership sketch;
+    *  - `digests/`: the distinct md5 content-digest table the verify
+    *    anti-join probes (16 B/row — the historical hash index
+    *    q_stream_ingest_dedup's premise names).
+    * A production crawl updates both incrementally per accepted batch
+    * (bloom puts + digest appends); here the build is one-shot and
+    * fingerprint-staged per corpus.
+    */
+  def writeIngestIndex(corpus: DataFrame, textCol: String, path: String,
+                       expectedItems: Long, numBits: Long): Unit = {
+    val bloom = buildBloom(corpus, textCol, expectedItems, numBits)
+    corpus.select(md5(col(textCol).cast("binary")).as("dig")).distinct()
+      .write.mode("overwrite").parquet(s"$path/digests")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, "bloom.bin"), bloom)
+  }
+
+  /** Fingerprint-staged [[writeIngestIndex]] (the LshIngest.ensureIndex
+    * contract): builds once per distinct (source stamp, sizing); the
+    * bench stages it via SparkEntry.stageTier so the one-time sketch +
+    * digest builds sit OUTSIDE the timed unit — they are exactly the
+    * cost the incremental operator amortizes away (r11 verdict item 2:
+    * the timed gate carried a per-run sketch build the DuckDB baseline
+    * never performs, and read 3.35x at sf30 for it). Returns true when
+    * a build ran.
+    */
+  def ensureIngestIndex(corpus: DataFrame, textCol: String, path: String,
+                        expectedItems: Long, numBits: Long,
+                        sourceFp: Option[String] = None): Boolean = {
+    // scan-fallback content term is bit_xor (order-independent, never
+    // overflows under ANSI — a sum of full-range xxhash64 longs does)
+    val params = s"e${expectedItems}_b$numBits"
+    val fp = sourceFp.map(s => s"src:${s}_$params").getOrElse {
+      val r = corpus.agg(count(lit(1)),
+        coalesce(sum(length(col(textCol))), lit(0L)),
+        coalesce(bit_xor(xxhash64(col(textCol))), lit(0L))).head
+      s"${r.getLong(0)}_${r.getLong(1)}_x${r.getLong(2)}_$params"
+    }
+    val marker = java.nio.file.Paths.get(path, "_FINGERPRINT")
+    val fresh = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8").trim == fp
+    if (!fresh) {
+      writeIngestIndex(corpus, textCol, path, expectedItems, numBits)
+      java.nio.file.Files.write(marker, fp.getBytes("UTF-8"))
+    }
+    !fresh
+  }
+
+  /** [[incrementalKeep]] against a STAGED ingest index — the per-batch
+    * production path: bloom misses pass join-free (one codegen'd probe
+    * of the deserialized on-disk sketch), bloom hits anti-join the
+    * persisted digest table instead of re-digesting the corpus. Same
+    * exact output as [[incrementalKeep]] over the corpus the index was
+    * built from (fpp only widens the verify set).
+    */
+  def incrementalKeepStaged(incoming: DataFrame, textCol: String,
+                            path: String): DataFrame = {
+    val spark = incoming.sparkSession
+    val bloom = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "bloom.bin"))
+    val hit = call_function("bloom_might_contain", lit(bloom), xxhash64(col(textCol)))
+    val misses = incoming.filter(!hit)
+    val verified = incoming.filter(hit)
+      .withColumn("__dig", md5(col(textCol).cast("binary")))
+      .join(spark.read.parquet(s"$path/digests")
+          .select(col("dig").as("__dig")),
+        Seq("__dig"), "left_anti")
+      .drop("__dig")
+    misses.unionByName(verified)
+  }
+
   /** The >100M-item form the single-sketch scaladoc points at: the
     * corpus hash space splits into `shards` by `hash % shards`, each
     * shard folds into its OWN sketch (one partial-aggregated pass,

@@ -105,6 +105,60 @@ object Events {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"), col("n_users"))
 
+  /** APPROXIMATE (HLL) form of [[windowedAggBatch]] — the documented
+    * 100 TB escape hatch made a real benched operator (r11 verdict
+    * item 4). The exact per-window distinct is a proven engine floor
+    * (the 4-way A/B above: every exact formulation necessarily
+    * exchanges ~n rows because (window, type, user) groups hold ~1
+    * raw row on a time-shuffled layout). `approx_count_distinct`
+    * (HyperLogLog++) breaks that floor structurally: the per-window
+    * sketch partial-aggregates MAP-SIDE, so the one exchange carries
+    * |windows × types| KB sketch rows instead of ~n user rows — the
+    * form that wins on a network shuffle, and the only admissible one
+    * when a window holds 10^9 users. rsd 0.05 is Spark's default
+    * (2^12 registers); estimates for small windows are exact (the
+    * sparse HLL regime). The estimate-vs-exact envelope is gated by
+    * q_event_windows_approx_check and bounded in spec; the exact gate
+    * (q_event_windows) keeps its oracle unchanged.
+    */
+  def windowedAggApprox(events: DataFrame, windowLen: String = "1 hour",
+                        rsd: Double = 0.05): DataFrame =
+    events.groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"),
+        approx_count_distinct(col("user_id"), rsd).as("n_users_est"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"), col("n_users_est"))
+
+  /** [[windowedAggApprox]]'s estimate-vs-exact envelope as a gate
+    * frame: exact columns (window, type, n_events, exact distinct)
+    * plus the envelope verdict the oracle pins TRUE — the partial-
+    * oracle upgrade pattern (q_lsh_ingest_dedup precedent).
+    *
+    * Envelope calibration: rsd 0.05 is a STANDARD DEVIATION, so a
+    * per-window 10% (2σ) bound is statistically guaranteed to fail
+    * ~2% of windows (measured: 21/~2100 at sf0.1) — an all-rows gate
+    * cannot pin 2σ. The per-row hard envelope is 20% (4σ, exceedance
+    * ~1e-4) with an absolute floor of 5 for the small-count regime
+    * (Spark's HLL++ is dense-only — no exact sparse mode, a 3-user
+    * window can estimate 2; measured max abs error 4 across tiers).
+    * The tighter 2σ claim — ≥95% of windows within 10% — is the
+    * sketch's real guarantee and is spec-asserted (Round12OpsSpec)
+    * rather than row-pinned.
+    */
+  def windowedAggApproxCheck(events: DataFrame,
+                             windowLen: String = "1 hour"): DataFrame =
+    windowedAggApprox(events, windowLen)
+      .join(windowedAggBatch(events, windowLen)
+          .select(col("window_start"), col("event_type"),
+            col("n_users").as("n_users_exact")),
+        Seq("window_start", "event_type"))
+      .select(col("window_start"), col("event_type"), col("n_events"),
+        col("n_users_exact"),
+        (abs(col("n_users_est") - col("n_users_exact")).cast("double")
+          <= greatest(col("n_users_exact") * 0.20, lit(5.0)))
+          .as("within_envelope"))
+
   /** Streaming form of the same aggregation. */
   def windowedAggStream(events: DataFrame, windowLen: String = "1 hour",
                         watermark: String = "2 hours"): DataFrame =

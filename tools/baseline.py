@@ -33,8 +33,9 @@ HEADLINERS = [
     "q_token_budget", "q_heavy_hitters_sketch", "q_dsir_weights",
     "q_ccnet_buckets",
     # late-r9 operators (bench rows from birth): Gopher rule bundle,
-    # temperature mixture rates, bloom-prefiltered incremental dedup
-    "q_gopher_rules", "q_temperature_mix", "q_bloom_ingest_dedup",
+    # temperature mixture rates (q_bloom_ingest_dedup moved to the
+    # extras in r12 — staged index + same-work digest-probe baseline)
+    "q_gopher_rules", "q_temperature_mix",
     # final r9 operators (bench rows from birth): PMI association
     # mining, shuffle-skew advisor. q_hll_store_check and
     # q_source_overlap_sketch left the bench in r11 (their timed cost
@@ -140,6 +141,62 @@ EXTRAS_BASELINE_SQL = {
       FROM orders GROUP BY 1
       UNION ALL
       SELECT -1, count(*), count(DISTINCT o_custkey) FROM orders""",
+    # r12 (verdict item 2): bloom ingest's job is "screen one batch
+    # against an INDEXED historical corpus" — a production ingest
+    # maintains the digest index incrementally, so the one-time digest
+    # build is setup (untimed, mirroring Spark's stageTier staging) and
+    # the timed unit is the batch anti-join both engines pay per batch
+    "q_bloom_ingest_dedup": {
+        "setup": ["""CREATE TABLE IF NOT EXISTS bloom_hist AS
+            SELECT DISTINCT md5(text) AS dig FROM documents"""],
+        "query": """
+          WITH incoming AS (
+            SELECT text, source FROM documents WHERE doc_id % 10 = 3
+            UNION ALL
+            SELECT 'fresh ' || CAST(doc_id AS VARCHAR) || ' ' || text AS text,
+                   source
+            FROM documents
+          ), novel AS (
+            SELECT i.* FROM incoming i
+            WHERE NOT EXISTS (SELECT 1 FROM bloom_hist h WHERE h.dig = md5(i.text))
+          )
+          SELECT source, count(*) AS n_docs,
+            CAST(sum(length(text)) AS BIGINT) AS n_chars
+          FROM novel GROUP BY source""",
+    },
+    # r12 (verdict item 3): the q5 staged-map form — the persisted
+    # order→nation reduction is setup (the pipeline pays it once), the
+    # timed unit is the fact probe + supplier join + agg both engines
+    # pay per reporting query
+    "q5_local_supplier_staged": {
+        "setup": ["""CREATE TABLE IF NOT EXISTS q5map AS
+            SELECT o_orderkey, c_nationkey
+            FROM orders
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'"""],
+        "query": """
+          SELECT n_name,
+            round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          FROM lineitem
+            JOIN q5map ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+            JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY n_name
+          ORDER BY revenue DESC, n_name ASC""",
+    },
+    # r12 (verdict item 4): the HLL flip for the exact-distinct engine
+    # floor — comparable work is DuckDB's own approx_count_distinct
+    # over the same windowed agg
+    "q_event_windows_approx": """
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+             event_type, count(*) AS n_events,
+             round(sum(value), 2) AS sum_value,
+             approx_count_distinct(user_id) AS n_users_est
+      FROM events GROUP BY 1, 2""",
 }
 
 # extras whose comparable-work SQL IS an existing oracle entry:
