@@ -1879,6 +1879,30 @@ object SparkEntry {
         .select(col("doc_id"), col("host"))
     }),
 
+    "q_domain_policy_big" -> ((s, d) => {
+      // the UT1-SCALE blocklist path (r11 verdict item 7): the same
+      // corpus and policy, but the blocklist is the 2 live entries
+      // padded with 2000 synthetic .invalid domains — past the
+      // InlineBlocklistCap switch, so applyPolicyAuto takes the
+      // explode+semi-join form (DISTINCT hosts explode suffixes and
+      // join the list; the literal form would bake megabytes into the
+      // plan at real UT1 size). The padding matches nothing, so the
+      // oracle is q_domain_policy's verbatim — the two forms' output
+      // equality is ALSO spec-pinned on the same corpus
+      // (Round12OpsSpec).
+      val docs = Tables.documents(s, d).withColumn("url",
+        concat(lit("https://"),
+          when(pmod(col("doc_id"), lit(5L)) === 0, lit("cdn.")).otherwise(lit("")),
+          col("source"), lit("-"),
+          pmod(col("doc_id"), lit(7L)).cast("string"),
+          lit(".example.com/p/"), col("doc_id").cast("string")))
+      val bigList = Seq("src1-3.example.com", "src2-1.example.com") ++
+        (1 to 2000).map(i => s"blocked$i.invalid")
+      graft.operators.DomainPolicy.applyPolicyAuto(docs, "url", "doc_id",
+          blocked = bigList, maxPerHost = 3)
+        .select(col("doc_id"), col("host"))
+    }),
+
     "q_token_count" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         TF.tokenCount(col("text")).as("ws_tokens"),
@@ -2034,6 +2058,28 @@ object SparkEntry {
       // reproduces bit-for-bit — see QualityClassifier.marginCheck
       graft.operators.QualityClassifier.marginCheck(
         Tables.documents(s, d), "doc_id", "text")),
+
+    "q_classifier_train_check" -> ((s, d) => {
+      // the TRAINING loop driver-checked (r11 verdict item 8): the
+      // margin machinery was already full-oracle
+      // (q_classifier_margin_check); this pins the other half — the
+      // iterative gradient-descent loop itself — by running it in
+      // exact fixed-point integer arithmetic (portable md5 buckets,
+      // rational fast-sigmoid link, truncating division; see
+      // QualityClassifier.trainCheck) against an INDEPENDENT pure-
+      // Python trainer's committed weight fixtures
+      // (tools/classifier_oracle.py — the bpe_oracle precedent).
+      // Same class construction as q_quality_classifier: positives
+      // as-is, negatives token-reversed, held-out fifth excluded.
+      val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .filter(pmod(col("doc_id"), lit(5L)) =!= 4L)
+      val pos = base.select(col("text"), lit(1L).as("label"))
+      val neg = base.select(
+        concat_ws(" ", transform(TF.tokens(col("text")), t => reverse(t)))
+          .as("text"),
+        lit(0L).as("label"))
+      QualityClassifier.trainCheck(pos.unionByName(neg), "text", "label")
+    }),
 
     "q_quality_classifier" -> ((s, d) => {
       // model-based quality filter (the GPT-3/LLaMA recipe): hashed
@@ -4350,6 +4396,29 @@ object SparkEntry {
          )
          SELECT doc_id, host FROM ranked WHERE rn <= 3""",
 
+    // the big-blocklist form: identical semantics (the 2000 synthetic
+    // .invalid pads match no host), so the oracle is the same SQL
+    "q_domain_policy_big" ->
+      """WITH u AS (
+           SELECT doc_id,
+             lower(CASE WHEN doc_id % 5 = 0 THEN 'cdn.' ELSE '' END
+               || source || '-' || CAST(doc_id % 7 AS VARCHAR)
+               || '.example.com') AS host
+           FROM documents
+         ), unblocked AS (
+           SELECT doc_id, host FROM u
+           WHERE NOT EXISTS (
+             SELECT 1 FROM (VALUES ('src1-3.example.com'),
+               ('src2-1.example.com')) b(h)
+             WHERE u.host = b.h OR u.host LIKE '%.' || b.h)
+         ), ranked AS (
+           SELECT doc_id, host,
+             row_number() OVER (PARTITION BY host
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+           FROM unblocked
+         )
+         SELECT doc_id, host FROM ranked WHERE rn <= 3""",
+
     "q_token_count" ->
       """SELECT doc_id,
            CAST(CASE WHEN length(trim(lower(text))) = 0 THEN 0
@@ -5606,6 +5675,16 @@ object SparkEntry {
       // and fails the gate loudly instead of passing vacuously
       """SELECT rank, "left", "right", merged, pair_count
          FROM read_parquet('/root/repo/tools/fixtures/bpe_expected_*.parquet')
+         WHERE n_docs = (SELECT count(*) FROM documents)
+           AND sum_chars = (SELECT sum(n_chars) FROM documents)""",
+
+    // exact trained weights from an INDEPENDENT pure-Python trainer
+    // (tools/classifier_oracle.py), committed as per-sf fixtures keyed
+    // like q_bpe_train's — the training loop is exact fixed-point
+    // integer arithmetic, so the weights replay bit-for-bit
+    "q_classifier_train_check" ->
+      """SELECT bucket, w_milli
+         FROM read_parquet('/root/repo/tools/fixtures/clf_train_*.parquet')
          WHERE n_docs = (SELECT count(*) FROM documents)
            AND sum_chars = (SELECT sum(n_chars) FROM documents)""",
 

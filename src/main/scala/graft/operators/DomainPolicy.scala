@@ -65,6 +65,60 @@ object DomainPolicy {
     val withHost = docs.withColumn("host", hostOf(col(urlCol)))
     val unblocked = withHost.filter(col("host").isNull ||
       !isBlocked(col("host"), blocked))
+    capAndPassthroughHostless(unblocked, idCol, maxPerHost)
+  }
+
+  /** The UT1-SCALE blocklist form (r11 verdict item 7, previously
+    * documented-only): the UT1/adult blocklists run to millions of
+    * registrable domains — as an in-plan array literal that is
+    * megabytes of plan and a per-row O(|suffixes|·lookup) scan, so
+    * past [[InlineBlocklistCap]] the match flips to a JOIN: the
+    * DISTINCT hosts (bounded by the crawl's host cardinality, not its
+    * doc count) explode their ≤~6 dot-suffixes and LEFT SEMI join the
+    * blocklist keyed by suffix; blocked hosts then LEFT ANTI back
+    * onto the docs by host. Same semantics as [[isBlocked]]
+    * (spec-pinned equal output), one bounded-fanout exchange of
+    * (host, suffix) pairs + a broadcast-or-shuffled lookup the
+    * optimizer sizes. NULL hosts survive the anti join by three-
+    * valued logic — exactly the pass-through the literal form gives.
+    */
+  def applyPolicyJoin(docs: DataFrame, urlCol: String, idCol: String,
+      blocklist: DataFrame, listCol: String, maxPerHost: Int): DataFrame = {
+    val withHost = docs.withColumn("host", hostOf(col(urlCol)))
+    val bl = blocklist.select(lower(col(listCol)).as("__sfx")).distinct()
+    val blockedHosts = withHost.select(col("host"))
+      .filter(col("host").isNotNull).distinct()
+      .select(col("host"), explode(hostSuffixes(col("host"))).as("__sfx"))
+      .join(bl, Seq("__sfx"), "left_semi")
+      .select("host").distinct()
+    val unblocked = withHost.join(blockedHosts, Seq("host"), "left_anti")
+    capAndPassthroughHostless(unblocked, idCol, maxPerHost)
+  }
+
+  /** How many blocklist entries the in-plan literal form tolerates
+    * before [[applyPolicyAuto]] flips to the join form. A few hundred
+    * literals codegen fine; UT1-class lists (millions) must join.
+    */
+  val InlineBlocklistCap = 256
+
+  /** Size-switched policy: literal expression for small lists, the
+    * explode+semi-join form past [[InlineBlocklistCap]]. One API for
+    * both regimes — the caller never hand-picks.
+    */
+  def applyPolicyAuto(docs: DataFrame, urlCol: String, idCol: String,
+      blocked: Seq[String], maxPerHost: Int,
+      inlineCap: Int = InlineBlocklistCap): DataFrame =
+    if (blocked.size <= inlineCap)
+      applyPolicy(docs, urlCol, idCol, blocked, maxPerHost)
+    else {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      applyPolicyJoin(docs, urlCol, idCol, blocked.toDF("domain"),
+        "domain", maxPerHost)
+    }
+
+  private def capAndPassthroughHostless(unblocked: DataFrame, idCol: String,
+      maxPerHost: Int): DataFrame = {
     val w = Window.partitionBy(col("host"))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
     val capped = unblocked.filter(col("host").isNotNull)
