@@ -2188,6 +2188,31 @@ object SparkEntry {
           md5(concat_ws(" ", col("bpe")).cast("binary")).as("bpe_md5"))
     }),
 
+    "q_unigram_train" -> ((s, d) =>
+      // unigram-LM (SentencePiece-style) tokenizer training (r11
+      // verdict item 5): substring-seeded vocabulary + EM rounds of
+      // Viterbi segmentation / count re-estimation, all comparisons
+      // exact rationals so the whole trainer replays bit-for-bit in
+      // the independent Python fixture oracle
+      // (tools/unigram_oracle.py — the bpe_oracle precedent). Each
+      // EM round is one narrow distinct-word pass + one ≤V-row
+      // exchange; driver state is the V-piece model.
+      graft.operators.UnigramTokenizer.train(Tables.documents(s, d), "text")),
+
+    "q_unigram_encode" -> ((s, d) => {
+      // apply-time unigram segmentation: the distinct-word vocabulary
+      // is segmented once under the trained model, tokens broadcast-
+      // join it, docs reassemble in token order (the Bpe.encodeDocs
+      // shape). Folded to (count, md5) per doc; the Python oracle
+      // provides exact expected rows per sf fixture.
+      val docs = Tables.documents(s, d)
+      val model = graft.operators.UnigramTokenizer.trainModel(docs, "text")
+      graft.operators.UnigramTokenizer.encodeDocs(docs, "doc_id", "text", model)
+        .select(col("doc_id"),
+          size(col("pieces")).cast("long").as("n_pieces"),
+          md5(concat_ws(" ", col("pieces")).cast("binary")).as("piece_md5"))
+    }),
+
     "q_bigram_logprob" -> ((s, d) =>
       // bigram LM quality score (add-1 smoothing): captures local word
       // order, which the unigram proxy cannot — shuffled gibberish
@@ -5675,6 +5700,22 @@ object SparkEntry {
       // and fails the gate loudly instead of passing vacuously
       """SELECT rank, "left", "right", merged, pair_count
          FROM read_parquet('/root/repo/tools/fixtures/bpe_expected_*.parquet')
+         WHERE n_docs = (SELECT count(*) FROM documents)
+           AND sum_chars = (SELECT sum(n_chars) FROM documents)""",
+
+    // exact expected unigram-tokenizer vocabulary and encodings from
+    // an INDEPENDENT pure-Python trainer (tools/unigram_oracle.py),
+    // fixtures keyed like q_bpe_train's — every Viterbi comparison is
+    // an exact rational, so the trainer replays bit-for-bit
+    "q_unigram_train" ->
+      """SELECT rank, piece, piece_count
+         FROM read_parquet('/root/repo/tools/fixtures/unigram_vocab_*.parquet')
+         WHERE n_docs = (SELECT count(*) FROM documents)
+           AND sum_chars = (SELECT sum(n_chars) FROM documents)""",
+
+    "q_unigram_encode" ->
+      """SELECT doc_id, n_pieces, piece_md5
+         FROM read_parquet('/root/repo/tools/fixtures/unigram_enc_*.parquet')
          WHERE n_docs = (SELECT count(*) FROM documents)
            AND sum_chars = (SELECT sum(n_chars) FROM documents)""",
 

@@ -154,6 +154,44 @@ class Round12OpsSpec extends SparkSpec {
     assert(negRight.toDouble / n >= 0.9, s"neg $negRight/$n")
   }
 
+  test("unigram tokenizer: segmentation is exact-rational and hand-checkable") {
+    import graft.operators.UnigramTokenizer
+    // model: chars a,b + pieces "ab" (count 8), "ba" (count 2);
+    // C = (3+1)+(1+1)+(8+1)+(2+1) = 18
+    val m = Map("a" -> 3L, "b" -> 1L, "ab" -> 8L, "ba" -> 2L)
+    val c = UnigramTokenizer.normalizer(m)
+    assert(c == BigInt(18))
+    def seg(w: String) = UnigramTokenizer.segmentWord(w, m, c, 4).toSeq
+    // "abab": [ab, ab] scores (9·9)/18² = 81/324 beats [a, ba, b]
+    // (4·3·2)/18³ and every 4-piece split
+    assert(seg("abab") == Seq("ab", "ab"))
+    // "aba": [ab, a] (9·4)/18² vs [a, ba] (4·3)/18² — 36 > 12
+    assert(seg("aba") == Seq("ab", "a"))
+    // tie-break: model where "ab"+1 = ("a"+1)·("b"+1) makes the 1- and
+    // 2-piece splits EXACTLY equal ⇒ fewer pieces wins
+    val tie = Map("a" -> 2L, "b" -> 1L, "ab" -> 5L)
+    val ct = UnigramTokenizer.normalizer(tie)
+    assert(UnigramTokenizer.segmentWord("ab", tie, ct, 4).toSeq == Seq("ab"))
+    // unknown single chars stay segmentable (count 0 + smoothing)
+    assert(UnigramTokenizer.segmentWord("xq", tie, ct, 4).toSeq == Seq("x", "q"))
+    // coverage: pieces always reassemble the word on real data
+    val model = UnigramTokenizer.trainModel(
+      Tables.documents(spark, sf()), "text")
+    val words = Tables.documents(spark, sf())
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0).distinct()
+      .collect().map(_.getString(0))
+    val cn = UnigramTokenizer.normalizer(model)
+    words.foreach { w =>
+      assert(UnigramTokenizer.segmentWord(w, model, cn, 4).mkString == w)
+    }
+    // singles are never pruned (totality) and training is replay-stable
+    val chars = words.flatMap(_.split("")).filter(_.nonEmpty).toSet
+    assert(chars.forall(model.contains))
+    assert(model == UnigramTokenizer.trainModel(
+      Tables.documents(spark, sf()), "text"))
+  }
+
   private def Events_approxJoinedExact(d: String) =
     graft.streaming.Events.windowedAggApprox(Tables.events(spark, d))
       .join(graft.streaming.Events.windowedAggBatch(Tables.events(spark, d))
