@@ -3064,6 +3064,16 @@ object SparkEntry {
       // recrawl must vanish, the fresh batch must survive
       graft.streaming.Ingest.ingestDedupFileStream(s, d)),
 
+    "q_stream_lsh_ingest" -> ((s, d) =>
+      // streaming NEAR-dup ingest (r11 verdict item 6): the persisted
+      // LSH index composed with foreachBatch — each micro-batch
+      // screens against the index's current state and appends its
+      // delta; the read-back verdicts must be per-doc INVARIANT to
+      // the batch boundaries (equal to a one-shot screen), with the
+      // q_lsh_ingest_dedup partial-oracle shape: n_in exact,
+      // partition/verdict/invariance booleans pinned TRUE
+      graft.streaming.Ingest.lshIngestFileStream(s, d)),
+
     "q_stream_sketch_store" -> ((s, d) =>
       // streaming maintenance of the persisted HLL sketch store
       // (r11): each micro-batch folds once and merges into the
@@ -5269,6 +5279,19 @@ object SparkEntry {
          UNION ALL
          SELECT 'fresh_reversed' AS batch_src, count(*) AS n_in,
                 TRUE AS partition_ok, TRUE AS verdict_ok
+         FROM documents WHERE doc_id % 10 = 4""",
+
+    // streamed form: same slice sizes, plus the batch-boundary
+    // invariance verdict pinned TRUE
+    "q_stream_lsh_ingest" ->
+      """SELECT 'recrawl' AS batch_src, count(*) AS n_in,
+                TRUE AS partition_ok, TRUE AS verdict_ok,
+                TRUE AS boundary_invariant
+         FROM documents WHERE doc_id % 10 = 3
+         UNION ALL
+         SELECT 'fresh_reversed' AS batch_src, count(*) AS n_in,
+                TRUE AS partition_ok, TRUE AS verdict_ok,
+                TRUE AS boundary_invariant
          FROM documents WHERE doc_id % 10 = 4""",
 
     "q_ann_recall_check" ->
