@@ -136,7 +136,11 @@ object BloomDedup {
   def writeIngestIndex(corpus: DataFrame, textCol: String, path: String,
                        expectedItems: Long, numBits: Long): Unit = {
     val bloom = buildBloom(corpus, textCol, expectedItems, numBits)
-    corpus.select(md5(col(textCol).cast("binary")).as("dig")).distinct()
+    // digests stored as 16-byte BINARY, not the 32-char hex string:
+    // half the stored/broadcast bytes and a cheaper join key (A/B at
+    // sf10: broadcast-relation build is a visible slice of the
+    // staged screen)
+    corpus.select(unhex(md5(col(textCol).cast("binary"))).as("dig")).distinct()
       .write.mode("overwrite").parquet(s"$path/digests")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
     java.nio.file.Files.write(java.nio.file.Paths.get(path, "bloom.bin"), bloom)
@@ -155,8 +159,9 @@ object BloomDedup {
                         expectedItems: Long, numBits: Long,
                         sourceFp: Option[String] = None): Boolean = {
     // scan-fallback content term is bit_xor (order-independent, never
-    // overflows under ANSI — a sum of full-range xxhash64 longs does)
-    val params = s"e${expectedItems}_b$numBits"
+    // overflows under ANSI — a sum of full-range xxhash64 longs does).
+    // v2: binary digest storage (stale v1 hex-string indexes rebuild)
+    val params = s"e${expectedItems}_b${numBits}_v2"
     val fp = sourceFp.map(s => s"src:${s}_$params").getOrElse {
       val r = corpus.agg(count(lit(1)),
         coalesce(sum(length(col(textCol))), lit(0L)),
@@ -179,21 +184,51 @@ object BloomDedup {
     * persisted digest table instead of re-digesting the corpus. Same
     * exact output as [[incrementalKeep]] over the corpus the index was
     * built from (fpp only widens the verify set).
+    *
+    * Two plans by digest-table size (the branch question is really
+    * "does the verify side shuffle?"):
+    *  - digests fit a broadcast (≤ `broadcastDigestCap` on disk):
+    *    SINGLE PASS — one batch scan computes the bloom flag, md5
+    *    only on hits (`when(hit, md5)`; a NULL digest never matches a
+    *    join key, so misses sail through the same broadcast left
+    *    join untouched). No branch split: with the verify side
+    *    broadcast there is no shuffle to protect misses from, and
+    *    the split's second batch scan was ~40% of the staged gate's
+    *    sf10 time (0.28 s bare scan; 0.88 s split vs ~0.5 s fused).
+    *  - digests too big to broadcast (the true 100 TB regime): the
+    *    [[incrementalKeep]] branch split — misses pass with ZERO
+    *    join, only hits (~dup rate + fpp) reach the digest-keyed
+    *    shuffled anti-join.
     */
   def incrementalKeepStaged(incoming: DataFrame, textCol: String,
-                            path: String): DataFrame = {
+                            path: String,
+                            broadcastDigestCap: Long = 256L << 20): DataFrame = {
     val spark = incoming.sparkSession
     val bloom = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path, "bloom.bin"))
     val hit = call_function("bloom_might_contain", lit(bloom), xxhash64(col(textCol)))
-    val misses = incoming.filter(!hit)
-    val verified = incoming.filter(hit)
-      .withColumn("__dig", md5(col(textCol).cast("binary")))
-      .join(spark.read.parquet(s"$path/digests")
-          .select(col("dig").as("__dig")),
-        Seq("__dig"), "left_anti")
-      .drop("__dig")
-    misses.unionByName(verified)
+    val digestBytes =
+      try {
+        val p = new org.apache.hadoop.fs.Path(s"$path/digests")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getContentSummary(p).getLength
+      } catch { case _: java.io.IOException => Long.MaxValue }
+    val digests = spark.read.parquet(s"$path/digests")
+    if (digestBytes <= broadcastDigestCap) {
+      incoming
+        .withColumn("__dig", when(hit, unhex(md5(col(textCol).cast("binary")))))
+        .join(broadcast(digests.select(col("dig").as("__dig"),
+          lit(true).as("__seen"))), Seq("__dig"), "left")
+        .filter(col("__seen").isNull)
+        .drop("__dig", "__seen")
+    } else {
+      val misses = incoming.filter(!hit)
+      val verified = incoming.filter(hit)
+        .withColumn("__dig", unhex(md5(col(textCol).cast("binary"))))
+        .join(digests.select(col("dig").as("__dig")), Seq("__dig"), "left_anti")
+        .drop("__dig")
+      misses.unionByName(verified)
+    }
   }
 
   /** The >100M-item form the single-sketch scaladoc points at: the

@@ -143,26 +143,25 @@ EXTRAS_BASELINE_SQL = {
       SELECT -1, count(*), count(DISTINCT o_custkey) FROM orders""",
     # r12 (verdict item 2): bloom ingest's job is "screen one batch
     # against an INDEXED historical corpus" — a production ingest
-    # maintains the digest index incrementally, so the one-time digest
-    # build is setup (untimed, mirroring Spark's stageTier staging) and
-    # the timed unit is the batch anti-join both engines pay per batch
+    # maintains the digest index incrementally and the batch arrives
+    # MATERIALIZED, so both the digest build and the batch staging are
+    # setup (untimed, mirroring Spark's stageTier) and the timed unit
+    # is the batch anti-join both engines pay per batch
     "q_bloom_ingest_dedup": {
         "setup": ["""CREATE TABLE IF NOT EXISTS bloom_hist AS
-            SELECT DISTINCT md5(text) AS dig FROM documents"""],
-        "query": """
-          WITH incoming AS (
-            SELECT text, source FROM documents WHERE doc_id % 10 = 3
+            SELECT DISTINCT md5(text) AS dig FROM documents""",
+                  """CREATE TABLE IF NOT EXISTS bloom_batch AS
+            SELECT doc_id, text, source FROM documents WHERE doc_id % 10 = 3
             UNION ALL
-            SELECT 'fresh ' || CAST(doc_id AS VARCHAR) || ' ' || text AS text,
+            SELECT doc_id, 'fresh ' || CAST(doc_id AS VARCHAR) || ' ' || text,
                    source
-            FROM documents
-          ), novel AS (
-            SELECT i.* FROM incoming i
-            WHERE NOT EXISTS (SELECT 1 FROM bloom_hist h WHERE h.dig = md5(i.text))
-          )
+            FROM documents"""],
+        "query": """
           SELECT source, count(*) AS n_docs,
             CAST(sum(length(text)) AS BIGINT) AS n_chars
-          FROM novel GROUP BY source""",
+          FROM bloom_batch i
+          WHERE NOT EXISTS (SELECT 1 FROM bloom_hist h WHERE h.dig = md5(i.text))
+          GROUP BY source""",
     },
     # r12 (verdict item 3): the q5 staged-map form — the persisted
     # order→nation reduction is setup (the pipeline pays it once), the
@@ -321,11 +320,13 @@ for q in extras_subset:
                       "recorded": time.strftime("%Y-%m-%d")}
 
 if merged:
+    # drop carried keys no longer in the headliner list (a query moved
+    # to extras keeps its extras row; its stale headline seconds must
+    # not linger in the comparable record)
+    merged = {q: v for q, v in merged.items() if q in FULL_LIST}
     merged.update(timings)
     timings = merged
-    # full-list ordering for the merged table (plus any stragglers)
-    HEADLINERS = [q for q in FULL_LIST if q in timings] + \
-        [q for q in timings if q not in FULL_LIST]
+    HEADLINERS = [q for q in FULL_LIST if q in timings]
 total = sum(timings.values())
 lines = [
     "# BASELINE — oracle-engine (DuckDB) headliner timings",
