@@ -258,14 +258,13 @@ class PlanSpec extends SparkSpec {
       // late-r9: the Gopher bundle must stay a pure scan pass
       ("q_gopher_rules",         0, 2, false),
       ("q_temperature_mix",      2, 1, false),
-      // bloom ingest dedup: sketch build + corpus count are separate
-      // bounded jobs (collected before plan construction); the gate
-      // frame is miss-filter ∪ (hit ⋉̸ distinct corpus) → source agg
-      // over the CACHED staged batch (uncached, the optimizer clones
-      // the verify join + its broadcast build into every union branch
-      // of the staging — 3 shuffles / 6 leaves). Ceilings: distinct +
-      // final agg exchanges; 2 batch-cache probes + corpus sides
-      ("q_bloom_ingest_dedup",   2, 5, false),
+      // bloom ingest dedup (r12 staged rework): the batch and the
+      // digest index are persisted artifacts, so the timed plan is
+      // ONE batch-parquet scan (bloom flag, md5 only on hits) + the
+      // broadcast digest left join + the source agg — 1 exchange,
+      // 2 leaves. Past the broadcast cap the plan flips to the
+      // miss/verify branch split (spec'd in Round12OpsSpec equality)
+      ("q_bloom_ingest_dedup",   1, 2, false),
       // final r9 headliners: PMI's BNLJ is the 1-row n_docs stat
       // frame; its 6 exchanges are two corpus tokenize passes (df by
       // token, presence by doc), the pair-keyed count, and the
@@ -338,7 +337,28 @@ class PlanSpec extends SparkSpec {
       ("q_robust_scale",          3, 2, true),
       // r10: char diversity — a pure scan pass (sorted-run fold),
       // zero exchanges by design
-      ("q_char_diversity",        0, 1, false))
+      ("q_char_diversity",        0, 1, false),
+      // r12 staged/approx forms: the q5 map probe is fact-scan +
+      // 3 broadcast joins with the agg exchange and the top-k sort
+      // (map, lineitem, supplier, nation = 4 leaves — the from-raw
+      // q5's 7-leaf dimension reduction is the staged-away part);
+      // the HLL windows flip is the POINT: 1 exchange of sketch rows,
+      // 1 leaf, where the exact form needs 2 user-row exchanges
+      ("q5_local_supplier_staged", 2, 4, false),
+      ("q_event_windows_approx",  1, 1, false),
+      // r12: the UT1-scale blocklist join form — distinct-host
+      // dedup, suffix semi-join, host anti-join, cap window, and the
+      // hostless pass-through union (6 leaves incl. the blocklist
+      // local relation); the join path's exchanges are all host- or
+      // suffix-keyed, bounded by host cardinality, never doc count
+      ("q_domain_policy_big",     5, 6, false),
+      // r12: unigram trainer returns a driver-local V-row relation
+      // (EM ran as per-iteration jobs — the q_dsir_weights contract);
+      // the encode is distinct-word segmentation (broadcast model),
+      // token join, one doc-keyed reassembly + the token-less right
+      // join
+      ("q_unigram_train",         0, 1, false),
+      ("q_unigram_encode",        3, 3, false))
     val failures = golden.flatMap { case (q, maxShuffles, maxLeaves, bnljOk) =>
       val p = SparkEntry.queries(q)(spark, sf()).queryExecution.executedPlan
       audit(q, p, maxShuffles, maxLeaves, bnljOk)
