@@ -251,20 +251,42 @@ object Bench {
     try {
       val f = java.nio.file.Paths.get(path)
       if (!java.nio.file.Files.exists(f)) Map.empty
-      else {
-        val om = new com.fasterxml.jackson.databind.ObjectMapper()
-        val root = om.readTree(new String(java.nio.file.Files.readAllBytes(f), "UTF-8"))
-        import scala.jdk.CollectionConverters._
-        Seq("sf01", "sf1", "sf10", "sf30").flatMap { tag =>
-          Option(root.get(tag)).map { t =>
-            def obj(key: String): Map[String, Double] =
-              Option(t.get(key)).map(_.fields().asScala
-                .map(e => e.getKey -> e.getValue.asDouble()).toMap)
-                .getOrElse(Map.empty)
-            tag -> (obj("queries") ++ obj("extras"))
-          }
-        }.toMap
-      }
+      else tierTimingsFromJson(
+        new String(java.nio.file.Files.readAllBytes(f), "UTF-8"))
+    } catch { case _: Throwable => Map.empty }
+
+  private[graft] def tierTimingsFromJson(json: String): Map[String, Map[String, Double]] =
+    try {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = om.readTree(json)
+      import scala.jdk.CollectionConverters._
+      Seq("sf01", "sf1", "sf10", "sf30").flatMap { tag =>
+        Option(root.get(tag)).map { t =>
+          def obj(key: String): Map[String, Double] =
+            Option(t.get(key)).map(_.fields().asScala
+              .map(e => e.getKey -> e.getValue.asDouble()).toMap)
+              .getOrElse(Map.empty)
+          tag -> (obj("queries") ++ obj("extras"))
+        }
+      }.toMap
+    } catch { case _: Throwable => Map.empty }
+
+  /** The COMMITTED BENCH_LAST.json's tier timings (`git show
+    * HEAD:BENCH_LAST.json`), empty when git/HEAD is unavailable. The
+    * tripwire's reference must survive a same-session rerun: the
+    * first r12 run correctly flagged a 4.8x in-tier outlier against
+    * the committed prior, but its own (dirty) artifact then replaced
+    * BENCH_LAST.json on disk and the rerun compared against the very
+    * outlier it should re-test — the committed artifact is the
+    * reviewed reference, the working-tree file is just the newest
+    * sample.
+    */
+  private[graft] def committedTierTimings(): Map[String, Map[String, Double]] =
+    try {
+      val p = new ProcessBuilder("git", "show", "HEAD:BENCH_LAST.json")
+        .redirectErrorStream(false).start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      if (p.waitFor() == 0) tierTimingsFromJson(out) else Map.empty
     } catch { case _: Throwable => Map.empty }
 
   /** Best (min) prior per-query time per tier across the given
@@ -272,8 +294,9 @@ object Bench {
     * ([[BenchGuard.priorOutlier]]). Min-of-artifacts so one contended
     * prior run can't inflate the reference and mask a blip.
     */
-  private[graft] def priorTimings(paths: Seq[String]): Map[String, Map[String, Double]] = {
-    val all = paths.map(artifactTierTimings)
+  private[graft] def priorTimings(paths: Seq[String],
+      extra: Seq[Map[String, Map[String, Double]]] = Nil): Map[String, Map[String, Double]] = {
+    val all = paths.map(artifactTierTimings) ++ extra
     all.flatMap(_.keys).distinct.map { tag =>
       val maps = all.flatMap(_.get(tag))
       val names = maps.flatMap(_.keys).distinct
@@ -516,9 +539,11 @@ object Bench {
     else spark.read.parquet(s"$sfDir/nation.parquet").count()
 
     // cross-round tripwire reference: the best committed per-query
-    // times from the last driver-stamped round artifact plus the last
-    // full run (BENCH_LAST.json — read BEFORE this run overwrites it).
-    // Override with SPARK_GRAFT_PRIOR_BENCH=path for A/B work.
+    // times — git HEAD's BENCH_LAST.json (the reviewed reference; the
+    // working-tree copy may be a same-session rerun's own outlier),
+    // the working-tree file, and the last driver-stamped round
+    // artifact, min-merged. Override with SPARK_GRAFT_PRIOR_BENCH=path
+    // for A/B work.
     val priorPaths = sys.env.get("SPARK_GRAFT_PRIOR_BENCH").map(Seq(_))
       .getOrElse {
         val rounds = Option(new java.io.File(".").listFiles())
@@ -529,7 +554,9 @@ object Bench {
           else Seq(rounds.maxBy(n => "\\d+".r.findFirstIn(n).get.toInt))
         "BENCH_LAST.json" +: newest
       }
-    val prior = priorTimings(priorPaths)
+    val prior = priorTimings(priorPaths,
+      extra = if (sys.env.contains("SPARK_GRAFT_PRIOR_BENCH")) Nil
+              else Seq(committedTierTimings()))
 
     // ---- sf0.1 tier: median of 3 (discards one contended run AND one
     // anomalously fast one) --------------------------------------------------

@@ -2241,6 +2241,57 @@ object SparkEntry {
           md5(concat_ws(" ", col("pieces")).cast("binary")).as("piece_md5"))
     }),
 
+    "q_retrieval_eval" -> ((s, d) => {
+      // retrieval-quality eval harness (r12): a deterministic query
+      // set (every 100th doc; terms = its last 3 distinct tokens,
+      // relevant = itself) scores through the MULTI-query BM25
+      // (Bm25.batchTopK — one corpus pass, postings semi-joined to
+      // the broadcast union vocabulary before any exchange) and each
+      // query reports its relevant doc's rank@10 / reciprocal rank /
+      // hit. No planting: the metric VALUE is the oracle-compared
+      // quantity, replayed exactly in DuckDB (per-term scores
+      // integerized to micro units before the per-(query,doc) sum,
+      // so summation order cannot flip a rank).
+      val docs = Tables.documents(s, d)
+      val ts = TF.tokens(col("text"))
+      val queries = docs.filter(pmod(col("doc_id"), lit(100L)) === 7L)
+        .select(col("doc_id").as("query_id"),
+          array_distinct(slice(ts, greatest(size(ts) - 2, lit(1)), lit(3)))
+            .as("terms"),
+          col("doc_id").as("rel_id"))
+        .filter(size(col("terms")) > 0)
+      graft.operators.Bm25.retrievalEval(docs, "doc_id", "text", queries, k = 10)
+    }),
+
+    "q_tokenizer_fertility" -> ((s, d) => {
+      // tokenizer FERTILITY eval (r12; the BLOOM/Scao et al. metric —
+      // subword pieces per word, the go/no-go number before
+      // committing a tokenizer to a language/corpus): both trained
+      // tokenizers (BPE merges, unigram-LM pieces) encode the corpus
+      // and every doc reports pieces-per-word for each. Full oracle
+      // with genuine independence: Spark re-trains and re-encodes
+      // from raw text, while the oracle reads BOTH independent
+      // Python implementations' committed encodings (bpe_enc_* and
+      // unigram_enc_* fixtures) joined on doc_id — a drift in either
+      // trainer, either encoder, or the fertility arithmetic breaks
+      // the hash.
+      val docs = Tables.documents(s, d)
+      val nWords = docs.select(col("doc_id"),
+        size(TF.tokens(col("text"))).cast("long").as("n_words"))
+      val bpe = graft.operators.Bpe.encodeDocs(docs, "doc_id", "text",
+        graft.operators.Bpe.train(docs, "text", nMerges = 12))
+        .select(col("doc_id"), size(col("bpe")).cast("long").as("n_bpe"))
+      val uni = graft.operators.UnigramTokenizer.encodeDocs(docs, "doc_id", "text",
+        graft.operators.UnigramTokenizer.trainModel(docs, "text"))
+        .select(col("doc_id"), size(col("pieces")).cast("long").as("n_uni"))
+      def fert(n: Column) = when(col("n_words") === 0, lit(0.0))
+        .otherwise(pround(n.cast("double") / col("n_words"), 4))
+      nWords.join(bpe, "doc_id").join(uni, "doc_id")
+        .select(col("doc_id"), col("n_words"), col("n_bpe"), col("n_uni"),
+          fert(col("n_bpe")).as("fert_bpe"),
+          fert(col("n_uni")).as("fert_uni"))
+    }),
+
     "q_bigram_logprob" -> ((s, d) =>
       // bigram LM quality score (add-1 smoothing): captures local word
       // order, which the unigram proxy cannot — shuffled gibberish
@@ -5769,6 +5820,89 @@ object SparkEntry {
          FROM read_parquet('/root/repo/tools/fixtures/unigram_enc_*.parquet')
          WHERE n_docs = (SELECT count(*) FROM documents)
            AND sum_chars = (SELECT sum(n_chars) FROM documents)""",
+
+    // the eval metric replayed exactly: same tokenize, same Okapi/
+    // Lucene idf constants as q_bm25_search, per-term micro
+    // integerization before the (query, doc) sum so group order
+    // cannot flip a rank
+    "q_retrieval_eval" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS ts
+           FROM documents
+         ), q AS (
+           SELECT doc_id AS query_id, doc_id AS rel_id,
+             list_distinct(ts[greatest(len(ts) - 2, 1):len(ts)]) AS terms
+           FROM toks WHERE doc_id % 100 = 7 AND len(ts) > 0
+         ), qt AS (
+           SELECT query_id, unnest(terms) AS term FROM q
+         ), dl AS (
+           SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl FROM toks
+         ), tokrows AS (
+           SELECT doc_id, unnest(ts) AS term FROM toks
+         ), post AS (
+           SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+           FROM tokrows
+           WHERE term IN (SELECT DISTINCT term FROM qt)
+           GROUP BY 1, 2
+         ), df AS (
+           SELECT term, CAST(count(*) AS DOUBLE) AS df FROM post GROUP BY 1
+         ), stats AS (
+           SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl
+         ), term_scores AS (
+           SELECT p.doc_id, p.term,
+             CAST(floor(
+               ln(1.0 + (n_docs - df.df + 0.5) / (df.df + 0.5)) * p.tf * (1.5 + 1.0)
+                 / (p.tf + 1.5 * ((1.0 - 0.75) + 0.75 * d.dl / avgdl))
+               * 1000000.0 + 0.5) AS BIGINT) AS ts_micro
+           FROM post p JOIN df USING (term) JOIN dl d ON p.doc_id = d.doc_id, stats
+         ), scored AS (
+           SELECT qt.query_id, t.doc_id, sum(t.ts_micro) AS score_micro
+           FROM qt JOIN term_scores t USING (term)
+           GROUP BY 1, 2
+         ), ranked AS (
+           SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score_micro DESC, doc_id ASC) AS rnk
+           FROM scored
+         )
+         SELECT q.query_id, q.rel_id,
+           CAST(coalesce(r.rnk, 0) AS BIGINT) AS rel_rank,
+           CASE WHEN r.rnk IS NULL THEN 0.0
+                ELSE floor(1.0 / r.rnk * 10000 + 0.5) / 10000 END AS rr,
+           r.rnk IS NOT NULL AS hit
+         FROM q LEFT JOIN (SELECT * FROM ranked WHERE rnk <= 10) r
+           ON q.query_id = r.query_id AND q.rel_id = r.doc_id""",
+
+    // fertility joins BOTH independent Python encoders' fixtures:
+    // Spark recomputes everything from raw text
+    "q_tokenizer_fertility" ->
+      """WITH w AS (
+           SELECT doc_id,
+             CAST(CASE WHEN length(trim(lower(text))) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(lower(text)), '\s+')) END
+               AS BIGINT) AS n_words
+           FROM documents
+         ), b AS (
+           SELECT doc_id, n_bpe
+           FROM read_parquet('/root/repo/tools/fixtures/bpe_enc_*.parquet')
+           WHERE n_docs = (SELECT count(*) FROM documents)
+             AND sum_chars = (SELECT sum(n_chars) FROM documents)
+         ), u AS (
+           SELECT doc_id, n_pieces AS n_uni
+           FROM read_parquet('/root/repo/tools/fixtures/unigram_enc_*.parquet')
+           WHERE n_docs = (SELECT count(*) FROM documents)
+             AND sum_chars = (SELECT sum(n_chars) FROM documents)
+         )
+         SELECT doc_id, n_words, n_bpe, n_uni,
+           CASE WHEN n_words = 0 THEN 0.0
+                ELSE floor(CAST(n_bpe AS DOUBLE) / n_words * 10000 + 0.5) / 10000
+           END AS fert_bpe,
+           CASE WHEN n_words = 0 THEN 0.0
+                ELSE floor(CAST(n_uni AS DOUBLE) / n_words * 10000 + 0.5) / 10000
+           END AS fert_uni
+         FROM w JOIN b USING (doc_id) JOIN u USING (doc_id)""",
 
     // exact trained weights from an INDEPENDENT pure-Python trainer
     // (tools/classifier_oracle.py), committed as per-sf fixtures keyed

@@ -79,4 +79,83 @@ object Bm25 {
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** MULTI-query BM25 — the retrieval-eval/batch-curation form of
+    * [[topK]] (r12): `queries` is (query_id, terms: array<string>),
+    * and the whole batch scores in ONE corpus pass. The postings
+    * build explodes tokens but semi-joins the (broadcast, eval-set-
+    * bounded) union query vocabulary BEFORE any exchange, so the
+    * shuffled rows are (doc, term, tf) postings that match SOME
+    * query — never the full inverted index; df/stats frames are
+    * vocabulary/1-row sized; the per-(query, doc) fan-out is
+    * broadcast; ranking is a per-query window over match-bounded
+    * rows.
+    *
+    * Cross-engine exactness: [[topK]] sums its (fixed, literal) term
+    * scores inside one row expression, so summation order is fixed;
+    * a grouped per-(query, doc) SUM has engine-dependent order, so
+    * here each TERM score integerizes first (floor(x·1e6 + 0.5) — the
+    * q_unigram_logprob trick) and the group sum is exact integers,
+    * order-free. Ranks order by (score_micro desc, doc_id asc):
+    * fully portable. Output: (query_id, rank, doc_id, score_micro).
+    */
+  def batchTopK(docs: DataFrame, idCol: String, textCol: String,
+                queries: DataFrame, k: Int = 10,
+                k1: Double = 1.5, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withDl = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("__ts"))
+      .select(col("doc_id"), size(col("__ts")).cast("double").as("dl"),
+        col("__ts"))
+    val qt = queries.select(col("query_id"),
+      explode(array_distinct(col("terms"))).as("term"))
+    val vocab = qt.select("term").distinct()
+    val post = withDl
+      .select(col("doc_id"), col("dl"), explode(col("__ts")).as("term"))
+      .join(broadcast(vocab), Seq("term"), "left_semi")
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
+    val dft = post.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val stats = withDl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val scoredTerm = post.join(broadcast(dft), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"),
+        floor(termScore(col("tf"), col("df"), col("n_docs"), col("dl"),
+          col("avgdl"), k1, b) * lit(1e6) + lit(0.5)).cast("long")
+          .as("ts_micro"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    scoredTerm.join(broadcast(qt), "term")
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("ts_micro")).as("score_micro"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("score_micro"))
+  }
+
+  /** Retrieval-quality eval over a labeled query set — recall@k and
+    * reciprocal rank per query, the harness a pipeline runs before
+    * trusting BM25-curated subsets: `queries` is (query_id,
+    * terms, rel_id). Per query: the relevant doc's rank inside the
+    * top-k (0 when absent), rr = 1/rank (pround 4), hit@k. Fully
+    * deterministic given the corpus (no planting needed — the metric
+    * itself is the oracle-compared value).
+    */
+  def retrievalEval(docs: DataFrame, idCol: String, textCol: String,
+                    queries: DataFrame, k: Int = 10,
+                    k1: Double = 1.5, b: Double = 0.75): DataFrame = {
+    val ranked = batchTopK(docs, idCol, textCol,
+      queries.select("query_id", "terms"), k, k1, b)
+    queries.select(col("query_id"), col("rel_id"))
+      .join(ranked.select(col("query_id"), col("doc_id").as("rel_id"),
+        col("rank")), Seq("query_id", "rel_id"), "left")
+      .select(col("query_id"), col("rel_id"),
+        coalesce(col("rank"), lit(0L)).as("rel_rank"),
+        when(col("rank").isNotNull,
+          graft.functions.Rounding.pround(lit(1.0) / col("rank"), 4))
+          .otherwise(lit(0.0)).as("rr"),
+        col("rank").isNotNull.as("hit"))
+  }
 }

@@ -112,6 +112,25 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.artifactTierTimings("/nonexistent.json").isEmpty)
   }
 
+  test("tripwire priors include the COMMITTED artifact, surviving a rerun") {
+    // the r12 masking case: run 1 flags a 4.8x outlier, its artifact
+    // overwrites BENCH_LAST.json on disk, and a same-session rerun
+    // must still compare against the committed prior — not the
+    // outlier it just wrote
+    val committed = Bench.committedTierTimings()
+    if (committed.nonEmpty) { // fresh checkouts without git history skip
+      assert(committed.contains("sf01"))
+      val merged = Bench.priorTimings(Seq("BENCH_LAST.json"),
+        extra = Seq(committed))
+      committed("sf01").foreach { case (q, t) =>
+        assert(merged("sf01").get(q).exists(_ <= t),
+          s"$q: merged prior must be <= committed $t")
+      }
+    }
+    // malformed json parses to empty, never throws
+    assert(Bench.tierTimingsFromJson("not json at all").isEmpty)
+  }
+
   test("compact stdout line fits the driver's 2000-char tail window") {
     // r7-r9's full multi-tier line outgrew the driver's tail and the
     // round artifact shipped `"parsed": null`. The compact line is

@@ -222,6 +222,50 @@ class Round12OpsSpec extends SparkSpec {
     assert(verdicts(20L) === false)  // flagged against batch 1's delta
   }
 
+  test("batch BM25 retrieval eval: hand-checked ranks, rr and misses") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana cherry"),
+      (2L, "apple apple apple apple"),
+      (3L, "dog cat mouse"),
+      (4L, "banana cherry apple banana")).toDF("doc_id", "text")
+    val queries = Seq(
+      (10L, Seq("dog", "cat"), 3L),     // only doc 3 matches → rank 1
+      (11L, Seq("zzz"), 1L)             // no doc matches → miss
+    ).toDF("query_id", "terms", "rel_id")
+    val out = graft.operators.Bm25.retrievalEval(docs, "doc_id", "text",
+      queries, k = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(out(10L) == ((1L, 1.0, true)))
+    assert(out(11L) == ((0L, 0.0, false)))
+    // batch ranking agrees with the single-query operator's ordering
+    val batch = graft.operators.Bm25.batchTopK(docs, "doc_id", "text",
+      Seq((20L, Seq("apple", "banana"))).toDF("query_id", "terms"), k = 4)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    val single = graft.operators.Bm25.topK(docs, "doc_id", "text",
+      Seq("apple", "banana"), k = 4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(batch == single)
+  }
+
+  test("tokenizer fertility: bounds and degenerate docs") {
+    val out = SparkEntry.queries("q_tokenizer_fertility")(spark, sf())
+      .collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      val (w, b, u) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      // every word is at least one subword piece under either
+      // tokenizer; empty docs read zeros
+      if (w == 0) assert(b == 0 && u == 0 &&
+        r.getDouble(4) == 0.0 && r.getDouble(5) == 0.0)
+      else {
+        assert(b >= w && u >= w)
+        assert(r.getDouble(4) >= 1.0 && r.getDouble(5) >= 1.0)
+      }
+    }
+  }
+
   private def Events_approxJoinedExact(d: String) =
     graft.streaming.Events.windowedAggApprox(Tables.events(spark, d))
       .join(graft.streaming.Events.windowedAggBatch(Tables.events(spark, d))
