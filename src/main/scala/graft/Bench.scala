@@ -110,7 +110,14 @@ object Bench {
     // session window and the ordered per-session concat), and URL
     // frontier dedup (narrow canonicalize pass + one canonical-keyed
     // exchange)
-    "q_ewma_anomaly", "q_chat_assemble", "q_url_dedup")
+    "q_ewma_anomaly", "q_chat_assemble", "q_url_dedup",
+    // r12 operators (bench-row-from-birth): the batch BM25 retrieval
+    // eval (one corpus tokenize+postings pass, semi-join-gated before
+    // any exchange) and vocabulary JS drift (one token exchange, then
+    // vocab-sized frames). q_tokenizer_fertility is NOT here: its
+    // oracle is a committed-fixture READ (the q_bpe_encode class), so
+    // a DuckDB "baseline" would time a file scan, not the computation
+    "q_retrieval_eval", "q_vocab_drift")
 
   // Timed every tier but EXCLUDED from the headline totals: these have
   // no DuckDB oracle (not SQL-expressible), so including them would make
@@ -172,7 +179,11 @@ object Bench {
     // r12 staged/approx forms: benched at the amortization-
     // demonstration tier from birth (their whole point is the sf30
     // ratio their from-raw/exact siblings could not reach)
-    "q5_local_supplier_staged", "q_event_windows_approx")
+    "q5_local_supplier_staged", "q_event_windows_approx",
+    // r12 newborn: the batch retrieval eval qualifies at 14.3 s sf10
+    // (the synthetic corpus's 31-token vocabulary makes every query
+    // term match most docs — the worst-case grid BOTH engines pay)
+    "q_retrieval_eval")
 
   /** Tier-freshness preamble (r9 verdict item 8): the gitignored tier
     * parquet was wiped twice during r9 and the old existence-only gate

@@ -457,6 +457,59 @@ object DevAB {
       println(f"DEVAB $tag min=${ts.min}%.3f runs=${ts.map(t => f"$t%.3f").mkString(",")}")
     }
 
+    // stage decomposition of q_vocab_drift: planted transform vs the
+    // token exchange vs the full JS matrix
+    if (args.contains("vdrift")) {
+      import graft.functions.{TextFunctions => TF}
+      val docs0 = Tables.documents(spark, dir)
+      val docs = docs0.select(
+        when(pmod(col("doc_id"), lit(7L)) === 3L, lit("drifted"))
+          .otherwise(col("source")).as("fam"),
+        when(pmod(col("doc_id"), lit(7L)) === 3L,
+          concat_ws(" ", transform(TF.tokens(col("text")), t => reverse(t))))
+          .otherwise(col("text")).as("text"))
+      time("plain_tok_groupby")(
+        docs0.select(col("source").as("fam"),
+            explode(TF.tokens(col("text"))).as("t"))
+          .filter(length(col("t")) > 0).groupBy("fam", "t").count())
+      time("planted_tok_groupby")(
+        docs.select(col("fam"), explode(TF.tokens(col("text"))).as("t"))
+          .filter(length(col("t")) > 0).groupBy("fam", "t").count())
+      time("full_gate")(SparkEntry.queries("q_vocab_drift")(spark, dir))
+      // finer: checkpoint alone, totals collect, downstream given ckpt
+      def t[A](tag: String)(f: => A): A = {
+        System.gc(); Thread.sleep(300)
+        val t0 = System.nanoTime(); val r = f
+        println(f"DEVAB $tag ${(System.nanoTime() - t0) / 1e9}%.3f"); r
+      }
+      val cnt0 = docs
+        .select(col("fam"), explode(TF.tokens(col("text"))).as("t"))
+        .filter(length(col("t")) > 0)
+        .groupBy("fam", "t").agg(count(lit(1)).as("c"))
+      val ck = t("ckpt_eager")(cnt0.localCheckpoint(true))
+      val tot = t("totals_collect")(ck.groupBy("fam")
+        .agg(sum(col("c")).as("tc")).collect().length)
+      println(s"DEVAB totals_rows $tot")
+      t("downstream")(exec(ck.groupBy("t")
+        .agg(map_from_entries(collect_list(struct(col("fam"), col("c"))))
+          .as("byFam"))))
+      spark.stop(); return
+    }
+    // generic gate-query timer: `DevAB <dir> q name1,name2` — min-of-3
+    // with a sf0.001 JIT warm pass, the Bench measurement discipline,
+    // for spot-checking a newborn's tier time before its first bench
+    args.sliding(2).collectFirst { case Array("q", names) => names } match {
+      case Some(names) =>
+        val warm = "/root/testdata/sf0.001"
+        names.split(",").foreach { name =>
+          if (new java.io.File(warm).isDirectory)
+            try exec(SparkEntry.queries(name)(spark, warm))
+            catch { case _: Throwable => () }
+          time(name)(SparkEntry.queries(name)(spark, dir))
+        }
+        spark.stop(); return
+      case None => ()
+    }
     if (args.contains("tpch")) { tpchAB(spark, dir); spark.stop(); return }
     if (args.contains("floors")) { floorsAB(spark, dir); spark.stop(); return }
     if (args.contains("hll")) { hllAB(spark, dir); spark.stop(); return }

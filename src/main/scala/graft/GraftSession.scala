@@ -84,10 +84,55 @@ object GraftSession {
       // entirely in memory, so RAM-backed local dirs are measurement
       // parity, not an unfair edge; on a real cluster local dirs are
       // provisioned NVMe and this knob is moot.
-      .config("spark.local.dir",
-        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark"
-        else System.getProperty("java.io.tmpdir"))
+      .config("spark.local.dir", scratchDir())
       .config("spark.ui.enabled", "false")
+
+  /** RAM-backed scratch, scoped by OWNING PID and swept at startup.
+    *
+    * Spark removes its blockmgr/spark-* dirs via shutdown hook — which
+    * a SIGKILL (OOM killer) never runs. On a tmpfs local dir that
+    * leak is not disk junk, it is RESIDENT MEMORY: one killed sf10 run
+    * left 72 GB in /dev/shm (r12, the uncapped q_retrieval_eval),
+    * and every later JVM on the box then OOMed at ~50 GB while `free`
+    * showed the loss only as "shared". Scoping each session's scratch
+    * to pid-<n> makes ownership decidable, so the next builder() call
+    * reclaims any dir whose pid is dead — the crash-consistent
+    * cleanup pattern (stale-lock sweep) rather than trusting exits
+    * to be graceful.
+    */
+  private[graft] def scratchDir(): String = {
+    if (!new java.io.File("/dev/shm").isDirectory)
+      return System.getProperty("java.io.tmpdir")
+    val base = new java.io.File("/dev/shm/graft-spark")
+    base.mkdirs()
+    sweepDeadPidScratch(base)
+    val mine = new java.io.File(base, s"pid-${ProcessHandle.current().pid()}")
+    mine.mkdirs()
+    mine.getAbsolutePath
+  }
+
+  /** Delete pid-<n> scratch dirs whose owning process is gone.
+    * Returns the names it removed (spec hook).
+    */
+  private[graft] def sweepDeadPidScratch(base: java.io.File): Seq[String] = {
+    val children = Option(base.listFiles()).getOrElse(Array.empty)
+    children.toSeq.collect {
+      case d if d.getName.startsWith("pid-") &&
+          d.getName.drop(4).toLongOption.exists(p => !isLive(p)) =>
+        deleteRecursively(d); d.getName
+    }
+  }
+
+  private def isLive(pid: Long): Boolean = {
+    val h = ProcessHandle.of(pid)
+    h.isPresent && h.get().isAlive
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
 
   def get(): SparkSession = builder().getOrCreate()
 

@@ -2241,20 +2241,47 @@ object SparkEntry {
           md5(concat_ws(" ", col("pieces")).cast("binary")).as("piece_md5"))
     }),
 
+    "q_vocab_drift" -> ((s, d) => {
+      // vocabulary-distribution drift between source families (r12):
+      // pairwise Jensen-Shannon divergence over unigram
+      // distributions — the text analog of the numeric PSI/KS
+      // scorecard (what a crawl pipeline watches between dumps).
+      // The organic sources share a generator (JS ≈ 0 among them),
+      // so every 7th doc becomes a planted 'drifted' family with
+      // token-REVERSED text (disjoint vocabulary → JS near ln 2) —
+      // the matrix must separate the planted drift from the organic
+      // noise floor, and the oracle replays every nano-integerized
+      // token contribution exactly.
+      val docs = Tables.documents(s, d).select(
+        when(pmod(col("doc_id"), lit(7L)) === 3L, lit("drifted"))
+          .otherwise(col("source")).as("fam"),
+        when(pmod(col("doc_id"), lit(7L)) === 3L,
+          concat_ws(" ", transform(TF.tokens(col("text")), t => reverse(t))))
+          .otherwise(col("text")).as("text"))
+      graft.operators.VocabDrift.jsMatrix(docs, "fam", "text")
+    }),
+
     "q_retrieval_eval" -> ((s, d) => {
       // retrieval-quality eval harness (r12): a deterministic query
-      // set (every 100th doc; terms = its last 3 distinct tokens,
-      // relevant = itself) scores through the MULTI-query BM25
-      // (Bm25.batchTopK — one corpus pass, postings semi-joined to
-      // the broadcast union vocabulary before any exchange) and each
-      // query reports its relevant doc's rank@10 / reciprocal rank /
-      // hit. No planting: the metric VALUE is the oracle-compared
-      // quantity, replayed exactly in DuckDB (per-term scores
-      // integerized to micro units before the per-(query,doc) sum,
-      // so summation order cannot flip a rank).
+      // set (every 100th doc below id 10k; terms = its last 3
+      // distinct tokens, relevant = itself) scores through the
+      // MULTI-query BM25 (Bm25.batchTopK — one corpus pass, postings
+      // semi-joined to the broadcast union vocabulary before any
+      // exchange) and each query reports its relevant doc's rank@10 /
+      // reciprocal rank / hit. No planting: the metric VALUE is the
+      // oracle-compared quantity, replayed exactly in DuckDB
+      // (per-term scores integerized to micro units before the
+      // per-(query,doc) sum, so summation order cannot flip a rank).
+      // The id cap makes the eval set CORPUS-INDEPENDENT (≤100
+      // queries at any SF) — the labeled-set shape a real eval has,
+      // and the bound that keeps the per-(query, matching-doc) score
+      // grid ∝ corpus, never ∝ corpus × corpus/100: the uncapped
+      // form built a 5k-query × 500k-doc grid at sf10 and OOM-killed
+      // a 50 GB JVM (measured r12).
       val docs = Tables.documents(s, d)
       val ts = TF.tokens(col("text"))
-      val queries = docs.filter(pmod(col("doc_id"), lit(100L)) === 7L)
+      val queries = docs.filter(
+          pmod(col("doc_id"), lit(100L)) === 7L && col("doc_id") < 10000L)
         .select(col("doc_id").as("query_id"),
           array_distinct(slice(ts, greatest(size(ts) - 2, lit(1)), lit(3)))
             .as("terms"),
@@ -5821,6 +5848,49 @@ object SparkEntry {
          WHERE n_docs = (SELECT count(*) FROM documents)
            AND sum_chars = (SELECT sum(n_chars) FROM documents)""",
 
+    // pairwise JS divergence with per-token nano integerization —
+    // probabilities are exact count/total rationals, so both engines
+    // divide the same integers and sum the same longs
+    "q_vocab_drift" ->
+      """WITH toks AS (
+           SELECT CASE WHEN doc_id % 7 = 3 THEN 'drifted'
+                  ELSE source END AS fam,
+             CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+                  WHEN doc_id % 7 = 3 THEN list_transform(
+                    string_split_regex(trim(lower(text)), '\s+'), x -> reverse(x))
+                  ELSE string_split_regex(trim(lower(text)), '\s+') END AS ts
+           FROM documents
+         ), tok AS (
+           SELECT fam, unnest(ts) AS t FROM toks
+         ), cnt AS (
+           SELECT fam, t, CAST(count(*) AS BIGINT) AS c
+           FROM tok WHERE length(t) > 0 GROUP BY 1, 2
+         ), tot AS (
+           -- CAST: DuckDB's sum(BIGINT) is HUGEINT, which pandas
+           -- renders float64 and the driver's dtype compare rejects
+           SELECT fam, CAST(sum(c) AS BIGINT) AS tc FROM cnt GROUP BY 1
+         ), pairs AS (
+           SELECT a.fam AS fa, b.fam AS fb, a.tc AS t1, b.tc AS t2
+           FROM tot a, tot b WHERE a.fam < b.fam
+         ), gridtok AS (
+           SELECT p.fa, p.fb, p.t1, p.t2, c.t
+           FROM pairs p JOIN cnt c ON c.fam = p.fa OR c.fam = p.fb
+           GROUP BY 1, 2, 3, 4, 5
+         ), contrib AS (
+           SELECT g.fa, g.fb, g.t1, g.t2,
+             CAST(coalesce(ca.c, 0) AS DOUBLE) / g.t1 AS p1,
+             CAST(coalesce(cb.c, 0) AS DOUBLE) / g.t2 AS p2
+           FROM gridtok g
+             LEFT JOIN cnt ca ON ca.fam = g.fa AND ca.t = g.t
+             LEFT JOIN cnt cb ON cb.fam = g.fb AND cb.t = g.t
+         )
+         SELECT fa AS fam_a, fb AS fam_b, t1 AS n_tok_a, t2 AS n_tok_b,
+           CAST(sum(CAST(floor(
+             (CASE WHEN p1 > 0 THEN p1 * ln(p1 / ((p1 + p2) / 2.0)) ELSE 0.0 END
+              + CASE WHEN p2 > 0 THEN p2 * ln(p2 / ((p1 + p2) / 2.0)) ELSE 0.0 END)
+             * 0.5 * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS js_nano
+         FROM contrib GROUP BY 1, 2, 3, 4""",
+
     // the eval metric replayed exactly: same tokenize, same Okapi/
     // Lucene idf constants as q_bm25_search, per-term micro
     // integerization before the (query, doc) sum so group order
@@ -5834,7 +5904,7 @@ object SparkEntry {
          ), q AS (
            SELECT doc_id AS query_id, doc_id AS rel_id,
              list_distinct(ts[greatest(len(ts) - 2, 1):len(ts)]) AS terms
-           FROM toks WHERE doc_id % 100 = 7 AND len(ts) > 0
+           FROM toks WHERE doc_id % 100 = 7 AND doc_id < 10000 AND len(ts) > 0
          ), qt AS (
            SELECT query_id, unnest(terms) AS term FROM q
          ), dl AS (

@@ -91,6 +91,15 @@ object Bm25 {
     * broadcast; ranking is a per-query window over match-bounded
     * rows.
     *
+    * CALLER CONTRACT: `queries` must be an eval-set-sized frame
+    * (hundreds, not a corpus slice). The per-(query, matching-doc)
+    * grid is Θ(|queries| × docs-matching-any-term) in the worst
+    * case (common terms match most docs) — a query set that GROWS
+    * with the corpus turns the grid quadratic; a 1%-of-corpus set
+    * OOM-killed a 50 GB JVM at sf10 (measured r12) where the same
+    * corpus with a fixed 100-query set runs in 14 s (1.3x the
+    * oracle engine on the same worst-case 31-token vocabulary).
+    *
     * Cross-engine exactness: [[topK]] sums its (fixed, literal) term
     * scores inside one row expression, so summation order is fixed;
     * a grouped per-(query, doc) SUM has engine-dependent order, so

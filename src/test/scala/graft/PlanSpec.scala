@@ -358,7 +358,18 @@ class PlanSpec extends SparkSpec {
       // token join, one doc-keyed reassembly + the token-less right
       // join
       ("q_unigram_train",         0, 1, false),
-      ("q_unigram_encode",        3, 3, false))
+      ("q_unigram_encode",        3, 3, false),
+      // r12: batch BM25 eval — postings exchange (semi-join-gated
+      // BEFORE it, so shuffled rows ∝ query-term matches), df / per-
+      // (query,doc) sum / rank-window exchanges, plus pre-AQE clones
+      // of the postings branch the runtime collapses to
+      // ReusedExchange; BNLJ = the 1-row (N, avgdl) stats broadcast
+      ("q_retrieval_eval",       10, 7, true),
+      // r12: vocabulary JS drift — ONE checkpointed (fam, token,
+      // count) frame feeds the vocab-keyed map exchange and the
+      // |pairs|-row sum; the BNLJ is the broadcast |families|²-row
+      // pair grid crossed with the vocab-sized token map
+      ("q_vocab_drift",           2, 2, true))
     val failures = golden.flatMap { case (q, maxShuffles, maxLeaves, bnljOk) =>
       val p = SparkEntry.queries(q)(spark, sf()).queryExecution.executedPlan
       audit(q, p, maxShuffles, maxLeaves, bnljOk)

@@ -266,6 +266,62 @@ class Round12OpsSpec extends SparkSpec {
     }
   }
 
+  test("vocab drift: JS matrix separates planted drift; algebra hand-checked") {
+    import spark.implicits._
+    // hand-checked JS: P = {a:1}, Q = {b:1} disjoint → JS = ln 2;
+    // identical corpora → JS = 0
+    val ab = Seq(("f1", "a"), ("f2", "b")).toDF("fam", "text")
+    val disjoint = graft.operators.VocabDrift.jsMatrix(ab, "fam", "text")
+      .collect().head.getLong(4)
+    assert(math.abs(disjoint - math.round(math.log(2) * 1e9)) <= 1,
+      s"disjoint JS $disjoint vs ln2")
+    val same = Seq(("f1", "x y"), ("f2", "x y")).toDF("fam", "text")
+    assert(graft.operators.VocabDrift.jsMatrix(same, "fam", "text")
+      .collect().head.getLong(4) == 0L)
+    // half-overlap: P={a:1}, Q={a:1,b:1} → JS = 0.5*(1*ln(1/0.75))
+    //   + 0.5*(0.5*ln(0.5/0.75) + 0.5*ln(0.5/0.25))
+    val half = Seq(("f1", "a"), ("f2", "a b")).toDF("fam", "text")
+    val expected = 0.5 * math.log(1 / 0.75) +
+      0.5 * (0.5 * math.log(0.5 / 0.75) + 0.5 * math.log(0.5 / 0.25))
+    assert(math.abs(graft.operators.VocabDrift.jsMatrix(half, "fam", "text")
+      .collect().head.getLong(4) - math.round(expected * 1e9)) <= 2)
+    // the gate corpus: planted drifted family far above the organic
+    // noise floor
+    val out = SparkEntry.queries("q_vocab_drift")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(4)))
+    val drifted = out.filter(p => p._1 == "drifted" || p._2 == "drifted").map(_._3)
+    val organic = out.filterNot(p => p._1 == "drifted" || p._2 == "drifted").map(_._3)
+    assert(drifted.nonEmpty && organic.nonEmpty)
+    assert(drifted.min > 50L * organic.max,
+      s"drifted min ${drifted.min} vs organic max ${organic.max}")
+  }
+
+  test("scratch sweep: dead-pid dirs reclaimed, live ones kept") {
+    val base = java.nio.file.Files.createTempDirectory("graft_scratch_test").toFile
+    try {
+      // a dir owned by THIS (live) jvm, one by a certainly-dead pid
+      // (max linux pid is < 2^22 by default; 2^30 cannot be live),
+      // and a non-pid dir the sweep must never touch
+      val mine = new java.io.File(base, s"pid-${ProcessHandle.current().pid()}")
+      val dead = new java.io.File(base, "pid-1073741824")
+      val other = new java.io.File(base, "blockmgr-legacy")
+      Seq(mine, dead, other).foreach(_.mkdirs())
+      java.nio.file.Files.writeString(
+        new java.io.File(dead, "shuffle_0_0_0.data").toPath, "x")
+      val removed = GraftSession.sweepDeadPidScratch(base)
+      assert(removed == Seq("pid-1073741824"), removed)
+      assert(mine.isDirectory && other.isDirectory && !dead.exists())
+      // idempotent on a clean base
+      assert(GraftSession.sweepDeadPidScratch(base).isEmpty)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(base)
+    }
+  }
+
   private def Events_approxJoinedExact(d: String) =
     graft.streaming.Events.windowedAggApprox(Tables.events(spark, d))
       .join(graft.streaming.Events.windowedAggBatch(Tables.events(spark, d))
