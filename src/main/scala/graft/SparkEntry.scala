@@ -2942,6 +2942,20 @@ object SparkEntry {
           .as("feat_ok"))
     }),
 
+    "q_image_phash" -> ((s, d) => {
+      // multimodal NEAR-dup (r12): perceptual dHash over REAL decoded
+      // pixels + the SimHash band-bucket join, threshold hamming<=1.
+      // The planted set makes the oracle a-priori EXACT: dHash bits
+      // are local (no global-mean coupling), so on a gradient image
+      // every planted black grid cell flips exactly one known bit —
+      // per base: a byte-identical copy (hamming 0), a one-extra-cell
+      // variant (hamming 1), and distinct bases 2+ bits apart, so the
+      // screen must return exactly the 4 planted trios.
+      import graft.multimodal.ImagePHash
+      val media = ImagePHash.plantedGradientMedia(s, 4)
+      ImagePHash.nearDupPairs(ImagePHash.hashMedia(media), maxHamming = 1)
+    }),
+
     "q_multimodal_video" -> ((s, d) => {
       // the VIDEO seam: decode is stubbed (no codec libs in this
       // environment — the stub body is the only replacement point on
@@ -4927,6 +4941,19 @@ object SparkEntry {
            CAST(list_max(errs) AS BIGINT) AS max_err_ppb,
            CAST(list_sum(errs) AS BIGINT) AS sum_err_ppb
          FROM enc""",
+
+    // the planted dHash trios: per base k — copy at hamming 0,
+    // one-cell variant at hamming 1 (each black cell = exactly one
+    // local bit flip on the gradient); nothing else within hamming 1
+    "q_image_phash" ->
+      """SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           CAST(hamming AS BIGINT) AS hamming
+         FROM (VALUES
+           (0, 100, 0), (0, 200, 1), (100, 200, 1),
+           (1, 101, 0), (1, 201, 1), (101, 201, 1),
+           (2, 102, 0), (2, 202, 1), (102, 202, 1),
+           (3, 103, 0), (3, 203, 1), (103, 203, 1)
+         ) AS t(id_a, id_b, hamming)""",
 
     "q_multimodal" ->
       """SELECT CAST(media_id AS BIGINT) AS media_id, media_type,

@@ -296,6 +296,48 @@ class Round12OpsSpec extends SparkSpec {
       s"drifted min ${drifted.min} vs organic max ${organic.max}")
   }
 
+  test("image phash: hand-checked dHash bits, banding == brute force, planted gate") {
+    import graft.multimodal.ImagePHash
+    // 9x8 one-pixel-per-cell image, luma strictly increasing in x:
+    // every bit(r,c) = [cell(r,c) < cell(r,c+1)] = 1 → hash == -1L
+    def img(black: Option[(Int, Int)]): java.awt.image.BufferedImage = {
+      val im = new java.awt.image.BufferedImage(9, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 9) {
+        val v = if (black.contains((y, x))) 0 else 32 + x * 24
+        im.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      im
+    }
+    assert(ImagePHash.dHash64(img(None)) == -1L)
+    // blacking interior cell (r, c) flips exactly bit(r, c-1) — the
+    // comparison ENTERING the cell; the one leaving it stays true.
+    // Bit (r, c) sits at position 63 - (r*8 + c) (MSB-first build).
+    for ((r, c) <- Seq((0, 4), (3, 1), (7, 7)))
+      assert(ImagePHash.dHash64(img(Some((r, c)))) ==
+        (-1L ^ (1L << (63 - (r * 8 + (c - 1))))), s"cell ($r,$c)")
+    // banded candidate join finds exactly what brute-force hamming
+    // does on the planted set (pigeonhole completeness at t<=3)
+    val hashes = ImagePHash.hashMedia(ImagePHash.plantedGradientMedia(spark, 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hashes.length == 12 && hashes.forall(_._2 != 0L))
+    val brute = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    val banded = ImagePHash.nearDupPairs(
+      ImagePHash.hashMedia(ImagePHash.plantedGradientMedia(spark, 4)), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute, s"banded $banded vs brute $brute")
+    // the gate's hamming<=1 screen returns exactly the planted trios
+    val gate = SparkEntry.queries("q_image_phash")(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = (0 until 4).flatMap(k => Seq(
+      (k.toLong, 100L + k, 0L), (k.toLong, 200L + k, 1L),
+      (100L + k, 200L + k, 1L))).toSet
+    assert(gate == expected, s"gate $gate")
+  }
+
   test("scratch sweep: dead-pid dirs reclaimed, live ones kept") {
     val base = java.nio.file.Files.createTempDirectory("graft_scratch_test").toFile
     try {
