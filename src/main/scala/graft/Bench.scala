@@ -117,7 +117,10 @@ object Bench {
     // vocab-sized frames). q_tokenizer_fertility is NOT here: its
     // oracle is a committed-fixture READ (the q_bpe_encode class), so
     // a DuckDB "baseline" would time a file scan, not the computation
-    "q_retrieval_eval", "q_vocab_drift")
+    "q_retrieval_eval", "q_vocab_drift",
+    // r12: URL-graph PageRank — 10 nano-integer power iterations,
+    // two bounded exchanges per round (the canonical iterative job)
+    "q_pagerank")
 
   // Timed every tier but EXCLUDED from the headline totals: these have
   // no DuckDB oracle (not SQL-expressible), so including them would make
@@ -180,10 +183,12 @@ object Bench {
     // demonstration tier from birth (their whole point is the sf30
     // ratio their from-raw/exact siblings could not reach)
     "q5_local_supplier_staged", "q_event_windows_approx",
-    // r12 newborn: the batch retrieval eval qualifies at 14.3 s sf10
-    // (the synthetic corpus's 31-token vocabulary makes every query
-    // term match most docs — the worst-case grid BOTH engines pay)
-    "q_retrieval_eval")
+    // r12 newborns over the >=2 s-at-sf10 admission rule: the batch
+    // retrieval eval at 14.3 s (the synthetic corpus's 31-token
+    // vocabulary makes every query term match most docs — the
+    // worst-case grid BOTH engines pay) and PageRank at 10.1 s
+    // (10 iterations x 2 exchanges)
+    "q_retrieval_eval", "q_pagerank")
 
   /** Tier-freshness preamble (r9 verdict item 8): the gitignored tier
     * parquet was wiped twice during r9 and the old existence-only gate

@@ -2942,6 +2942,27 @@ object SparkEntry {
           .as("feat_ok"))
     }),
 
+    "q_pagerank" -> ((s, d) => {
+      // URL-graph PageRank (r12): crawl-prioritization authority over
+      // a deterministic link graph — every page links to its decade
+      // hub (node div 10 * 10) and two modular neighbors, so hub
+      // authority must emerge from the iteration, not the input.
+      // 10 damped power iterations in nano-integer rank units with
+      // integral division everywhere (operators.PageRank), so the
+      // DuckDB oracle replays all 10 iterations bit-for-bit as
+      // chained CTEs; top-20 tie-broken (rank desc, node).
+      val docs = Tables.documents(s, d).select(col("doc_id").as("node"))
+      val n = docs.count().max(1L)
+      val edges = docs.select(col("node").as("src"), explode(array(
+          expr("node div 10") * lit(10L),
+          pmod(col("node") * lit(7L) + lit(1L), lit(n)),
+          pmod(col("node") * lit(13L) + lit(2L), lit(n)))).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      graft.operators.PageRank.ranks(docs, edges, iterations = 10)
+        .orderBy(col("rank").desc, col("node").asc).limit(20)
+        .select(col("node"), col("rank").as("rank_nano"))
+    }),
+
     "q_image_phash" -> ((s, d) => {
       // multimodal NEAR-dup (r12): perceptual dHash over REAL decoded
       // pixels + the SimHash band-bucket join, threshold hamming<=1.
@@ -3432,6 +3453,47 @@ object SparkEntry {
          )
          SELECT doc_id, quality, lang_pred, n_tokens FROM g
          WHERE doc_id IN (SELECT min(doc_id) FROM g GROUP BY md5(clean))"""
+
+  /** q_pagerank's oracle: the SAME graph construction and all
+    * `iters` nano-integer damped power iterations, unrolled as one
+    * chained CTE per iteration (standard SQL — no reliance on
+    * aggregation inside a recursive CTE). `//` is DuckDB's integral
+    * division, mirroring Spark's `div`; every quantity is a
+    * non-negative integer so both engines truncate identically.
+    */
+  private def pagerankOracleSql(iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""pr$i AS (
+         |  SELECT n.node,
+         |    CAST((1000000000 - 850000000) // cnt
+         |      + (850000000 * COALESCE(s.cs, 0)) // 1000000000 AS BIGINT) AS rank
+         |  FROM nodes n CROSS JOIN nn
+         |  LEFT JOIN (
+         |    SELECT e.dst, sum(p.rank // o.deg) AS cs
+         |    FROM edges e JOIN outd o ON e.src = o.src
+         |      JOIN pr${i - 1} p ON e.src = p.node
+         |    GROUP BY e.dst
+         |  ) s ON n.node = s.dst
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nn AS (SELECT count(*) AS cnt FROM documents),
+       |nodes AS (SELECT doc_id AS node FROM documents),
+       |edges AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT doc_id AS src, (doc_id // 10) * 10 AS dst FROM documents
+       |    UNION ALL
+       |    SELECT doc_id, (doc_id * 7 + 1) % cnt FROM documents, nn
+       |    UNION ALL
+       |    SELECT doc_id, (doc_id * 13 + 2) % cnt FROM documents, nn
+       |  ) AS raw(src, dst) WHERE src <> dst
+       |),
+       |outd AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+       |pr0 AS (SELECT node, CAST(1000000000 // cnt AS BIGINT) AS rank
+       |        FROM nodes, nn),
+       |$iterCtes
+       |SELECT node, CAST(rank AS BIGINT) AS rank_nano FROM pr$iters
+       |ORDER BY rank DESC, node ASC LIMIT 20""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
 
@@ -4941,6 +5003,11 @@ object SparkEntry {
            CAST(list_max(errs) AS BIGINT) AS max_err_ppb,
            CAST(list_sum(errs) AS BIGINT) AS sum_err_ppb
          FROM enc""",
+
+    // all 10 nano-integer power iterations replayed as chained CTEs
+    // (generated — one identical CTE per iteration); integral
+    // division (`//`) mirrors Spark's `div` everywhere
+    "q_pagerank" -> pagerankOracleSql(10),
 
     // the planted dHash trios: per base k — copy at hamming 0,
     // one-cell variant at hamming 1 (each black cell = exactly one

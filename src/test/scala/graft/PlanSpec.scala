@@ -369,7 +369,12 @@ class PlanSpec extends SparkSpec {
       // count) frame feeds the vocab-keyed map exchange and the
       // |pairs|-row sum; the BNLJ is the broadcast |families|²-row
       // pair grid crossed with the vocab-sized token map
-      ("q_vocab_drift",           2, 2, true))
+      ("q_vocab_drift",           2, 2, true),
+      // r12: PageRank — the iterations run as checkpointed jobs (the
+      // q_dsir_weights contract), so the returned frame is TakeOrdered
+      // over the final checkpoint; the iterative plan's 2-exchange
+      // shape is pinned by its own A/B notes in the operator scaladoc
+      ("q_pagerank",              0, 1, false))
     val failures = golden.flatMap { case (q, maxShuffles, maxLeaves, bnljOk) =>
       val p = SparkEntry.queries(q)(spark, sf()).queryExecution.executedPlan
       audit(q, p, maxShuffles, maxLeaves, bnljOk)

@@ -296,6 +296,38 @@ class Round12OpsSpec extends SparkSpec {
       s"drifted min ${drifted.min} vs organic max ${organic.max}")
   }
 
+  test("pagerank: hand-computed integer iterations; cycle fixpoint; hub authority") {
+    import spark.implicits._
+    import graft.operators.PageRank
+    // 2-cycle a<->b is a FIXPOINT of the integer recursion:
+    // 75000000 + (850000000 * 500000000) div 1e9 = 500000000
+    val cyc = PageRank.ranks(
+      Seq(0L, 1L).toDF("node"),
+      Seq((0L, 1L), (1L, 0L)).toDF("src", "dst"), iterations = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(cyc == Map(0L -> 500000000L, 1L -> 500000000L), cyc)
+    // star (b->a, c->a, a->b), 2 iterations, every value hand-derived:
+    //   init 333333333 each; base = 150000000 div 3 = 50000000
+    //   i1: a = 50000000 + 850000000*666666666 div 1e9 = 616666666
+    //       b = 50000000 + 850000000*333333333 div 1e9 = 333333333
+    //       c = 50000000
+    //   i2: a = 50000000 + 850000000*(333333333+50000000) div 1e9
+    //         = 375833333
+    //       b = 50000000 + 850000000*616666666 div 1e9 = 574166666
+    val star = PageRank.ranks(
+      Seq(0L, 1L, 2L).toDF("node"),
+      Seq((1L, 0L), (2L, 0L), (0L, 1L)).toDF("src", "dst"), iterations = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(star == Map(0L -> 375833333L, 1L -> 574166666L, 2L -> 50000000L), star)
+    // gate: 20 rows, and the top node is a decade hub (authority
+    // emerged from the iteration — hubs have no input-side boost)
+    val gate = SparkEntry.queries("q_pagerank")(spark, sf()).collect()
+    assert(gate.length == 20)
+    assert(gate.head.getLong(0) % 10 == 0, gate.head.toString)
+    assert(gate.map(_.getLong(1)).toSeq ==
+      gate.map(_.getLong(1)).sorted.reverse.toSeq)
+  }
+
   test("image phash: hand-checked dHash bits, banding == brute force, planted gate") {
     import graft.multimodal.ImagePHash
     // 9x8 one-pixel-per-cell image, luma strictly increasing in x:

@@ -63,9 +63,10 @@ HEADLINERS = [
     # chat/SFT transcript assembly, URL frontier dedup
     "q_ewma_anomaly", "q_chat_assemble", "q_url_dedup",
     # r12 operators (bench rows from birth): batch BM25 retrieval
-    # eval, vocabulary JS drift (q_tokenizer_fertility is absent on
-    # purpose: its oracle is a fixture read, not a baseline)
-    "q_retrieval_eval", "q_vocab_drift"]
+    # eval, vocabulary JS drift, URL-graph PageRank
+    # (q_tokenizer_fertility is absent on purpose: its oracle is a
+    # fixture read, not a baseline)
+    "q_retrieval_eval", "q_vocab_drift", "q_pagerank"]
 
 # Comparable-WORK baselines for extras (r10 verdict item 1): these
 # queries have no value-level oracle (minhash family), but the work a
