@@ -184,10 +184,11 @@ object Bench {
     // ratio their from-raw/exact siblings could not reach)
     "q5_local_supplier_staged", "q_event_windows_approx",
     // r12 newborns over the >=2 s-at-sf10 admission rule: the batch
-    // retrieval eval at 14.3 s (the synthetic corpus's 31-token
+    // retrieval eval at 7.5 s (the synthetic corpus's 31-token
     // vocabulary makes every query term match most docs — the
-    // worst-case grid BOTH engines pay) and PageRank at 10.1 s
-    // (10 iterations x 2 exchanges)
+    // worst-case grid BOTH engines pay; the native vocab_term_counts
+    // postings build is what holds it under the oracle engine) and
+    // PageRank at 10.1 s (10 iterations x 2 exchanges)
     "q_retrieval_eval", "q_pagerank")
 
   /** Tier-freshness preamble (r9 verdict item 8): the gitignored tier

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, StringTrim, Up
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 
-import graft.functions.{CharDiversityStats, CollectMinK, CosineSimilarity, MinHash64, NfcNormalize, NgramRepetition, ShingleHash64, SimHash64}
+import graft.functions.{CharDiversityStats, CollectMinK, CosineSimilarity, MinHash64, NfcNormalize, NgramRepetition, ShingleHash64, SimHash64, VocabTermCounts}
 
 /** Engine extensions, registered through the public
   * `spark.sql.extensions` hook (GraftSession sets it). Native
@@ -53,6 +53,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "ngram_repetition(tokens, k) takes exactly two arguments")
         require(children(1).foldable, "ngram_repetition: k must be a literal")
         NgramRepetition(children.head, children(1).eval().asInstanceOf[Number].intValue())
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("vocab_term_counts"),
+      new ExpressionInfo(classOf[VocabTermCounts].getName, "vocab_term_counts"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2,
+          "vocab_term_counts(tokens, vocab) takes exactly two arguments")
+        require(children(1).foldable, "vocab_term_counts: vocab must be a literal array")
+        val arr = children(1).eval().asInstanceOf[
+          org.apache.spark.sql.catalyst.util.ArrayData]
+        val vocab =
+          if (arr == null) Seq.empty[String]
+          else (0 until arr.numElements()).map { i =>
+            val u = arr.getUTF8String(i)
+            if (u == null) null else u.toString
+          }
+        VocabTermCounts(children.head, vocab)
       }))
     ext.injectFunction((
       FunctionIdentifier("char_diversity_stats"),

@@ -83,13 +83,17 @@ object Bm25 {
   /** MULTI-query BM25 — the retrieval-eval/batch-curation form of
     * [[topK]] (r12): `queries` is (query_id, terms: array<string>),
     * and the whole batch scores in ONE corpus pass. The postings
-    * build explodes tokens but semi-joins the (broadcast, eval-set-
-    * bounded) union query vocabulary BEFORE any exchange, so the
-    * shuffled rows are (doc, term, tf) postings that match SOME
-    * query — never the full inverted index; df/stats frames are
-    * vocabulary/1-row sized; the per-(query, doc) fan-out is
-    * broadcast; ranking is a per-query window over match-bounded
-    * rows.
+    * build plants the (collected, eval-set-bounded) union query
+    * vocabulary as the literal of the native one-pass
+    * `vocab_term_counts` counter, so each document emits its
+    * (term, tf) MAP straight from the scan — rows ∝ matches from the
+    * first operator, with no token explode and no corpus-tokens-
+    * sized hash aggregate (the first form exploded every token and
+    * re-grouped: 450M rows → 46M at sf30, ~half the query; the
+    * native build cut the sparse path 48.5 s → 21.3 s, r12).
+    * df/stats frames are vocabulary/1-row sized; the per-(query,
+    * doc) fan-out is broadcast; ranking is a per-query window over
+    * match-bounded rows.
     *
     * CALLER CONTRACT: `queries` must be an eval-set-sized frame
     * (hundreds, not a corpus slice). The per-(query, matching-doc)
@@ -97,7 +101,7 @@ object Bm25 {
     * case (common terms match most docs) — a query set that GROWS
     * with the corpus turns the grid quadratic; a 1%-of-corpus set
     * OOM-killed a 50 GB JVM at sf10 (measured r12) where the same
-    * corpus with a fixed 100-query set runs in 14 s (1.3x the
+    * corpus with a fixed 100-query set runs in 7.5 s (0.68x the
     * oracle engine on the same worst-case 31-token vocabulary).
     *
     * Cross-engine exactness: [[topK]] sums its (fixed, literal) term
@@ -112,20 +116,29 @@ object Bm25 {
                 queries: DataFrame, k: Int = 10,
                 k1: Double = 1.5, b: Double = 0.75): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val withDl = docs.select(col(idCol).as("doc_id"),
-      TextFunctions.tokens(col(textCol)).as("__ts"))
-      .select(col("doc_id"), size(col("__ts")).cast("double").as("dl"),
-        col("__ts"))
     val qt = queries.select(col("query_id"),
       explode(array_distinct(col("terms"))).as("term"))
-    val vocab = qt.select("term").distinct()
-    val post = withDl
-      .select(col("doc_id"), col("dl"), explode(col("__ts")).as("term"))
-      .join(broadcast(vocab), Seq("term"), "left_semi")
-      .groupBy("doc_id", "term")
-      .agg(count(lit(1)).cast("double").as("tf"), first(col("dl")).as("dl"))
+    // the union query vocabulary, collected once (eval-set-bounded)
+    // and planted as the literal of the native one-pass counter:
+    // postings emerge as rows ∝ MATCHES (46M at sf30) instead of the
+    // explode + semi-join + corpus-tokens-sized string hash-agg form
+    // (450M exploded rows; the agg was ~half the query — measured
+    // r12, see VocabTermCounts)
+    val vocabTerms: Seq[String] = qt.select("term").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val vocabLit =
+      if (vocabTerms.isEmpty) array().cast("array<string>")
+      else array(vocabTerms.map(lit): _*)
+    val withTc = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("__ts"))
+      .select(col("doc_id"), size(col("__ts")).cast("double").as("dl"),
+        call_function("vocab_term_counts", col("__ts"), vocabLit).as("__tc"))
+    val post = withTc
+      .select(col("doc_id"), col("dl"), explode(col("__tc")))
+      .select(col("doc_id"), col("key").as("term"),
+        col("value").cast("double").as("tf"), col("dl"))
     val dft = post.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-    val stats = withDl.agg(count(lit(1)).cast("double").as("n_docs"),
+    val stats = withTc.agg(count(lit(1)).cast("double").as("n_docs"),
       avg(col("dl")).as("avgdl"))
     val scoredTerm = post.join(broadcast(dft), "term")
       .crossJoin(broadcast(stats))
@@ -133,6 +146,17 @@ object Bm25 {
         floor(termScore(col("tf"), col("df"), col("n_docs"), col("dl"),
           col("avgdl"), k1, b) * lit(1e6) + lit(0.5)).cast("long")
           .as("ts_micro"))
+
+    // Per-(query, doc) sum over the match grid. A "dense" alternative
+    // (collapse postings to a per-doc score MAP, cross the broadcast
+    // query list against it in a narrow projection) was built and
+    // MEASURED against this on the densest possible corpus — the
+    // 31-token synthetic vocabulary, where every query matches most
+    // docs: with the native postings build, sparse reads 21.3 s at
+    // sf30 vs dense 38.8 s (the dense path trades a codegen'd
+    // long-sum aggregate for |docs|×|queries| interpreted map-lookup
+    // folds, and loses even in its best-case regime). Rejected; the
+    // A/B is recorded in PLANS.md r12.
     val w = Window.partitionBy("query_id")
       .orderBy(col("score_micro").desc, col("doc_id").asc)
     scoredTerm.join(broadcast(qt), "term")

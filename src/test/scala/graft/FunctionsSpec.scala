@@ -228,6 +228,31 @@ class FunctionsSpec extends SparkSpec {
     assert(NfcNormalize.nfc(ascii) eq ascii)
   }
 
+  test("vocab_term_counts: equals the explode+semi-join+groupBy form") {
+    val docs = Seq(
+      (1L, Seq("a", "b", "a", "c", "a")),
+      (2L, Seq("b", "b")),
+      (3L, Seq.empty[String]),
+      (4L, Seq("z", "z", "q"))).toDF("doc_id", "toks")
+    val vocab = Seq("a", "b", "q")
+    val native = docs.select(col("doc_id"),
+      explode(call_function("vocab_term_counts", col("toks"),
+        array(vocab.map(lit): _*))))
+      .select(col("doc_id"), col("key"), col("value"))
+      .as[(Long, String, Long)].collect().toSet
+    val composed = docs.select(col("doc_id"), explode(col("toks")).as("t"))
+      .filter(col("t").isin(vocab.map(x => x: Any): _*))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(native === composed, s"$native vs $composed")
+    assert(native === Set((1L, "a", 3L), (1L, "b", 1L), (2L, "b", 2L),
+      (4L, "q", 1L)))
+    // empty vocabulary → empty maps, no rows
+    assert(docs.select(col("doc_id"),
+      explode(call_function("vocab_term_counts", col("toks"),
+        array().cast("array<string>")))).count() === 0)
+  }
+
   test("unicodeClean: spaces mapped, zero-width and controls deleted, NFC first") {
     val df = Seq(
       "a\u00A0b",              // NBSP -> plain space

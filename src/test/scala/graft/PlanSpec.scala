@@ -359,12 +359,13 @@ class PlanSpec extends SparkSpec {
       // join
       ("q_unigram_train",         0, 1, false),
       ("q_unigram_encode",        3, 3, false),
-      // r12: batch BM25 eval — postings exchange (semi-join-gated
-      // BEFORE it, so shuffled rows ∝ query-term matches), df / per-
-      // (query,doc) sum / rank-window exchanges, plus pre-AQE clones
-      // of the postings branch the runtime collapses to
-      // ReusedExchange; BNLJ = the 1-row (N, avgdl) stats broadcast
-      ("q_retrieval_eval",       10, 7, true),
+      // r12: batch BM25 eval — the native vocab_term_counts postings
+      // build (rows ∝ matches from the scan, no token explode), its
+      // map-explode exchange, df / per-(query,doc) sum / rank-window
+      // exchanges + pre-AQE clones the runtime collapses to
+      // ReusedExchange (10/7 before the native rework); BNLJ = the
+      // 1-row (N, avgdl) stats broadcast
+      ("q_retrieval_eval",        6, 5, true),
       // r12: vocabulary JS drift — ONE checkpointed (fam, token,
       // count) frame feeds the vocab-keyed map exchange and the
       // |pairs|-row sum; the BNLJ is the broadcast |families|²-row

@@ -249,6 +249,7 @@ class Round12OpsSpec extends SparkSpec {
     assert(batch == single)
   }
 
+
   test("tokenizer fertility: bounds and degenerate docs") {
     val out = SparkEntry.queries("q_tokenizer_fertility")(spark, sf())
       .collect()
