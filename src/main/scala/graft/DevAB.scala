@@ -439,11 +439,257 @@ object DevAB {
     }
   }
 
+  /** r12 optimization-round A/B: single-row-group tier files scan as
+    * ONE task, so corpus HOF passes (tokenize/shingle) run serial on a
+    * 32-core box — measure a post-scan round-robin fan-out, and the
+    * hash-keyed (shingle_hash64) exchange for the overlap matrix.
+    */
+  def fanoutAB(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import graft.functions.{TextFunctions => TF}
+    import graft.operators.{SourceOverlap, Cooccur}
+    def exec(df: org.apache.spark.sql.DataFrame): Unit =
+      df.queryExecution.toRdd.foreach(_ => ())
+    def time(tag: String)(f: => Unit): Unit = {
+      val ts = (1 to 3).map { _ =>
+        spark.sharedState.cacheManager.clearCache()
+        System.gc(); Thread.sleep(300)
+        val t0 = System.nanoTime(); f
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"DEVAB $tag min=${ts.min}%.3f all=${ts.map(t => f"$t%.3f").mkString(",")}")
+    }
+    val warm = "/root/testdata/sf0.001"
+    def ov(docs: org.apache.spark.sql.DataFrame) =
+      SourceOverlap.matrix(docs, "source", col("text"), 3)
+    def ovHash(docs: org.apache.spark.sql.DataFrame) = {
+      val bySh = docs.select(col("source").as("src"),
+          explode(call_function("shingle_hash64", TF.tokens(col("text")), lit(3))).as("sh"))
+        .groupBy("sh").agg(sort_array(collect_set(col("src"))).as("srcs"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try SourceOverlap.materialized(SourceOverlap.matrixFromSets(bySh))
+      finally { bySh.unpersist(blocking = false); () }
+    }
+    def pmi(docs: org.apache.spark.sql.DataFrame) =
+      Cooccur.pmi(docs.select(col("doc_id"), col("text")), "doc_id",
+        TF.tokens(col("text")), 5, 5, 40)
+    exec(ov(Tables.documents(spark, warm)))
+    exec(ovHash(Tables.documents(spark, warm)))
+    exec(pmi(Tables.documents(spark, warm)))
+    val docs = Tables.documents(spark, dir)
+    val n = spark.sparkContext.defaultParallelism
+    time("overlap_current")(exec(ov(docs)))
+    time("overlap_fanout")(exec(ov(docs.repartition(n))))
+    time("overlap_hash")(exec(ovHash(docs)))
+    time("overlap_hash_fanout")(exec(ovHash(docs.repartition(n))))
+    time("pmi_current")(exec(pmi(docs)))
+    time("pmi_fanout")(exec(pmi(docs.repartition(n))))
+  }
+
+  /** A/B a session conf across gate queries (r12 opt): each named
+    * query timed min-of-3 with the conf OFF then ON, interleaved.
+    */
+  def confAB(spark: org.apache.spark.sql.SparkSession, dir: String,
+             key: String, value: String, names: Seq[String]): Unit = {
+    def exec(df: org.apache.spark.sql.DataFrame): Unit =
+      df.queryExecution.toRdd.foreach(_ => ())
+    def one(f: => Unit): Double = {
+      val ts = (1 to 3).map { _ =>
+        spark.sharedState.cacheManager.clearCache()
+        System.gc(); Thread.sleep(300)
+        val t0 = System.nanoTime(); f
+        (System.nanoTime() - t0) / 1e9
+      }
+      ts.min
+    }
+    val warm = "/root/testdata/sf0.001"
+    val orig = spark.conf.getOption(key)
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      if (new java.io.File(warm).isDirectory)
+        try exec(fn(spark, warm)) catch { case _: Throwable => () }
+      val off = one(exec(fn(spark, dir)))
+      spark.conf.set(key, value)
+      try exec(fn(spark, warm)) catch { case _: Throwable => () }
+      val on = one(exec(fn(spark, dir)))
+      orig match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+      println(f"DEVAB conf $name off=$off%.3f on=$on%.3f delta=${(off - on) / off * 100}%.0f%%")
+    }
+  }
+
+  /** PMI decomposition + hash-keyed pair-grid variant (r12 opt). */
+  def pmiAB(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import graft.functions.{TextFunctions => TF}
+    def exec(df: org.apache.spark.sql.DataFrame): Unit =
+      df.queryExecution.toRdd.foreach(_ => ())
+    def time(tag: String)(f: => Unit): Unit = {
+      val ts = (1 to 3).map { _ =>
+        spark.sharedState.cacheManager.clearCache()
+        System.gc(); Thread.sleep(300)
+        val t0 = System.nanoTime(); f
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"DEVAB $tag min=${ts.min}%.3f all=${ts.map(t => f"$t%.3f").mkString(",")}")
+    }
+    def pmiHash(docs0: org.apache.spark.sql.DataFrame,
+                minDf: Int, minPairCount: Int, topK: Int): org.apache.spark.sql.DataFrame = {
+      val docs = docs0.select(col("doc_id"), col("text"))
+      val pres = docs.select(col("doc_id"),
+          explode(array_distinct(TF.tokens(col("text")))).as("token"))
+        .filter(length(col("token")) > 0)
+        .select(col("doc_id"), col("token"), xxhash64(col("token")).as("h"))
+      val dfTab = pres.groupBy(col("h")).agg(first(col("token")).as("token"),
+          count(lit(1)).as("df"))
+        .filter(col("df") >= minDf)
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val docToks = pres.join(broadcast(dfTab.select("h")), "h")
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_set(col("h"))).as("toks"))
+      val pairs = docToks.select(explode(flatten(
+        transform(col("toks"), (t, i) =>
+          transform(slice(col("toks"), i + lit(2), size(col("toks")) - i - lit(1)),
+            u => struct(t.as("h_a"), u.as("h_b")))))).as("p"))
+        .select(col("p.h_a"), col("p.h_b"))
+      val pairCounts = pairs.groupBy("h_a", "h_b")
+        .agg(count(lit(1)).as("n_pair"))
+        .filter(col("n_pair") >= minPairCount)
+      val scored = pairCounts
+        .join(broadcast(dfTab.select(col("h").as("h_a"), col("token").as("tok_x"),
+          col("df").as("df_x"))), "h_a")
+        .join(broadcast(dfTab.select(col("h").as("h_b"), col("token").as("tok_y"),
+          col("df").as("df_y"))), "h_b")
+        .crossJoin(broadcast(nDocs))
+        .select(
+          least(col("tok_x"), col("tok_y")).as("tok_a"),
+          greatest(col("tok_x"), col("tok_y")).as("tok_b"),
+          when(col("tok_x") <= col("tok_y"), col("df_x")).otherwise(col("df_y")).as("df_a"),
+          when(col("tok_x") <= col("tok_y"), col("df_y")).otherwise(col("df_x")).as("df_b"),
+          col("n_pair"),
+          (col("n_pair").cast("double") * col("n_docs")
+            / (col("df_x") * col("df_y")).cast("double")).as("__lift"))
+      scored
+        .orderBy(col("__lift").desc, col("tok_a"), col("tok_b"))
+        .limit(topK)
+        .select(col("tok_a"), col("tok_b"), col("n_pair"), col("df_a"), col("df_b"),
+          (floor(log(col("__lift")) * 1e4 + lit(0.5)) / 1e4).as("pmi"))
+    }
+    val warm = Tables.documents(spark, "/root/testdata/sf0.001")
+    exec(pmiHash(warm, 5, 5, 40))
+    val docs = Tables.documents(spark, dir)
+    // stage decomposition of the CURRENT operator
+    val pres = docs.select(col("doc_id"), explode(array_distinct(TF.tokens(col("text")))).as("token"))
+      .filter(length(col("token")) > 0)
+    time("pmi_pres_count")(exec(pres.groupBy("token").agg(count(lit(1)).as("df")).filter(col("df") >= 5)))
+    val dfTab = pres.groupBy("token").agg(count(lit(1)).as("df")).filter(col("df") >= 5)
+    val docToks = pres.join(broadcast(dfTab), "token")
+      .groupBy(col("doc_id")).agg(sort_array(collect_set(col("token"))).as("toks"))
+    time("pmi_doctoks")(exec(docToks))
+    val pairs = docToks.select(explode(flatten(
+      transform(col("toks"), (t, i) =>
+        transform(slice(col("toks"), i + lit(2), size(col("toks")) - i - lit(1)),
+          u => struct(t.as("tok_a"), u.as("tok_b")))))).as("p"))
+      .select(col("p.tok_a"), col("p.tok_b"))
+    time("pmi_paircounts")(exec(pairs.groupBy("tok_a", "tok_b").agg(count(lit(1)).as("n_pair")).filter(col("n_pair") >= 5)))
+    time("pmi_full_current")(exec(graft.operators.Cooccur.pmi(
+      docs.select(col("doc_id"), col("text")), "doc_id", TF.tokens(col("text")), 5, 5, 40)))
+    time("pmi_full_hash")(exec(pmiHash(docs, 5, 5, 40)))
+    val n = spark.sparkContext.defaultParallelism
+    time("pmi_full_hash_fanout")(exec(pmiHash(docs.repartition(n), 5, 5, 40)))
+    // grid-parallelism probe: repartition the doc-token frame between
+    // the agg and the pair grid so AQE's size-based coalesce (tiny
+    // aggregated rows) can't serialize the O(k²) explode stage
+    def pmiHashSpread(docs0: org.apache.spark.sql.DataFrame,
+                      minDf: Int, minPairCount: Int, topK: Int): org.apache.spark.sql.DataFrame = {
+      val docs = docs0.select(col("doc_id"), col("text"))
+      val pres = docs.select(col("doc_id"),
+          explode(array_distinct(TF.tokens(col("text")))).as("token"))
+        .filter(length(col("token")) > 0)
+        .select(col("doc_id"), col("token"), xxhash64(col("token")).as("h"))
+      val dfTab = pres.groupBy(col("h")).agg(first(col("token")).as("token"),
+          count(lit(1)).as("df"))
+        .filter(col("df") >= minDf)
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val docToks = pres.join(broadcast(dfTab.select("h")), "h")
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_set(col("h"))).as("toks"))
+        .repartition(spark.sparkContext.defaultParallelism)
+      val pairs = docToks.select(explode(flatten(
+        transform(col("toks"), (t, i) =>
+          transform(slice(col("toks"), i + lit(2), size(col("toks")) - i - lit(1)),
+            u => struct(t.as("h_a"), u.as("h_b")))))).as("p"))
+        .select(col("p.h_a"), col("p.h_b"))
+      val pairCounts = pairs.groupBy("h_a", "h_b")
+        .agg(count(lit(1)).as("n_pair"))
+        .filter(col("n_pair") >= minPairCount)
+      val scored = pairCounts
+        .join(broadcast(dfTab.select(col("h").as("h_a"), col("token").as("tok_x"),
+          col("df").as("df_x"))), "h_a")
+        .join(broadcast(dfTab.select(col("h").as("h_b"), col("token").as("tok_y"),
+          col("df").as("df_y"))), "h_b")
+        .crossJoin(broadcast(nDocs))
+        .select(
+          least(col("tok_x"), col("tok_y")).as("tok_a"),
+          greatest(col("tok_x"), col("tok_y")).as("tok_b"),
+          when(col("tok_x") <= col("tok_y"), col("df_x")).otherwise(col("df_y")).as("df_a"),
+          when(col("tok_x") <= col("tok_y"), col("df_y")).otherwise(col("df_x")).as("df_b"),
+          col("n_pair"),
+          (col("n_pair").cast("double") * col("n_docs")
+            / (col("df_x") * col("df_y")).cast("double")).as("__lift"))
+      scored
+        .orderBy(col("__lift").desc, col("tok_a"), col("tok_b"))
+        .limit(topK)
+        .select(col("tok_a"), col("tok_b"), col("n_pair"), col("df_a"), col("df_b"),
+          (floor(log(col("__lift")) * 1e4 + lit(0.5)) / 1e4).as("pmi"))
+    }
+    exec(pmiHashSpread(warm, 5, 5, 40))
+    time("pmi_full_hash_spread")(exec(pmiHashSpread(docs, 5, 5, 40)))
+    // value equality vs current
+    val a = graft.operators.Cooccur.pmi(docs.select(col("doc_id"), col("text")), "doc_id",
+      TF.tokens(col("text")), 5, 5, 40).collect().toSeq
+    val b = pmiHash(docs, 5, 5, 40).collect().toSeq
+    val c = pmiHashSpread(docs, 5, 5, 40).collect().toSeq
+    println(s"DEVAB pmi_equal=${a == b} spread_equal=${a == c} n=${a.size}")
+  }
+
+  /** Write `.explain("formatted")` of each named gate query (all
+    * bench headliners+extras when `names` is empty) to
+    * `<outDir>/<name>_<tag>.txt` — the plan evidence the optimization
+    * rounds commit under plans/r12/.
+    */
+  def dumpPlans(spark: org.apache.spark.sql.SparkSession, dir: String,
+                outDir: String, tag: String, names: Seq[String]): Unit = {
+    new java.io.File(outDir).mkdirs()
+    val all = if (names.nonEmpty) names else Bench.benchedNames
+    all.foreach { name =>
+      SparkEntry.queries.get(name).foreach { fn =>
+        try {
+          // each query's plan must be the one Bench times: no cache
+          // entries leaked from a prior gate's construction
+          spark.sharedState.cacheManager.clearCache()
+          val plan = fn(spark, dir).queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$outDir/${name}_$tag.txt"),
+            plan.getBytes("UTF-8"))
+        } catch { case e: Throwable =>
+          System.err.println(s"[plans] $name failed: ${e.getMessage}")
+        }
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("testdata/sf30")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // `DevAB <dir> plans <outDir> <tag> [name1,name2]`
+    args.indexOf("plans") match {
+      case i if i >= 0 && args.length > i + 2 =>
+        val names = if (args.length > i + 3) args(i + 3).split(",").toSeq else Nil
+        dumpPlans(spark, dir, args(i + 1), args(i + 2), names)
+        spark.stop(); return
+      case _ => ()
+    }
     def exec(df: org.apache.spark.sql.DataFrame): Unit =
       df.queryExecution.toRdd.foreach(_ => ())
     def time(tag: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
@@ -509,6 +755,15 @@ object DevAB {
         }
         spark.stop(); return
       case None => ()
+    }
+    if (args.contains("fanout")) { fanoutAB(spark, dir); spark.stop(); return }
+    if (args.contains("pmi2")) { pmiAB(spark, dir); spark.stop(); return }
+    // `DevAB <dir> conf <key> <value> name1,name2,...`
+    args.indexOf("conf") match {
+      case i if i >= 0 && args.length > i + 3 =>
+        confAB(spark, dir, args(i + 1), args(i + 2), args(i + 3).split(",").toSeq)
+        spark.stop(); return
+      case _ => ()
     }
     if (args.contains("tpch")) { tpchAB(spark, dir); spark.stop(); return }
     if (args.contains("floors")) { floorsAB(spark, dir); spark.stop(); return }
