@@ -516,6 +516,158 @@ object DevAB {
     }
   }
 
+  /** Backoff-LM decomposition (r12 opt): where do the 1.7 s at sf0.1
+    * go — the two doc-side corpus HOF passes, the three model-side
+    * scans, or the five type-keyed joins?
+    */
+  def backoffAB(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import graft.functions.{TextFunctions => TF}
+    def exec(df: org.apache.spark.sql.DataFrame): Unit =
+      df.queryExecution.toRdd.foreach(_ => ())
+    def time(tag: String)(f: => Unit): Unit = {
+      val ts = (1 to 3).map { _ =>
+        spark.sharedState.cacheManager.clearCache()
+        System.gc(); Thread.sleep(300)
+        val t0 = System.nanoTime(); f
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"DEVAB $tag min=${ts.min}%.3f all=${ts.map(t => f"$t%.3f").mkString(",")}")
+    }
+    def trigramHashArr(textCol: org.apache.spark.sql.Column) =
+      TF.bindOnce(TF.tokens(textCol), toks =>
+        when(size(toks) < 3,
+            array().cast(
+              "array<struct<h3:bigint,h12:bigint,h23:bigint,hw2:bigint,hw3:bigint>>"))
+          .otherwise(transform(sequence(lit(1), size(toks) - 2), i => {
+            val (w1, w2, w3) =
+              (element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))
+            struct(
+              xxhash64(w1, w2, w3).as("h3"),
+              xxhash64(w1, w2).as("h12"),
+              xxhash64(w2, w3).as("h23"),
+              xxhash64(w2).as("hw2"),
+              xxhash64(w3).as("hw3"))
+          })))
+    val n = spark.sparkContext.defaultParallelism
+    val warmD = Tables.documents(spark, "/root/testdata/sf0.001")
+    exec(graft.operators.BackoffLm.scores(warmD,
+      warmD.filter(col("doc_id") % 3 === 0), "doc_id", "text"))
+    val docs = Tables.documents(spark, dir)
+    val model = docs.filter(col("doc_id") % 3 === 0)
+    val docsS = docs.repartition(n)
+    val modelS = docsS.filter(col("doc_id") % 3 === 0)
+    // stage: one doc-side trigram pass (the tfd aggregate), serial vs spread
+    val docTri = docs.select(col("doc_id"), explode(trigramHashArr(col("text"))).as("t"))
+    val docTriS = docsS.select(col("doc_id"), explode(trigramHashArr(col("text"))).as("t"))
+    time("bk_doctri_agg_serial")(exec(docTri.groupBy(col("t.h3").as("h3"), col("doc_id")).agg(count(lit(1)).as("tf"))))
+    time("bk_doctri_agg_spread")(exec(docTriS.groupBy(col("t.h3").as("h3"), col("doc_id")).agg(count(lit(1)).as("tf"))))
+    // stage: model unigram counts serial vs spread
+    time("bk_uni_serial")(exec(model.select(explode(TF.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0).groupBy(xxhash64(col("w")).as("hw")).agg(count(lit(1)).as("c1"))))
+    time("bk_uni_spread")(exec(modelS.select(explode(TF.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) > 0).groupBy(xxhash64(col("w")).as("hw")).agg(count(lit(1)).as("c1"))))
+    // full gate current vs spread-input
+    time("bk_full_current")(exec(graft.operators.BackoffLm.scores(docs, model, "doc_id", "text")))
+    time("bk_full_spread_inputs")(exec(graft.operators.BackoffLm.scores(docsS, modelS, "doc_id", "text")))
+    // one-scan doc side: tfd carries the sibling hashes through the
+    // (h3, doc) agg; types folds off THAT (type×doc-bounded rows)
+    // instead of a second corpus HOF pass
+    def pround = graft.functions.Rounding.pround _
+    def scoresOneScan(docsI: org.apache.spark.sql.DataFrame,
+                      modelI: org.apache.spark.sql.DataFrame,
+                      spread: Int): org.apache.spark.sql.DataFrame = {
+      val uni = modelI
+        .select(explode(TF.tokens(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(xxhash64(col("w")).as("hw"))
+        .agg(count(lit(1)).as("c1"))
+      val totals = uni.agg(sum("c1").as("n_tok"), count(lit(1)).as("v"))
+      def bigramHashArr(textCol: org.apache.spark.sql.Column) =
+        TF.bindOnce(TF.tokens(textCol), toks =>
+          when(size(toks) < 2, array().cast("array<bigint>"))
+            .otherwise(transform(sequence(lit(1), size(toks) - 1),
+              i => xxhash64(element_at(toks, i), element_at(toks, i + 1)))))
+      def trigramHashArr2(textCol: org.apache.spark.sql.Column) =
+        TF.bindOnce(TF.tokens(textCol), toks =>
+          when(size(toks) < 3,
+              array().cast(
+                "array<struct<h3:bigint,h12:bigint,h23:bigint,hw2:bigint,hw3:bigint>>"))
+            .otherwise(transform(sequence(lit(1), size(toks) - 2), i => {
+              val (w1, w2, w3) =
+                (element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))
+              struct(
+                xxhash64(w1, w2, w3).as("h3"),
+                xxhash64(w1, w2).as("h12"),
+                xxhash64(w2, w3).as("h23"),
+                xxhash64(w2).as("hw2"),
+                xxhash64(w3).as("hw3"))
+            })))
+      val big = modelI.select(explode(bigramHashArr(col("text"))).as("hb"))
+        .groupBy("hb").agg(count(lit(1)).as("c2"))
+      val tri = modelI.select(explode(trigramHashArr2(col("text"))).as("t"))
+        .groupBy(col("t.h3").as("h3")).agg(count(lit(1)).as("c3"))
+      val docTriI = docsI
+        .select(col("doc_id"), explode(trigramHashArr2(col("text"))).as("t"))
+      val tfd0 = docTriI.groupBy(col("t.h3").as("h3"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"),
+          first(col("t.h12")).as("h12"), first(col("t.h23")).as("h23"),
+          first(col("t.hw2")).as("hw2"), first(col("t.hw3")).as("hw3"))
+      val tfd = tfd0.select("h3", "doc_id", "tf")
+      val types = tfd0.groupBy(col("h3"))
+        .agg(first(col("h12")).as("h12"), first(col("h23")).as("h23"),
+          first(col("hw2")).as("hw2"), first(col("hw3")).as("hw3"))
+      val types2 = if (spread > 0) types.repartition(spread) else types
+      val scored = types2
+        .join(tri, Seq("h3"), "left")
+        .join(big.select(col("hb").as("h12"), col("c2").as("c12")), Seq("h12"), "left")
+        .join(big.select(col("hb").as("h23"), col("c2").as("c23")), Seq("h23"), "left")
+        .join(uni.select(col("hw").as("hw2"), col("c1").as("c_w2")), Seq("hw2"), "left")
+        .join(uni.select(col("hw").as("hw3"), col("c1").as("c_w3")), Seq("hw3"), "left")
+        .crossJoin(broadcast(totals))
+        .select(col("h3"),
+          when(col("c3").isNotNull, lit(3))
+            .when(col("c23").isNotNull, lit(2))
+            .otherwise(lit(1)).as("level"),
+          floor(log(
+            when(col("c3").isNotNull,
+              col("c3").cast("double") / col("c12"))
+            .when(col("c23").isNotNull,
+              lit(0.4) * col("c23") / col("c_w2"))
+            .otherwise(lit(0.16) * (coalesce(col("c_w3"), lit(0L)) + lit(1L))
+              / (col("n_tok") + col("v"))))
+            * lit(1e6) + lit(0.5)).cast("long").as("lns"))
+      val perDoc = tfd.join(scored, Seq("h3"))
+        .groupBy("doc_id")
+        .agg(sum("tf").as("n_trigrams"),
+          sum(when(col("level") === 3, col("tf")).otherwise(lit(0L))).as("n_hit3"),
+          sum(when(col("level") === 2, col("tf")).otherwise(lit(0L))).as("n_hit2"),
+          sum(when(col("level") === 1, col("tf")).otherwise(lit(0L))).as("n_hit1"),
+          sum(col("tf") * col("lns")).as("s"))
+      docsI.select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+          coalesce(col("n_hit3"), lit(0L)).as("n_hit3"),
+          coalesce(col("n_hit2"), lit(0L)).as("n_hit2"),
+          coalesce(col("n_hit1"), lit(0L)).as("n_hit1"),
+          when(col("n_trigrams").isNull, lit(0.0)).otherwise(
+            pround(col("s").cast("double") / (col("n_trigrams") * lit(1000000.0)), 4))
+            .as("backoff_mean"))
+    }
+    exec(scoresOneScan(warmD, warmD.filter(col("doc_id") % 3 === 0), 0))
+    time("bk_full_onescan")(exec(scoresOneScan(docs, model, 0)))
+    time("bk_full_onescan_spreadin")(exec(scoresOneScan(docsS, modelS, 0)))
+    time("bk_full_onescan_spreadtypes")(exec(scoresOneScan(docs, model, n)))
+    time("bk_full_onescan_both")(exec(scoresOneScan(docsS, modelS, n)))
+    // equality of spread-input variant and one-scan variant
+    val a = graft.operators.BackoffLm.scores(docs, model, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val b = graft.operators.BackoffLm.scores(docsS, modelS, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val c = scoresOneScan(docs, model, n).orderBy("doc_id").collect().toSeq
+    println(s"DEVAB bk_equal=${a == b} onescan_equal=${a == c} n=${a.size}")
+  }
+
   /** PMI decomposition + hash-keyed pair-grid variant (r12 opt). */
   def pmiAB(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     import graft.functions.{TextFunctions => TF}
@@ -758,6 +910,7 @@ object DevAB {
     }
     if (args.contains("fanout")) { fanoutAB(spark, dir); spark.stop(); return }
     if (args.contains("pmi2")) { pmiAB(spark, dir); spark.stop(); return }
+    if (args.contains("backoff")) { backoffAB(spark, dir); spark.stop(); return }
     // `DevAB <dir> conf <key> <value> name1,name2,...`
     args.indexOf("conf") match {
       case i if i >= 0 && args.length > i + 3 =>

@@ -13,8 +13,23 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** Extra session confs from `SPARK_GRAFT_CONF` ("k=v;k=v") — the
+    * parameterization hook for scale-dependent settings (the
+    * optimization rounds' A/B lever, and the documented way a cluster
+    * deployment overrides harness-sized defaults without a code edit).
+    */
+  private def withEnvConf(b: SparkSession.Builder): SparkSession.Builder = {
+    sys.env.get("SPARK_GRAFT_CONF").foreach { s =>
+      s.split(";").iterator.map(_.trim).filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        b.config(k.trim, v.trim)
+      }
+    }
+    b
+  }
+
   def builder(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession.Builder =
-    SparkSession
+    withEnvConf(SparkSession
       .builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
@@ -85,7 +100,7 @@ object GraftSession {
       // parity, not an unfair edge; on a real cluster local dirs are
       // provisioned NVMe and this knob is moot.
       .config("spark.local.dir", scratchDir())
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
 
   /** RAM-backed scratch, scoped by OWNING PID and swept at startup.
     *

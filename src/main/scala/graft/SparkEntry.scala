@@ -44,6 +44,39 @@ object SparkEntry {
                                       capDiskBytes: Long)(df: DataFrame): DataFrame =
     if (Tables.bytesOnDisk(s, d, table) <= capDiskBytes) broadcast(df) else df
 
+  /** Scale-adaptive scan fan-out width (r12 optimization round).
+    *
+    * Tier parquet is written as ONE row group per table, so a scan
+    * can never parallelize past the file count no matter how small
+    * `maxPartitionBytes` is — at sf0.1 every corpus HOF pass
+    * (tokenize/shingle/trigram) runs as ONE task on a 32-core box.
+    * Gates whose per-row CPU dominates pass this width to their
+    * operator (or repartition the scan directly): the table's
+    * FS-metadata byte size (no Spark job — the broadcastIfUnder
+    * recipe) says how many scan splits the file CAN yield; when that
+    * is below the core count, fan out to `defaultParallelism`, else 0
+    * (= leave the scan alone). At 100 TB the condition is false by
+    * construction — thousands of splits already fill every core — so
+    * the extra (tiny) round-robin exchange exists only in the regime
+    * where it costs microseconds and buys a core-count speedup of the
+    * dominant CPU pass.
+    */
+  private[graft] def scanFanout(s: SparkSession, d: String, table: String): Int = {
+    val bytes = Tables.bytesOnDisk(s, d, table)
+    val maxSplit = s.sessionState.conf.filesMaxPartitionBytes
+    val cores = s.sparkContext.defaultParallelism
+    if (bytes < cores.toLong * maxSplit) cores else 0
+  }
+
+  /** Round-robin fan-out of a small scan per [[scanFanout]] — identity
+    * when the table already scans wide (the 100 TB case).
+    */
+  private[graft] def spreadIfSmall(s: SparkSession, d: String, table: String)(
+      df: DataFrame): DataFrame = {
+    val n = scanFanout(s, d, table)
+    if (n > 0) df.repartition(n) else df
+  }
+
   /** Engine-portable half-up rounding on non-negative doubles:
     * `floor(x*10^dp + 0.5)/10^dp`. Unlike `round()`, both engines
     * apply identical IEEE ops to the identical binary double, so a
@@ -866,15 +899,20 @@ object SparkEntry {
       // broadcast df table, two exchanges total)
       Cooccur.pmi(Tables.documents(s, d).select("doc_id", "text"),
         "doc_id", TF.tokens(col("text")),
-        minDf = 5, minPairCount = 5, topK = 40)),
+        minDf = 5, minPairCount = 5, topK = 40,
+        spreadPairGrid = scanFanout(s, d, "documents"))),
 
     "q_source_overlap" -> ((s, d) =>
       // cross-source contamination matrix: shared 3-shingles per
       // source pair + containment (shared / min side) — the
       // which-dumps-duplicate-each-other audit (operators.SourceOverlap:
       // one shingle-keyed exchange with set-valued partial agg, pair
-      // grid as a |sources|²-bounded HOF, totals broadcast)
-      SourceOverlap.matrix(Tables.documents(s, d), "source", col("text"), k = 3)),
+      // grid as a |sources|²-bounded HOF, totals broadcast). The scan
+      // fans out only when the tier file is single-split (scanFanout):
+      // the native shingle pass is the dominant CPU and must not run
+      // as one task on a tiny single-row-group file
+      SourceOverlap.matrix(spreadIfSmall(s, d, "documents")(
+        Tables.documents(s, d)), "source", col("text"), k = 3)),
 
     "q_source_overlap_sketch" -> ((s, d) => {
       // the sub-exchange 100 TB overlap form: per-source HLL sketches
@@ -893,7 +931,7 @@ object SparkEntry {
       // SourceOverlap.sketchMatrix for pipelines that DON'T carry the
       // exact side. Report is |sources|²-bounded → materialized
       // eagerly, cache released (the SourceOverlap.matrix contract).
-      val docs = Tables.documents(s, d)
+      val docs = spreadIfSmall(s, d, "documents")(Tables.documents(s, d))
       val bySh = SourceOverlap.shingleSets(docs, "source", col("text"), k = 3)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val exact = SourceOverlap.matrixFromSets(bySh)
@@ -919,7 +957,8 @@ object SparkEntry {
       // (correctness gate); comparable-WORK baseline = the exact
       // matrix SQL (EXTRAS_BASELINE_FROM_ORACLE in tools/baseline.py).
       graft.operators.SourceOverlap.materialized(
-        SourceOverlap.sketchMatrix(Tables.documents(s, d), "source",
+        SourceOverlap.sketchMatrix(
+          spreadIfSmall(s, d, "documents")(Tables.documents(s, d)), "source",
           col("text"), k = 3))),
 
     "q_drift_psi" -> ((s, d) => {
@@ -1022,7 +1061,8 @@ object SparkEntry {
       // → RN-008 enrich → RN-009/004/006 derivations
       val raw = graft.pipeline.Medallion.rawFromOrders(s, d)
       val catalog = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
-      graft.pipeline.Medallion.silver(raw, catalog, "c_custkey", "c_name", 2026)
+      graft.pipeline.Medallion.silver(raw, catalog, "c_custkey", "c_name", 2026,
+        dedupSpreadN = scanFanout(s, d, "orders"))
         .select(col("matricula"), col("estado"),
           date_format(col("fecha_matricula"), "yyyy-MM-dd").as("fecha_matricula"),
           col("clase_identificacion"), col("id_titular"), col("titular_name"),
@@ -1843,7 +1883,7 @@ object SparkEntry {
             "timestamp'2024-02-01 00:00:00')").as("ts"))
       val all = ev.select("event_id", "user_id", "ts").unionByName(bot)
       graft.operators.Burstiness.report(all, "user_id", "ts", "event_id",
-        minGaps = 5, cvBelow = 0.3)
+        minGaps = 5, cvBelow = 0.3, spreadN = scanFanout(s, d, "events"))
     }),
 
     "q_mad_outliers" -> ((s, d) => {
@@ -2287,7 +2327,11 @@ object SparkEntry {
             .as("terms"),
           col("doc_id").as("rel_id"))
         .filter(size(col("terms")) > 0)
-      graft.operators.Bm25.retrievalEval(docs, "doc_id", "text", queries, k = 10)
+      // the corpus pass (native vocab_term_counts postings build) is
+      // the dominant CPU: fan it out when the tier file is
+      // single-split (scanFanout — no-op at scale)
+      graft.operators.Bm25.retrievalEval(
+        spreadIfSmall(s, d, "documents")(docs), "doc_id", "text", queries, k = 10)
     }),
 
     "q_tokenizer_fertility" -> ((s, d) => {
@@ -2339,7 +2383,8 @@ object SparkEntry {
       // n_hit3/2/1 tallies make each level's firing oracle-visible
       val docs = Tables.documents(s, d)
       graft.operators.BackoffLm.scores(
-        docs, docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+        docs, docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+        spreadTypes = scanFanout(s, d, "documents"))
     }),
 
     "q_repetition_stats" -> ((s, d) => {
@@ -2791,7 +2836,8 @@ object SparkEntry {
       // top-3 TF-IDF terms per doc: tf and df from ONE tokenize pass,
       // vocabulary join keyed by term (not broadcast — vocab is big at
       // corpus scale), WindowGroupLimit top-k on the 4dp-rounded score
-      graft.operators.TfIdf.topTerms(Tables.documents(s, d), "doc_id", "text", k = 3)),
+      graft.operators.TfIdf.topTerms(Tables.documents(s, d), "doc_id", "text", k = 3,
+        spreadN = scanFanout(s, d, "documents"))),
 
     "q_url_dedup" -> ((s, d) => {
       // URL-canonicalization frontier dedup (r11): the corpus has no
@@ -3118,7 +3164,8 @@ object SparkEntry {
       // engine-internal)
       Resample.rolling(
         Tables.events(s, d).select("event_id", "user_id", "ts", "value"),
-        Seq("user_id"), "ts", "value", windowSec = 3600)
+        Seq("user_id"), "ts", "value", windowSec = 3600,
+        spreadN = scanFanout(s, d, "events"))
         .select(col("event_id"), col("user_id"), col("n_window"), col("sum_window"))),
 
     // ===== H. Streaming (batch-equivalent forms) ========================
@@ -3168,7 +3215,8 @@ object SparkEntry {
         Tables.events(s, d), "user_id", "ts", "event_id",
         turn = concat(col("event_type"), lit(":"),
           floor(col("value") * lit(100.0) + lit(0.5)).cast("long").cast("string")),
-        gapMinutes = 30, sep = "\n")),
+        gapMinutes = 30, sep = "\n",
+        spreadN = scanFanout(s, d, "events"))),
 
     "q_sessionize_native" -> ((s, d) =>
       // Spark's built-in session_window: overlapping [ts, ts+gap)

@@ -40,16 +40,20 @@ object Burstiness {
     * not, so the sort must be deterministic.
     */
   def report(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
-      minGaps: Int = 8, cvBelow: Double = 0.3): DataFrame = {
+      minGaps: Int = 8, cvBelow: Double = 0.3, spreadN: Int = 0): DataFrame = {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col(idCol))
+    // spreadN > 0: explicit-width key exchange so AQE's size-based
+    // coalesce can't serialize the window+agg on a small tier
+    // (SparkEntry.scanFanout gates it to the small regime; 0 = as-is)
+    val dfS = if (spreadN > 0) df.repartition(spreadN, col(keyCol)) else df
     // whole seconds since the NTZ epoch: timezone-free, DST-immune
     // (timestampdiff truncates toward zero; all event data is
     // post-epoch, so this equals the floor of fractional seconds)
     val sec = expr(
       s"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', " +
         s"cast(`$tsCol` as timestamp_ntz))").cast("long")
-    val gaps = df
+    val gaps = dfS
       .select(col(keyCol), col(tsCol), col(idCol), sec.as("s"))
       .withColumn("gap", col("s") - lag(col("s"), 1).over(w))
       .filter(col("gap").isNotNull)

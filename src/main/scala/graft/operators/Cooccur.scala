@@ -36,20 +36,48 @@ object Cooccur {
     * Returns (tok_a, tok_b, n_pair, df_a, df_b, pmi) with tok_a <
     * tok_b and pmi rounded to 4 decimals; pairs below `minPairCount`
     * or with a token below `minDf` documents are dropped.
+    *
+    * r12 optimization (guide §2.3, measured sf0.1 1.69 s → 0.75 s at
+    * identical output):
+    *  - the pair grid and its exchange run on 8-byte `xxhash64` token
+    *    keys, never strings — the grid is O(Σ distinct_tokens²) rows,
+    *    by far the widest frame of the query, and each row shrank
+    *    from two UTF8 copies to two longs (strings come back at the
+    *    end via the broadcast df table, which the query joins anyway;
+    *    a collision would need two kept tokens in one 2⁶⁴ cell —
+    *    the BackoffLm/NgramJaccard bound applies);
+    *  - `spreadPairGrid` > 0 re-spreads the doc-token frame BEFORE
+    *    the grid explode: the frame is KBs after aggregation, so
+    *    AQE's size-based coalesce folds it to ONE partition and the
+    *    whole O(k²) grid+count stage runs serial (measured: the grid
+    *    stage was 1.5 s of the 1.69 s total, 31 cores idle). Gates
+    *    pass a width only in the small-corpus regime
+    *    (SparkEntry.scanFanout); at scale the aggregated frame is
+    *    TBs, AQE keeps full parallelism, and no extra exchange runs.
     */
   def pmi(docs: DataFrame, idCol: String, tokensCol: Column,
-          minDf: Int = 2, minPairCount: Int = 2, topK: Int = 50): DataFrame = {
+          minDf: Int = 2, minPairCount: Int = 2, topK: Int = 50,
+          spreadPairGrid: Int = 0): DataFrame = {
     val pres = presence(docs, idCol, tokensCol)
+      .select(col(idCol), col("token"), xxhash64(col("token")).as("h"))
     // df per token; minDf prunes the rare tail before any pair work.
     // Vocab-bounded after the prune → broadcastable by construction.
-    val dfTab = pres.groupBy("token").agg(count(lit(1)).as("df"))
+    // Keyed by hash; the token string rides along (any row of a hash
+    // group carries the same string w.h.p., so first() is a value
+    // function of the key).
+    val dfTab = pres.groupBy("h")
+      .agg(first(col("token")).as("token"), count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
 
-    // doc-keyed exchange: each doc's kept tokens as ONE sorted array
-    val docToks = pres.join(broadcast(dfTab), "token")
+    // doc-keyed exchange: each doc's kept token HASHES as ONE sorted
+    // array (hash order, not lexicographic — orientation is restored
+    // at decoration)
+    val docToks0 = pres.join(broadcast(dfTab.select("h")), "h")
       .groupBy(col(idCol))
-      .agg(sort_array(collect_set(col("token"))).as("toks"))
+      .agg(sort_array(collect_set(col("h"))).as("toks"))
+    val docToks =
+      if (spreadPairGrid > 0) docToks0.repartition(spreadPairGrid) else docToks0
 
     // narrow pair grid: for token i, pair with every later token —
     // flatten(transform_i(transform_j>i)) stays inside codegen and is
@@ -57,10 +85,10 @@ object Cooccur {
     val pairs = docToks.select(explode(flatten(
       transform(col("toks"), (t, i) =>
         transform(slice(col("toks"), i + lit(2), size(col("toks")) - i - lit(1)),
-          u => struct(t.as("tok_a"), u.as("tok_b")))))).as("p"))
-      .select(col("p.tok_a"), col("p.tok_b"))
+          u => struct(t.as("h_a"), u.as("h_b")))))).as("p"))
+      .select(col("p.h_a"), col("p.h_b"))
 
-    val pairCounts = pairs.groupBy("tok_a", "tok_b")
+    val pairCounts = pairs.groupBy("h_a", "h_b")
       .agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= minPairCount)
 
@@ -68,14 +96,24 @@ object Cooccur {
     // division of exact small integers (bit-identical in any engine),
     // while ln differs in the last ulp across libms — sorting on the
     // ratio (ln is monotone, same order) keeps the top-k boundary
-    // engine-independent; ln only decorates the output, rounded
+    // engine-independent; ln only decorates the output, rounded.
+    // Strings and df counts come back from the broadcast df table;
+    // (tok_a, tok_b) re-orients to lexicographic (hash order differs),
+    // with dfs swapped to follow — the lift product is symmetric.
     val scored = pairCounts
-      .join(broadcast(dfTab.select(col("token").as("tok_a"), col("df").as("df_a"))), "tok_a")
-      .join(broadcast(dfTab.select(col("token").as("tok_b"), col("df").as("df_b"))), "tok_b")
+      .join(broadcast(dfTab.select(col("h").as("h_a"), col("token").as("tok_x"),
+        col("df").as("df_x"))), "h_a")
+      .join(broadcast(dfTab.select(col("h").as("h_b"), col("token").as("tok_y"),
+        col("df").as("df_y"))), "h_b")
       .crossJoin(broadcast(nDocs))
-      .select(col("tok_a"), col("tok_b"), col("n_pair"), col("df_a"), col("df_b"),
+      .select(
+        least(col("tok_x"), col("tok_y")).as("tok_a"),
+        greatest(col("tok_x"), col("tok_y")).as("tok_b"),
+        when(col("tok_x") <= col("tok_y"), col("df_x")).otherwise(col("df_y")).as("df_a"),
+        when(col("tok_x") <= col("tok_y"), col("df_y")).otherwise(col("df_x")).as("df_b"),
+        col("n_pair"),
         (col("n_pair").cast("double") * col("n_docs")
-          / (col("df_a") * col("df_b")).cast("double")).as("__lift"))
+          / (col("df_x") * col("df_y")).cast("double")).as("__lift"))
 
     scored
       .orderBy(col("__lift").desc, col("tok_a"), col("tok_b"))

@@ -37,12 +37,24 @@ object TfIdf {
 
   private def pround = graft.functions.Rounding.pround _
 
-  /** (doc, term, tf) with smooth-idf TF-IDF score: tf * (ln((1+N)/(1+df)) + 1). */
-  def scores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val pairs = docs
+  /** (doc, term, tf) with smooth-idf TF-IDF score: tf * (ln((1+N)/(1+df)) + 1).
+    *
+    * `spreadN` > 0 makes the term repartition explicit-width: AQE's
+    * size-based coalesce otherwise folds a small tier's term exchange
+    * to ONE partition, serializing every downstream stage (tf, df,
+    * join, top-k window all hang off this partitioning — measured
+    * sf0.1: 0.67 s → 0.49 s). Explicit-N repartitions are exempt from
+    * AQE coalescing by design. Gates pass a width only in the
+    * small-corpus regime (SparkEntry.scanFanout); at scale the
+    * keyed repartition stays AQE-managed, exactly as before.
+    */
+  def scores(docs: DataFrame, idCol: String, textCol: String,
+             spreadN: Int = 0): DataFrame = {
+    val pairs0 = docs
       .select(col(idCol), explode(TF.tokens(col(textCol))).as("term"))
       .filter(length(col("term")) > 0)
-      .repartition(col("term"))
+    val pairs = if (spreadN > 0) pairs0.repartition(spreadN, col("term"))
+                else pairs0.repartition(col("term"))
     val tf = pairs.groupBy("term", idCol).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
@@ -57,10 +69,11 @@ object TfIdf {
   /** Top-k terms per document by TF-IDF (rank on the rounded score,
     * term-asc tie-break — total order, engine-portable).
     */
-  def topTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+  def topTerms(docs: DataFrame, idCol: String, textCol: String, k: Int,
+               spreadN: Int = 0): DataFrame = {
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("tfidf").desc, col("term").asc)
-    scores(docs, idCol, textCol)
+    scores(docs, idCol, textCol, spreadN)
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
   }

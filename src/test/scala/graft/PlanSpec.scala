@@ -266,11 +266,15 @@ class PlanSpec extends SparkSpec {
       // miss/verify branch split (spec'd in Round12OpsSpec equality)
       ("q_bloom_ingest_dedup",   1, 2, false),
       // final r9 headliners: PMI's BNLJ is the 1-row n_docs stat
-      // frame; its 6 exchanges are two corpus tokenize passes (df by
-      // token, presence by doc), the pair-keyed count, and the
+      // frame; its exchanges are two corpus tokenize passes (df by
+      // hash, presence by doc), the pair-keyed count, and the
       // vocab-bounded scoring joins' duplicated df branches (pre-AQE;
-      // ReusedExchange collapses them at runtime)
-      ("q_pmi_cooccur",          6, 5, true),
+      // ReusedExchange collapses them at runtime). r12: +1 for the
+      // small-regime explicit-width respread of the doc-token frame
+      // before the pair grid (spreadPairGrid — keeps AQE's size-based
+      // coalesce from serializing the O(k²) grid stage; absent at
+      // scale where the gate passes 0)
+      ("q_pmi_cooccur",          7, 5, true),
       ("q_skew_advisor",         2, 1, false),
       // check harness over ONE cached 3-column orders projection:
       // two sketch-delta builds, the incremental merge, the two exact
@@ -296,7 +300,12 @@ class PlanSpec extends SparkSpec {
       // unicode clean and the Gopher bundle share the scan-pure bar;
       // the spectrum's BNLJ is the 1-row vocab total; domain policy
       // is exactly the one host-keyed capped window
-      ("q_backoff_logprob",     11, 9, true),
+      // r12: +2 — the one-scan doc side folds the type table off the
+      // (h3, doc) aggregate (one extra type-bounded exchange replaces
+      // a whole second corpus trigram scan), and the small-regime
+      // spreadTypes respread guards the five-join chain's parallelism
+      // (absent at scale where the gate passes 0)
+      ("q_backoff_logprob",     13, 9, true),
       ("q_unicode_clean",        0, 1, false),
       ("q_freq_spectrum",        4, 2, true),
       // domain policy: 2 leaves since the hostless pass-through
@@ -365,7 +374,11 @@ class PlanSpec extends SparkSpec {
       // exchanges + pre-AQE clones the runtime collapses to
       // ReusedExchange (10/7 before the native rework); BNLJ = the
       // 1-row (N, avgdl) stats broadcast
-      ("q_retrieval_eval",        6, 5, true),
+      // r12: +3 pre-AQE clones of the small-regime scan fan-out
+      // exchange (the spread docs frame feeds the postings, stats and
+      // doc-length branches; ReusedExchange collapses the clones at
+      // runtime, and at scale the gate passes no fan-out at all)
+      ("q_retrieval_eval",        9, 5, true),
       // r12: vocabulary JS drift — ONE checkpointed (fam, token,
       // count) frame feeds the vocab-keyed map exchange and the
       // |pairs|-row sum; the BNLJ is the broadcast |families|²-row

@@ -329,6 +329,24 @@ class Round12OpsSpec extends SparkSpec {
       gate.map(_.getLong(1)).sorted.reverse.toSeq)
   }
 
+  test("pagerank: driver-local small-graph path bit-equals the distributed rounds") {
+    // r12 optimization: below the node/edge bounds the iteration runs
+    // on the driver (the Components.solveLocal hybrid). Both paths
+    // must be bit-identical — same integral-div recursion, so this is
+    // equality, not approximation. localNodeLimit = 0 forces the
+    // distributed rounds on the same graph.
+    import spark.implicits._
+    import graft.operators.PageRank
+    val nodes = (0L until 60L).toDF("node")
+    val edges = (0L until 60L).flatMap(i => Seq((i, (i * 7 + 1) % 60), (i, (i * 13 + 2) % 60)))
+      .filter { case (a, b) => a != b }.distinct.toDF("src", "dst")
+    val loc = PageRank.ranks(nodes, edges, iterations = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val dist = PageRank.ranks(nodes, edges, iterations = 7, localNodeLimit = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(loc == dist, s"local/distributed mismatch: ${loc.toSeq.sorted.take(5)}... vs ${dist.toSeq.sorted.take(5)}...")
+  }
+
   test("image phash: hand-checked dHash bits, banding == brute force, planted gate") {
     import graft.multimodal.ImagePHash
     // 9x8 one-pixel-per-cell image, luma strictly increasing in x:
