@@ -668,6 +668,40 @@ object DevAB {
     println(s"DEVAB bk_equal=${a == b} onescan_equal=${a == c} n=${a.size}")
   }
 
+  /** NgramJaccard spread A/B (r12 opt): pairs pipeline with the
+    * shingle exchange AQE-managed (0) vs explicit-width, interleaved.
+    */
+  def jaccardAB(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    def exec(df: org.apache.spark.sql.DataFrame): Unit =
+      df.queryExecution.toRdd.foreach(_ => ())
+    def time(tag: String)(f: => Unit): Unit = {
+      val ts = (1 to 3).map { _ =>
+        spark.sharedState.cacheManager.clearCache()
+        System.gc(); Thread.sleep(300)
+        val t0 = System.nanoTime(); f
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"DEVAB $tag min=${ts.min}%.3f all=${ts.map(t => f"$t%.3f").mkString(",")}")
+    }
+    import graft.dedup.{NgramJaccard, Components}
+    val n = spark.sparkContext.defaultParallelism
+    val warm = Tables.documents(spark, "/root/testdata/sf0.001")
+    exec(NgramJaccard.pairs(warm, "doc_id", "text", 3, 0.5, 20))
+    exec(NgramJaccard.pairs(warm, "doc_id", "text", 3, 0.5, 20, spreadN = n))
+    val docs = Tables.documents(spark, dir)
+    time("jacc_pairs_aqe")(exec(NgramJaccard.pairs(docs, "doc_id", "text", 3, 0.5, 20)))
+    time("jacc_pairs_spread")(exec(NgramJaccard.pairs(docs, "doc_id", "text", 3, 0.5, 20, spreadN = n)))
+    time("clusters_aqe")(exec(Components.clusters(docs, "doc_id",
+      NgramJaccard.pairs(docs, "doc_id", "text", 3, 0.5, 20), "id_a", "id_b")))
+    time("clusters_spread")(exec(Components.clusters(docs, "doc_id",
+      NgramJaccard.pairs(docs, "doc_id", "text", 3, 0.5, 20, spreadN = n), "id_a", "id_b")))
+    val a = NgramJaccard.pairs(docs, "doc_id", "text", 3, 0.5, 20)
+      .orderBy("id_a", "id_b").collect().toSeq
+    val b = NgramJaccard.pairs(docs, "doc_id", "text", 3, 0.5, 20, spreadN = n)
+      .orderBy("id_a", "id_b").collect().toSeq
+    println(s"DEVAB jacc_equal=${a == b} n=${a.size}")
+  }
+
   /** PMI decomposition + hash-keyed pair-grid variant (r12 opt). */
   def pmiAB(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     import graft.functions.{TextFunctions => TF}
@@ -911,6 +945,7 @@ object DevAB {
     if (args.contains("fanout")) { fanoutAB(spark, dir); spark.stop(); return }
     if (args.contains("pmi2")) { pmiAB(spark, dir); spark.stop(); return }
     if (args.contains("backoff")) { backoffAB(spark, dir); spark.stop(); return }
+    if (args.contains("jaccard")) { jaccardAB(spark, dir); spark.stop(); return }
     // `DevAB <dir> conf <key> <value> name1,name2,...`
     args.indexOf("conf") match {
       case i if i >= 0 && args.length > i + 3 =>

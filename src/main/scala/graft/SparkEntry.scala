@@ -2759,7 +2759,8 @@ object SparkEntry {
     }),
 
     "q_ngram_jaccard" -> ((s, d) =>
-      NgramJaccard.summary(Tables.documents(s, d), "doc_id", "text", k = 3, maxDf = 100)),
+      NgramJaccard.summary(Tables.documents(s, d), "doc_id", "text", k = 3, maxDf = 100,
+        spreadN = scanFanout(s, d, "documents"))),
 
     "q_dedup_clusters" -> ((s, d) =>
       // pairs → CLUSTERS: alternating large/small-star connected
@@ -2772,7 +2773,8 @@ object SparkEntry {
       graft.dedup.Components.clusters(
         Tables.documents(s, d), "doc_id",
         NgramJaccard.pairs(Tables.documents(s, d), "doc_id", "text",
-          k = 3, threshold = 0.5, maxDf = 20),
+          k = 3, threshold = 0.5, maxDf = 20,
+          spreadN = scanFanout(s, d, "documents")),
         "id_a", "id_b")),
 
     "q_dedup_embedding" -> ((s, d) => {

@@ -58,10 +58,17 @@ object NgramJaccard {
     * ObjectHashAggregate fallback, into sort-based aggregation.)
     */
   def pairs(docs: DataFrame, idCol: String, textCol: String,
-            k: Int = 3, threshold: Double = 0.3, maxDf: Int = 50): DataFrame = {
+            k: Int = 3, threshold: Double = 0.3, maxDf: Int = 50,
+            spreadN: Int = 0): DataFrame = {
     // co-locate postings by shingle ONCE; everything heavy is below
-    // this exchange, everything above it is sorts/joins on longs
-    val co = invertedIndex(docs, idCol, textCol, k).repartition(col("shingle"))
+    // this exchange, everything above it is sorts/joins on longs.
+    // spreadN > 0 (small-input regime only — SparkEntry.scanFanout)
+    // makes the exchange explicit-width: AQE's size-based coalesce
+    // otherwise folds a small tier's postings to ONE partition and
+    // the df window + self-join + pair count all run serial.
+    val idx = invertedIndex(docs, idCol, textCol, k)
+    val co = if (spreadN > 0) idx.repartition(spreadN, col("shingle"))
+             else idx.repartition(col("shingle"))
     // df prefilter: drop shingles shared by >maxDf docs (near-zero
     // Jaccard signal, quadratic pair fanout) and by exactly 1 (no
     // pair). A window count over the co-located postings — no second
@@ -87,9 +94,10 @@ object NgramJaccard {
 
   /** Per-document best-match summary (one row per doc). */
   def summary(docs: DataFrame, idCol: String, textCol: String,
-              k: Int = 3, maxDf: Int = 50): DataFrame = {
+              k: Int = 3, maxDf: Int = 50, spreadN: Int = 0): DataFrame = {
     // cached: the sym union below evaluates the pair pipeline twice
-    val p = pairs(docs, idCol, textCol, k, threshold = 0.0, maxDf = maxDf).cache()
+    val p = pairs(docs, idCol, textCol, k, threshold = 0.0, maxDf = maxDf,
+      spreadN = spreadN).cache()
     val sym = p.select(col("id_a").as("doc_id"), col("id_b").as("other_id"), col("jaccard"))
       .union(p.select(col("id_b").as("doc_id"), col("id_a").as("other_id"), col("jaccard")))
     val best = sym.groupBy("doc_id").agg(
