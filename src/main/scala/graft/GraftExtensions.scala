@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, StringTrim, Up
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 
-import graft.functions.{CharDiversityStats, CollectMinK, CosineSimilarity, MinHash64, NfcNormalize, NgramRepetition, ShingleHash64, SimHash64, VocabTermCounts}
+import graft.functions.{CharDiversityStats, CollectMinK, CosineSimilarity, MinHash64, NfcNormalize, NgramHash64, NgramRepetition, ShingleHash64, SimHash64, TrigramHashBundle, VocabTermCounts}
 
 /** Engine extensions, registered through the public
   * `spark.sql.extensions` hook (GraftSession sets it). Native
@@ -70,6 +70,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             if (u == null) null else u.toString
           }
         VocabTermCounts(children.head, vocab)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("ngram_hash64"),
+      new ExpressionInfo(classOf[NgramHash64].getName, "ngram_hash64"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "ngram_hash64(tokens, n) takes exactly two arguments")
+        require(children(1).foldable, "ngram_hash64: n must be a literal")
+        NgramHash64(children.head, children(1).eval().asInstanceOf[Number].intValue())
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("trigram_hash_bundle"),
+      new ExpressionInfo(classOf[TrigramHashBundle].getName, "trigram_hash_bundle"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 1,
+          "trigram_hash_bundle(tokens) takes exactly one argument")
+        TrigramHashBundle(children.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("char_diversity_stats"),

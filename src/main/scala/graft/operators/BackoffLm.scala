@@ -53,28 +53,18 @@ object BackoffLm {
   /** Per-position hash bundle for each trigram of a text column:
     * (h3, h12, h23, hw2, hw3) — everything the scorer joins on,
     * derived in-scan so strings never shuffle. <3 tokens → [].
+    * Native one-pass since r13 (functions.TrigramHashBundle): the
+    * HOF form paid 9 hash block computations per position (h23 of
+    * position i is h12 of position i+1, hw3 is the next hw2 — the
+    * overlaps the per-position expression tree cannot share); the
+    * native sweep pays 3, bit-identical (FunctionsSpec pins it
+    * against the five-xxhash64 HOF).
     */
   private def trigramHashArr(textCol: Column): Column =
-    TF.bindOnce(TF.tokens(textCol), toks =>
-      when(size(toks) < 3,
-          array().cast(
-            "array<struct<h3:bigint,h12:bigint,h23:bigint,hw2:bigint,hw3:bigint>>"))
-        .otherwise(transform(sequence(lit(1), size(toks) - 2), i => {
-          val (w1, w2, w3) =
-            (element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))
-          struct(
-            xxhash64(w1, w2, w3).as("h3"),
-            xxhash64(w1, w2).as("h12"),
-            xxhash64(w2, w3).as("h23"),
-            xxhash64(w2).as("hw2"),
-            xxhash64(w3).as("hw3"))
-        })))
+    call_function("trigram_hash_bundle", TF.tokens(textCol))
 
   private def bigramHashArr(textCol: Column): Column =
-    TF.bindOnce(TF.tokens(textCol), toks =>
-      when(size(toks) < 2, array().cast("array<bigint>"))
-        .otherwise(transform(sequence(lit(1), size(toks) - 1),
-          i => xxhash64(element_at(toks, i), element_at(toks, i + 1)))))
+    call_function("ngram_hash64", TF.tokens(textCol), lit(2))
 
   /** Per-document Stupid Backoff score under `model`'s counts.
     *
@@ -99,8 +89,11 @@ object BackoffLm {
     val totals = uni.agg(sum("c1").as("n_tok"), count(lit(1)).as("v"))
     val big = model.select(explode(bigramHashArr(col(textCol))).as("hb"))
       .groupBy("hb").agg(count(lit(1)).as("c2"))
-    val tri = model.select(explode(trigramHashArr(col(textCol))).as("t"))
-      .groupBy(col("t.h3").as("h3")).agg(count(lit(1)).as("c3"))
+    // model side needs only the trigram chain hash — the plain n=3
+    // sweep, no sibling bundle (same hash bits, no struct rows)
+    val tri = model.select(explode(
+        call_function("ngram_hash64", TF.tokens(col(textCol)), lit(3))).as("h3"))
+      .groupBy("h3").agg(count(lit(1)).as("c3"))
 
     // ---- doc side: (doc, trigram) tf + distinct trigram types ------
     // ONE corpus trigram pass (r12 optimization): the (h3, doc)

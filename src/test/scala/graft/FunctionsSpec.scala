@@ -132,6 +132,42 @@ class FunctionsSpec extends SparkSpec {
     assert(both.count() > 100)
   }
 
+  test("ngram_hash64 / trigram_hash_bundle are bit-identical to the HOF forms") {
+    // the exact swap q_backoff_logprob made in r13: the native chained
+    // n-gram sweeps must reproduce the builtin multi-argument xxhash64
+    // per position (seed 42, chained) on real corpus text + edge docs
+    val docs = Tables.documents(spark, sf())
+      .select(col("doc_id"), col("text"))
+      .union(Seq((100001L, ""), (100002L, "one"), (100003L, "one two"),
+        (100004L, "a b c"), (100005L, "a b c d a b c d"))
+        .toDF("doc_id", "text"))
+    def hofTri(toks: org.apache.spark.sql.Column) =
+      when(size(toks) < 3, array().cast(
+          "array<struct<h3:bigint,h12:bigint,h23:bigint,hw2:bigint,hw3:bigint>>"))
+        .otherwise(transform(sequence(lit(1), size(toks) - 2), i => {
+          val (w1, w2, w3) =
+            (element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))
+          struct(xxhash64(w1, w2, w3).as("h3"), xxhash64(w1, w2).as("h12"),
+            xxhash64(w2, w3).as("h23"), xxhash64(w2).as("hw2"),
+            xxhash64(w3).as("hw3"))
+        }))
+    def hofNgram(toks: org.apache.spark.sql.Column, n: Int) =
+      when(size(toks) < n, array().cast("array<bigint>"))
+        .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+          xxhash64((0 until n).map(j => element_at(toks, i + j)): _*)))
+    val both = docs.select(
+      call_function("ngram_hash64", TF.tokens(col("text")), lit(2)).as("bi_native"),
+      TF.bindOnce(TF.tokens(col("text")), t => hofNgram(t, 2)).as("bi_hof"),
+      call_function("ngram_hash64", TF.tokens(col("text")), lit(3)).as("tri_native"),
+      TF.bindOnce(TF.tokens(col("text")), t => hofNgram(t, 3)).as("tri_hof"),
+      call_function("trigram_hash_bundle", TF.tokens(col("text"))).as("bundle_native"),
+      TF.bindOnce(TF.tokens(col("text")), t => hofTri(t)).as("bundle_hof"))
+    assert(both.filter(!(col("bi_native") <=> col("bi_hof")) ||
+      !(col("tri_native") <=> col("tri_hof")) ||
+      !(col("bundle_native") <=> col("bundle_hof"))).count() == 0)
+    assert(both.count() > 100)
+  }
+
   test("ngram_repetition top_cnt is bit-identical to the HOF composition") {
     // the exact swap q_repetition_stats made in r9: native top_cnt at
     // k=1/k=2 must reproduce the interpreted TF.maxMultiplicity path
