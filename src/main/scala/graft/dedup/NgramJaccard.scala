@@ -32,8 +32,11 @@ object NgramJaccard {
     */
   def invertedIndex(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val n = docs.sparkSession.sparkContext.defaultParallelism
-    docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
-      .repartition(n)
+    // guarded spread (the Decontaminate pattern, r13): only a scan
+    // narrower than the cluster pays the raw-text exchange — a
+    // well-partitioned 100 TB scan must not round-robin corpus text
+    val raw = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+    (if (raw.rdd.getNumPartitions < n) raw.repartition(n) else raw)
       .select(col("doc_id"), call_function("shingle_hash64",
         TextFunctions.tokens(col("__text")), lit(k)).as("sh"))
       .withColumn("set_size", size(col("sh")).cast("long"))

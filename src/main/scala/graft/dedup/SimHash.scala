@@ -70,8 +70,10 @@ object SimHash {
     */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val n = docs.sparkSession.sparkContext.defaultParallelism
-    docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
-      .repartition(n)
+    // guarded spread (the Decontaminate pattern, r13): only a scan
+    // narrower than the cluster pays the raw-text exchange
+    val raw = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+    (if (raw.rdd.getNumPartitions < n) raw.repartition(n) else raw)
       .select(col("doc_id"), simhash("__text").as("simhash"))
   }
 

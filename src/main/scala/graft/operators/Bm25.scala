@@ -118,21 +118,24 @@ object Bm25 {
     import org.apache.spark.sql.expressions.Window
     val qt = queries.select(col("query_id"),
       explode(array_distinct(col("terms"))).as("term"))
-    // the union query vocabulary, collected once (eval-set-bounded)
-    // and planted as the literal of the native one-pass counter:
+    // the union query vocabulary feeds the native one-pass counter:
     // postings emerge as rows ∝ MATCHES (46M at sf30) instead of the
     // explode + semi-join + corpus-tokens-sized string hash-agg form
     // (450M exploded rows; the agg was ~half the query — measured
-    // r12, see VocabTermCounts)
-    val vocabTerms: Seq[String] = qt.select("term").distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
-    val vocabLit =
-      if (vocabTerms.isEmpty) array().cast("array<string>")
-      else array(vocabTerms.map(lit): _*)
+    // r12, see VocabTermCounts). Since r13 the vocabulary rides as a
+    // broadcast 1-row aggregate (eval-set-bounded) crossed into the
+    // corpus pass — the collect() job the literal form needed at
+    // plan construction is gone; the column form dispatches to
+    // VocabTermCountsDyn (same counting loop, per-task cached probe
+    // set, spec-pinned equal).
+    val vocabRow = qt.agg(
+      sort_array(coalesce(collect_set(col("term")),
+        array().cast("array<string>"))).as("__vocab"))
     val withTc = docs.select(col(idCol).as("doc_id"),
       TextFunctions.tokens(col(textCol)).as("__ts"))
+      .crossJoin(broadcast(vocabRow))
       .select(col("doc_id"), size(col("__ts")).cast("double").as("dl"),
-        call_function("vocab_term_counts", col("__ts"), vocabLit).as("__tc"))
+        call_function("vocab_term_counts", col("__ts"), col("__vocab")).as("__tc"))
     val post = withTc
       .select(col("doc_id"), col("dl"), explode(col("__tc")))
       .select(col("doc_id"), col("key").as("term"),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => TF}
@@ -25,11 +25,15 @@ import graft.functions.{TextFunctions => TF}
   * Scale shape: ONE token exchange builds (family, token, count);
   * everything after runs on VOCAB-sized frames — the per-token
   * family map is ≤|families| entries per row, the pair grid is a
-  * broadcast |families|²-row local relation (families collected
-  * once, tiny) crossed with the token map, and the final exchange
-  * carries |pairs| rows. Document count never appears after the
-  * first aggregation — and the expression stays FIXED-SIZE at any
-  * family count (see the pairs-as-data note in [[jsMatrix]]).
+  * broadcast |families|²-row frame (a non-equi self-join of the
+  * |families|-row totals — no driver collect, r13) crossed with the
+  * token map, and the final exchange carries |pairs| rows. Document
+  * count never appears after the first aggregation — and the
+  * expression stays FIXED-SIZE at any family count (see the
+  * pairs-as-data note in [[jsMatrix]]). The whole matrix is one
+  * Spark job: every consumer folds off the same (fam, t) exchange
+  * (runtime ReusedExchange), where the r12 form paid an eager
+  * checkpoint job plus a totals-collect round-trip first.
   */
 object VocabDrift {
 
@@ -37,41 +41,38 @@ object VocabDrift {
     * n_tok_a, n_tok_b, js_nano) for fam_a < fam_b.
     */
   def jsMatrix(docs: DataFrame, famCol: String, textCol: String): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     val cnt = docs
       .select(col(famCol).as("fam"), explode(TF.tokens(col(textCol))).as("t"))
       .filter(length(col("t")) > 0)
       .groupBy("fam", "t").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // two consumers: totals + the token map
-    // family totals: bounded by |families| — collected for exact
-    // literal divisions (both engines then divide the same integers)
-    val totals: Map[String, Long] = cnt.groupBy("fam")
-      .agg(sum(col("c")).as("tc"))
-      .as[(String, Long)].collect().toMap
-    val fams = totals.keys.toSeq.sorted
-    val pairs = for {
-      (a, i) <- fams.zipWithIndex
-      b <- fams.drop(i + 1)
-    } yield (a, b, totals(a), totals(b))
-    if (pairs.isEmpty) {
-      return Seq.empty[(String, String, Long, Long, Long)]
-        .toDF("fam_a", "fam_b", "n_tok_a", "n_tok_b", "js_nano")
-    }
+    // family totals: bounded by |families|. Until r12 these were
+    // COLLECTED (plus an eager localCheckpoint so the corpus pass ran
+    // once) and the pair grid planted as a local relation — two extra
+    // Spark jobs at plan construction. Both consumers now fold off
+    // the SAME (fam, t) aggregation exchange inside one plan (the
+    // runtime collapses the clones to ReusedExchange — one corpus
+    // pass, zero driver round-trips); the divisions still see the
+    // identical exact integers, just as join columns instead of
+    // literals.
+    val totals = cnt.groupBy("fam").agg(sum(col("c")).as("tc"))
     // vocab-sized frame: per token, the per-family count map
     val tokMap = cnt.groupBy("t")
       .agg(map_from_entries(collect_list(struct(col("fam"), col("c"))))
         .as("byFam"))
     // per (token, pair) contribution, integerized to nano units. The
-    // pair grid is a broadcast |families|²-row LOCAL RELATION crossed
-    // with the token map — pairs as DATA, not as expression: the
-    // first form inlined one struct PER PAIR into a single projection
-    // (210 pairs at sf10's 21 families → a ~4000-node Catalyst tree
-    // whose optimize+janino cost was ~6 s of the gate's 7 s, ~5x the
-    // actual work; measured r12). One fixed-size expression over
-    // vocab × pairs rows costs the same exchanges and plans in
-    // milliseconds at any family count.
-    val pairGrid = pairs.toDF("fam_a", "fam_b", "n_tok_a", "n_tok_b")
+    // pair grid is a broadcast |families|²-row frame (a non-equi
+    // self-join of the tiny totals) crossed with the token map —
+    // pairs as DATA, not as expression: the first form inlined one
+    // struct PER PAIR into a single projection (210 pairs at sf10's
+    // 21 families → a ~4000-node Catalyst tree whose optimize+janino
+    // cost was ~6 s of the gate's 7 s, ~5x the actual work; measured
+    // r12). One fixed-size expression over vocab × pairs rows costs
+    // the same exchanges and plans in milliseconds at any family
+    // count.
+    val pairGrid = totals.select(col("fam").as("fam_a"), col("tc").as("n_tok_a"))
+      .join(totals.select(col("fam").as("fam_b"), col("tc").as("n_tok_b")),
+        col("fam_a") < col("fam_b"))
+      .select("fam_a", "fam_b", "n_tok_a", "n_tok_b")
     val p1 = coalesce(element_at(col("byFam"), col("fam_a")), lit(0L))
       .cast("double") / col("n_tok_a").cast("double")
     val p2 = coalesce(element_at(col("byFam"), col("fam_b")), lit(0L))

@@ -29,8 +29,12 @@ object CorpusPrep {
                           stopwords: Seq[String],
                           langMarkers: Seq[(String, Seq[String])]): DataFrame = {
     val n = docs.sparkSession.sparkContext.defaultParallelism
-    val cleaned = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
-      .repartition(n) // spread raw text off a possibly single-task scan
+    val raw = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+    // spread raw text ONLY off a scan narrower than the cluster (the
+    // Decontaminate guard, r13): a well-partitioned 100 TB scan must
+    // not pay a round-robin exchange of the full corpus text
+    val spread = if (raw.rdd.getNumPartitions < n) raw.repartition(n) else raw
+    val cleaned = spread
       .select(col("doc_id"), TF.cleanText(col("__text")).as("clean"))
       // materialization barrier: without it CollapseProject inlines the
       // 3-regex clean expression into EVERY stat column below (quality,

@@ -289,6 +289,43 @@ class FunctionsSpec extends SparkSpec {
         array().cast("array<string>")))).count() === 0)
   }
 
+  test("vocab_term_counts: column vocabulary (Dyn) equals the literal form") {
+    // the q_retrieval_eval r13 swap: the vocabulary arrives as a
+    // broadcast 1-row aggregate column instead of a plan-time literal
+    val docs = Seq(
+      (1L, Seq("a", "b", "a", "c", "a")),
+      (2L, Seq("b", "b")),
+      (3L, Seq.empty[String]),
+      (4L, Seq("z", "z", "q"))).toDF("doc_id", "toks")
+    val vocab = Seq("a", "b", "q")
+    val vocabRow = Seq(Tuple1(vocab)).toDF("__vocab")
+    val dyn = docs.crossJoin(broadcast(vocabRow))
+      .select(col("doc_id"),
+        explode(call_function("vocab_term_counts", col("toks"), col("__vocab"))))
+      .select(col("doc_id"), col("key"), col("value"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(dyn === Set((1L, "a", 3L), (1L, "b", 1L), (2L, "b", 2L),
+      (4L, "q", 1L)))
+    // per-row DIFFERENT vocabularies exercise the cache-rebuild path:
+    // each row is counted under its own vocabulary, never a stale set
+    val perRow = Seq(
+      (1L, Seq("a", "b", "a"), Seq("a")),
+      (2L, Seq("a", "b", "a"), Seq("b")),
+      (3L, Seq("a", "b", "a"), Seq("a", "b"))).toDF("doc_id", "toks", "voc")
+      .repartition(1) // one task, one thread: consecutive distinct vocabs
+      .select(col("doc_id"),
+        explode(call_function("vocab_term_counts", col("toks"), col("voc"))))
+      .select(col("doc_id"), col("key"), col("value"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(perRow === Set((1L, "a", 2L), (2L, "b", 1L),
+      (3L, "a", 2L), (3L, "b", 1L)))
+    // empty vocabulary column → empty maps, no rows
+    val emptyRow = Seq(Tuple1(Seq.empty[String])).toDF("__vocab")
+    assert(docs.crossJoin(broadcast(emptyRow))
+      .select(explode(call_function("vocab_term_counts", col("toks"),
+        col("__vocab")))).count() === 0)
+  }
+
   test("unicodeClean: spaces mapped, zero-width and controls deleted, NFC first") {
     val df = Seq(
       "a\u00A0b",              // NBSP -> plain space

@@ -378,12 +378,26 @@ class PlanSpec extends SparkSpec {
       // exchange (the spread docs frame feeds the postings, stats and
       // doc-length branches; ReusedExchange collapses the clones at
       // runtime, and at scale the gate passes no fan-out at all)
-      ("q_retrieval_eval",        9, 5, true),
-      // r12: vocabulary JS drift — ONE checkpointed (fam, token,
-      // count) frame feeds the vocab-keyed map exchange and the
-      // |pairs|-row sum; the BNLJ is the broadcast |families|²-row
-      // pair grid crossed with the vocab-sized token map
-      ("q_vocab_drift",           2, 2, true),
+      // r13: +3 shuffles/+3 leaves — the union query vocabulary rides
+      // as a broadcast 1-row aggregate INSIDE the plan (its qt subtree
+      // clones the docs scan + fanout + term agg) instead of a
+      // plan-construction collect job; runtime ReusedExchange
+      // collapses the clones, and the at-scale regime test below pins
+      // the spread-free count
+      ("q_retrieval_eval",       12, 8, true),
+      // r12: vocabulary JS drift — ONE (fam, token, count) frame
+      // feeds the vocab-keyed map exchange and the |pairs|-row sum;
+      // the BNLJ is the broadcast |families|²-row pair grid crossed
+      // with the vocab-sized token map
+      // r13: the eager checkpoint + totals collect (two driver
+      // round-trip jobs at plan construction) are gone — the pair
+      // grid is a non-equi self-join of the |families|-row totals, so
+      // the (fam, t) aggregation subtree now appears 3× pre-AQE (map
+      // branch + both totals sides; ReusedExchange collapses them to
+      // ONE corpus pass at runtime — same corpus work, two fewer
+      // jobs). 7 = 3 corpus-agg clones + 2 totals aggs + map exchange
+      // + |pairs| sum
+      ("q_vocab_drift",           7, 3, true),
       // r12: PageRank — the iterations run as checkpointed jobs (the
       // q_dsir_weights contract), so the returned frame is TakeOrdered
       // over the final checkpoint; the iterative plan's 2-exchange
@@ -394,6 +408,53 @@ class PlanSpec extends SparkSpec {
       audit(q, p, maxShuffles, maxLeaves, bnljOk)
     }
     assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("at-scale regime: spread-free plans hold tighter ceilings") {
+    // r12 verdict item 8 + advice item 4. Two regime pins:
+    // (1) the spec fixture must BE in the small regime — if data or
+    //     conf growth ever flips scanFanout to 0 here, the golden
+    //     ceilings above would break with an opaque count mismatch,
+    //     so fail with the reason instead;
+    // (2) with the gate forced OFF (maxPartitionBytes shrunk until
+    //     every table "already scans wide" — the same arithmetic a
+    //     100 TB input satisfies naturally), the small-regime spread
+    //     exchanges must be ABSENT and these TIGHTER ceilings hold.
+    //     A spread leaking into the at-scale plan fails here, not in
+    //     a cluster deployment.
+    assert(SparkEntry.scanFanout(spark, sf(), "documents") > 0,
+      "fixture regime flipped: scanFanout = 0 in the spec fixture — " +
+        "the golden ceilings above assume the small-input spreads are present")
+    val key = "spark.sql.files.maxPartitionBytes"
+    val prev = spark.conf.get(key)
+    val cores = spark.sparkContext.defaultParallelism
+    val tables = Seq("documents", "events", "orders")
+    val minBytes = tables.map(t => Tables.bytesOnDisk(spark, sf(), t)).min
+    try {
+      spark.conf.set(key, math.max(1L, minBytes / cores).toString)
+      tables.foreach { t =>
+        assert(SparkEntry.scanFanout(spark, sf(), t) == 0,
+          s"$t still spreads under the at-scale conf")
+      }
+      val atScale = Seq(
+        //  query                maxShuffles maxLeaves bnljOk
+        ("q_pmi_cooccur",          6, 5, true),
+        ("q_backoff_logprob",     12, 9, true),
+        ("q_retrieval_eval",       9, 8, true),
+        // tfidf's spread replaces (not adds) the term exchange, so
+        // both regimes carry the same 4 pre-AQE exchanges
+        ("q_tfidf",                4, 3, true),
+        ("q_chat_assemble",        1, 1, false),
+        ("q_burstiness",           1, 2, false),
+        ("q_rolling_agg",          1, 1, false),
+        ("q_medallion_silver",     1, 2, false),
+        ("q_dedup_clusters",       1, 3, false))
+      val failures = atScale.flatMap { case (q, maxShuffles, maxLeaves, bnljOk) =>
+        val p = SparkEntry.queries(q)(spark, sf()).queryExecution.executedPlan
+        audit(q, p, maxShuffles, maxLeaves, bnljOk)
+      }
+      assert(failures.isEmpty, failures.mkString("\n"))
+    } finally spark.conf.set(key, prev)
   }
 
   private def audit(q: String, p: org.apache.spark.sql.execution.SparkPlan,
