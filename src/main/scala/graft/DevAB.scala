@@ -509,9 +509,14 @@ object DevAB {
         try exec(fn(spark, warm)) catch { case _: Throwable => () }
       val off = one(exec(fn(spark, dir)))
       spark.conf.set(key, value)
-      try exec(fn(spark, warm)) catch { case _: Throwable => () }
-      val on = one(exec(fn(spark, dir)))
-      orig match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+      // restore in finally: a throwing ON-measurement must not leave
+      // the A/B conf set for every later query in the run (r12 advice)
+      val on = try {
+        try exec(fn(spark, warm)) catch { case _: Throwable => () }
+        one(exec(fn(spark, dir)))
+      } finally {
+        orig match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+      }
       println(f"DEVAB conf $name off=$off%.3f on=$on%.3f delta=${(off - on) / off * 100}%.0f%%")
     }
   }

@@ -22,6 +22,11 @@ object GraftSession {
     sys.env.get("SPARK_GRAFT_CONF").foreach { s =>
       s.split(";").iterator.map(_.trim).filter(_.contains("=")).foreach { kv =>
         val Array(k, v) = kv.split("=", 2)
+        // loud on stderr (r12 advice): a leftover env var from an A/B
+        // run silently changing perf/correctness-relevant confs would
+        // make committed bench/verify artifacts unreproducible from
+        // code alone — every applied override is stamped in the log
+        System.err.println(s"[graft] SPARK_GRAFT_CONF override: ${k.trim}=${v.trim}")
         b.config(k.trim, v.trim)
       }
     }

@@ -60,19 +60,35 @@ object Ivf {
     cents
   }
 
-  /** Nearest-centroid assignment: broadcast the (tiny) centroid set,
-    * score with the native cosine, argmax via partial-aggregated max
-    * over (sim, -cluster_id) structs — one narrow pass, no shuffle of
-    * embeddings beyond the final groupBy key.
+  /** Nearest-centroid assignment: ALL centroids ride as one broadcast
+    * 1-row array and the argmax runs as a narrow per-row fold — ZERO
+    * shuffles (r13; §2.4). The previous form crossJoined the centroid
+    * rows (an n×c row blowup) and re-aggregated by vec_id, i.e. every
+    * assignment pass shuffled the full embedding corpus through a
+    * vec_id exchange — pure waste at any scale, since the argmax is a
+    * per-row function. The fold compares (sim, -cluster_id) structs
+    * with Spark's own struct ordering, so ties and NaN resolve exactly
+    * as the old max(struct(...)) aggregate did (ties → smaller
+    * cluster_id; assignment expects non-null, equal-width embeddings).
     */
-  private def assignTo(emb: DataFrame, cents: DataFrame): DataFrame =
-    emb.crossJoin(broadcast(cents))
-      .withColumn("sim", VectorFunctions.cosine(col("emb"), col("centroid")))
-      .groupBy(col("vec_id"))
-      .agg(
-        max(struct(col("sim"), (-col("cluster_id")).as("neg_cid"))).as("best"),
-        first(col("emb")).as("emb"))
-      .select(col("vec_id"), (-col("best.neg_cid")).cast("int").as("cluster_id"), col("emb"))
+  private def assignTo(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val centsRow = cents.agg(
+      collect_list(struct(col("cluster_id"), col("centroid"))).as("__cents"))
+    emb.crossJoin(broadcast(centsRow))
+      .select(col("vec_id"),
+        aggregate(col("__cents"),
+          struct(lit(Double.NegativeInfinity).as("sim"),
+            lit(Int.MinValue).as("neg_cid")),
+          (acc, x) => {
+            val cand = struct(
+              VectorFunctions.cosine(col("emb"), x.getField("centroid")).as("sim"),
+              (-x.getField("cluster_id")).as("neg_cid"))
+            when(cand > acc, cand).otherwise(acc)
+          }).as("best"),
+        col("emb"))
+      .select(col("vec_id"), (-col("best.neg_cid")).cast("int").as("cluster_id"),
+        col("emb"))
+  }
 
   /** Corpus index: (vec_id, cluster_id, embedding). At scale, write
     * this partitioned by cluster_id once and reuse.

@@ -30,8 +30,10 @@ object NgramJaccard {
     * shrinks from a multi-word string to a long, and the per-doc CPU
     * drops out of the interpreted HOF chain into a tight loop.
     */
-  def invertedIndex(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val n = docs.sparkSession.sparkContext.defaultParallelism
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String, k: Int,
+                    spreadN: Int = 0): DataFrame = {
+    val n = if (spreadN > 0) spreadN
+            else docs.sparkSession.sparkContext.defaultParallelism
     // guarded spread (the Decontaminate pattern, r13): only a scan
     // narrower than the cluster pays the raw-text exchange — a
     // well-partitioned 100 TB scan must not round-robin corpus text
@@ -69,7 +71,7 @@ object NgramJaccard {
     // makes the exchange explicit-width: AQE's size-based coalesce
     // otherwise folds a small tier's postings to ONE partition and
     // the df window + self-join + pair count all run serial.
-    val idx = invertedIndex(docs, idCol, textCol, k)
+    val idx = invertedIndex(docs, idCol, textCol, k, spreadN)
     val co = if (spreadN > 0) idx.repartition(spreadN, col("shingle"))
              else idx.repartition(col("shingle"))
     // df prefilter: drop shingles shared by >maxDf docs (near-zero

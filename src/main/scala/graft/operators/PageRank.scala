@@ -70,7 +70,15 @@ object PageRank {
             localEdgeLimit: Long = defaultLocalEdgeLimit): DataFrame = {
     require(iterations >= 1 && dampNano >= 0 && dampNano <= 1000000000L)
     require(checkpointEvery >= 1)
-    val nodesP = nodes.persist()
+    // both paths normalize ids to long up front (r12 advice): an int
+    // node column must not produce a scale-dependent output schema
+    // (the local path always returned bigint). CONTRACT: `nodes` is a
+    // DISTINCT universe — the local HashMap dedupes by construction,
+    // the distributed rank frame would double-count a duplicate row.
+    val nodesL = nodes.select(col("node").cast("long").as("node"))
+    val edgesIn = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val nodesP = nodesL.persist()
     val n = nodesP.count().max(1L)
     // hybrid small-graph path: node count is already known (the base
     // rank needs it), so the extra edge-count job runs ONLY in the
@@ -80,12 +88,10 @@ object PageRank {
     // Set localNodeLimit = 0 to force the distributed path (the spec
     // asserts both paths bit-equal).
     if (n <= localNodeLimit) {
-      val eCount = edges.count()
+      val eCount = edgesIn.count()
       if (eCount <= localEdgeLimit) {
-        val nodeArr = nodesP.select(col("node").cast("long"))
-          .collect().map(_.getLong(0))
-        val edgeArr = edges.select(col("src").cast("long"), col("dst").cast("long"))
-          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val nodeArr = nodesP.select(col("node")).collect().map(_.getLong(0))
+        val edgeArr = edgesIn.collect().map(r => (r.getLong(0), r.getLong(1)))
         nodesP.unpersist(blocking = false)
         val spark = nodes.sparkSession
         import spark.implicits._
@@ -94,10 +100,10 @@ object PageRank {
       }
     }
     val base = (1000000000L - dampNano) / n
-    val outd = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val outd = edgesIn.groupBy("src").agg(count(lit(1)).as("deg"))
     // degree-annotated edges, partitioned ONCE on the per-iteration
     // join key so only the rank frame moves each round
-    val e = edges.join(outd, "src")
+    val e = edgesIn.join(outd, "src")
       .repartition(col("src")).persist()
     // integral division via SQL `div` throughout — floor(a/b) through
     // doubles can round a whole quotient down near 2^53; div cannot

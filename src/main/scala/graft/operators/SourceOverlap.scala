@@ -42,8 +42,12 @@ object SourceOverlap {
     * exchange is keyed by the 64-bit `shingle_hash64` of each shingle,
     * never the joined string. Every downstream consumer (totals, pair
     * grid, HLL sketches) needs only equality/cardinality of shingles,
-    * so an 8-byte key is exact up to 2⁶⁴-collisions (the
-    * NgramJaccard/BackoffLm bound), and the per-doc CPU drops out of
+    * so an 8-byte key is exact while the corpus stays well under
+    * ~2³² DISTINCT shingles (the birthday bound of a 64-bit space —
+    * beyond it collisions bias the matrix/totals low; a corpus at
+    * that scale should key by a 128-bit hash if exactness matters,
+    * or read the HLL sketch forms whose error is explicit), and the
+    * per-doc CPU drops out of
     * the interpreted transform/slice/concat_ws HOF chain into the
     * native one-pass counter. Measured sf0.1: the exact matrix fell
     * 1.32 s → 0.58 s (with the gate-side scan fan-out) at identical
