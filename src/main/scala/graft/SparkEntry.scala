@@ -1828,7 +1828,7 @@ object SparkEntry {
       graft.operators.Novelty.report(
         docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0L),
         docs.filter(pmod(col("doc_id"), lit(5L)) === 0L),
-        "doc_id", "text", k = 3)
+        "doc_id", "text", k = 3, spreadN = scanFanout(s, d, "documents"))
     }),
 
     "q_bloom_ingest_dedup" -> ((s, d) => {

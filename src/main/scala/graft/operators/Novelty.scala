@@ -39,7 +39,7 @@ object Novelty {
     * their whole text as one shingle.
     */
   def report(candidates: DataFrame, reference: DataFrame, idCol: String,
-             textCol: String, k: Int): DataFrame = {
+             textCol: String, k: Int, spreadN: Int = 0): DataFrame = {
     // ONE tokenize pass: n_grams rides through the explode, so no
     // separate totals branch re-shingles the corpus, and the
     // membership probe is a LEFT join against a hit marker rather
@@ -49,20 +49,32 @@ object Novelty {
     // two-branch anti-join form measured 14.2 s in-tier (two
     // shingle passes + totals join); this form carries the same one
     // shingle-keyed exchange and one doc-keyed aggregate.
-    // TF.shingles already returns the DISTINCT k-gram set per doc;
-    // explode_outer keeps zero-gram docs (their null shingle never
-    // matches and is excluded from the novel count)
-    val pairs = candidates
-      .select(col(idCol), TF.shingles(col(textCol), k).as("__shs"))
-      // coalesce: TF.shingles(NULL text) is NULL, and size(NULL) is
-      // NULL (not 0) — without it a NULL-text doc reports NULL
-      // n_grams/novelty instead of the documented zero-gram 0.0
-      // (r10 advice item 4)
+    // r13 (guide §2.3 — the SourceOverlap/NgramJaccard recipe): the
+    // probe needs only shingle EQUALITY, so both sides key by the
+    // native one-pass `shingle_hash64` — the per-doc CPU drops out
+    // of the interpreted transform/slice/concat_ws HOF chain, and
+    // every exchanged/joined key is 8 bytes instead of a k-word
+    // string. Exact while distinct shingles stay well under the
+    // ~2³² birthday bound of the 64-bit space; per-doc distinctness
+    // by hash equals distinctness by string w.h.p. (the committed
+    // FunctionsSpec bit-equality pins the hash recipe itself).
+    // shingle_hash64(NULL tokens) is NULL, so a NULL-text doc still
+    // reports the documented zero-gram 0.0 via the coalesce, and
+    // explode_outer keeps zero-gram docs (their null hash never
+    // matches and is excluded from the novel count).
+    // spreadN > 0 (small-input regime only — SparkEntry.scanFanout)
+    // fans the candidate scan out so the shingle pass parallelizes
+    // off a single-split tier file; identity at scale.
+    val cand = if (spreadN > 0) candidates.repartition(spreadN) else candidates
+    val pairs = cand
+      .select(col(idCol),
+        call_function("shingle_hash64", TF.tokens(col(textCol)), lit(k)).as("__shs"))
       .select(col(idCol),
         coalesce(size(col("__shs")), lit(0)).cast("long").as("__n"),
         explode_outer(col("__shs")).as("__sh"))
     val refSet = reference
-      .select(explode(TF.shingles(col(textCol), k)).as("__sh"))
+      .select(explode(
+        call_function("shingle_hash64", TF.tokens(col(textCol)), lit(k))).as("__sh"))
       .distinct()
     pairs.join(refSet.withColumn("__hit", lit(1)), Seq("__sh"), "left")
       .groupBy(idCol)

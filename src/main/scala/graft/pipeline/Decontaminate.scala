@@ -20,9 +20,17 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
-  /** Distinct word-k-shingles of the eval corpus (the broadcast side). */
+  /** Distinct word-k-shingle HASHES of the eval corpus (the broadcast
+    * side). r13 (guide §2.3, the Novelty/SourceOverlap recipe): the
+    * probe needs only shingle equality, so both sides carry the
+    * native one-pass `shingle_hash64` — 8-byte broadcast keys, and
+    * the training corpus's dominant per-doc CPU drops out of the
+    * interpreted shingle-HOF chain. Exact while distinct shingles
+    * stay well under the 64-bit space's ~2³² birthday bound.
+    */
   def evalShingles(eval: DataFrame, textCol: String, k: Int): DataFrame =
-    eval.select(explode(TextFunctions.shingles(col(textCol), k)).as("shingle"))
+    eval.select(explode(call_function("shingle_hash64",
+        TextFunctions.tokens(col(textCol)), lit(k))).as("shingle"))
       .distinct()
 
   /** VERBATIM contamination scan (r11): flag training docs containing
@@ -62,7 +70,8 @@ object Decontaminate {
     // not pay a round-robin exchange of the full raw text
     val spread = if (raw.rdd.getNumPartitions < n) raw.repartition(n) else raw
     val idx = spread
-      .select(col("doc_id"), TextFunctions.shingles(col("__text"), k).as("sh"))
+      .select(col("doc_id"), call_function("shingle_hash64",
+        TextFunctions.tokens(col("__text")), lit(k)).as("sh"))
       .select(col("doc_id"), size(col("sh")).cast("long").as("n_shingles"),
         explode_outer(col("sh")).as("shingle"))
     idx
