@@ -1773,7 +1773,12 @@ object SparkEntry {
       // subset. md5 bucketing + integerized log-ratios make every
       // weight engine-portable → full DuckDB oracle. One bucket-keyed
       // token exchange; the B-row model broadcasts (PlanSpec).
-      graft.operators.Dsir.weights(Tables.documents(s, d), "doc_id",
+      // size-gated spread (r13): both DSIR passes (the pass-1 model
+      // job and the scan-pure scoring projection) otherwise run off a
+      // single-split tier scan; at-scale shape pinned by the regime
+      // test
+      graft.operators.Dsir.weights(
+        spreadIfSmall(s, d, "documents")(Tables.documents(s, d)), "doc_id",
         "text", col("lang") === "en")),
 
     "q_dsir_sample" -> ((s, d) =>
@@ -2005,7 +2010,10 @@ object SparkEntry {
         TF.bpeTokenCount(col("text")).as("bpe_tokens"))),
 
     "q_quality_score" -> ((s, d) =>
-      Tables.documents(s, d).select(col("doc_id"),
+      // scan-pure rules pass; the size-gated spread (r13) fans the
+      // single-split tier scan out — the 100 TB zero-shuffle contract
+      // is pinned by PlanSpec's at-scale regime test
+      spreadIfSmall(s, d, "documents")(Tables.documents(s, d)).select(col("doc_id"),
         TF.qualityScore(col("text"), stopwords).as("quality"),
         pround(TF.meanTokenLen(col("text")), 2).as("mean_token_len"),
         pround(TF.alphaRatio(col("text")), 4).as("alpha_ratio"))),
@@ -2035,8 +2043,12 @@ object SparkEntry {
         (20000004L, ("the tag # of # and # that # have # with #\n" * 6)),
         (20000005L, ("the quick brown fox jumps over that lazy dog to be of and have with great zeal " * 5)))
         .toDF("doc_id", "text")
+      // size-gated spread of the corpus side only (r13): the fused
+      // rules pass otherwise runs as ONE task off a single-split tier
+      // file; at-scale zero-shuffle shape pinned by the regime test
       GopherRules.signals(
-        Tables.documents(s, d).select("doc_id", "text").unionByName(planted))
+        spreadIfSmall(s, d, "documents")(
+          Tables.documents(s, d).select("doc_id", "text")).unionByName(planted))
     }),
 
     "q_ccnet_buckets" -> ((s, d) =>

@@ -219,7 +219,12 @@ class PlanSpec extends SparkSpec {
       ("q_dedup_minhash",        8, 9, false),
       ("q_ann_bruteforce",       1, 2, true),
       ("q_token_count",          0, 1, false),
-      ("q_quality_score",        0, 1, false),
+      // r13: scan-pure gates take the size-gated small-regime spread
+      // (one round-robin exchange of the tiny tier file so the fused
+      // rules pass fills the cores); the zero-shuffle 100 TB contract
+      // moved to the at-scale regime test below, which pins these
+      // back to 0 when the spread gate is off
+      ("q_quality_score",        1, 1, false),
       ("q_event_windows",        2, 1, false),
       ("q_sessionize",           1, 1, false),
       ("q_medallion_silver",     1, 2, false),
@@ -252,11 +257,12 @@ class PlanSpec extends SparkSpec {
       // late-r9 rework: the returned frame is a scan-pure narrow
       // projection (the B-row model is a separate bounded pass-1 job
       // collected before plan construction — the Ivf cell-list
-      // precedent), so zero shuffles and one leaf
-      ("q_dsir_weights",         0, 1, false),
+      // precedent); r13 small-regime spread (see q_quality_score)
+      ("q_dsir_weights",         1, 1, false),
       ("q_ccnet_buckets",        2, 2, false),
-      // late-r9: the Gopher bundle must stay a pure scan pass
-      ("q_gopher_rules",         0, 2, false),
+      // late-r9: the Gopher bundle must stay a pure scan pass at
+      // scale; r13 small-regime spread (see q_quality_score)
+      ("q_gopher_rules",         1, 2, false),
       ("q_temperature_mix",      2, 1, false),
       // bloom ingest dedup (r12 staged rework): the batch and the
       // digest index are persisted artifacts, so the timed plan is
@@ -448,7 +454,14 @@ class PlanSpec extends SparkSpec {
         ("q_burstiness",           1, 2, false),
         ("q_rolling_agg",          1, 1, false),
         ("q_medallion_silver",     1, 2, false),
-        ("q_dedup_clusters",       1, 3, false))
+        ("q_dedup_clusters",       1, 3, false),
+        // the scan-pure contract proper: corpus text NEVER moves at
+        // scale — the r12 "deliberately left alone" reasoning, now
+        // enforceable because the small-regime spread is regime-gated
+        ("q_quality_score",        0, 1, false),
+        ("q_gopher_rules",         0, 2, false),
+        ("q_dsir_weights",         0, 1, false),
+        ("q_ngram_novelty",        5, 4, false))
       val failures = atScale.flatMap { case (q, maxShuffles, maxLeaves, bnljOk) =>
         val p = SparkEntry.queries(q)(spark, sf()).queryExecution.executedPlan
         audit(q, p, maxShuffles, maxLeaves, bnljOk)
