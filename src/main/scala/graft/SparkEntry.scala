@@ -1925,6 +1925,9 @@ object SparkEntry {
       // 50x planted spike, mirrored in the oracle — the report must
       // count exactly those without the spikes dragging the scale
       // estimate (the whole point of MAD over stddev)
+      // NO spread (r13 A/B): the histogram pass is one cheap floor()
+      // per row — fanning the events scan out measured 0.75 → 1.10 s
+      // (the exchange costs more than the trivial per-row CPU saves)
       val ev = Tables.events(s, d).withColumn("value",
         when(pmod(col("event_id"), lit(97L)) === 0, col("value") * 50)
           .otherwise(col("value")))
@@ -2005,9 +2008,11 @@ object SparkEntry {
     }),
 
     "q_token_count" -> ((s, d) =>
-      Tables.documents(s, d).select(col("doc_id"),
-        TF.tokenCount(col("text")).as("ws_tokens"),
-        TF.bpeTokenCount(col("text")).as("bpe_tokens"))),
+      // size-gated spread (r13, the q_quality_score pattern)
+      spreadIfSmall(s, d, "documents")(Tables.documents(s, d))
+        .select(col("doc_id"),
+          TF.tokenCount(col("text")).as("ws_tokens"),
+          TF.bpeTokenCount(col("text")).as("bpe_tokens"))),
 
     "q_quality_score" -> ((s, d) =>
       // scan-pure rules pass; the size-gated spread (r13) fans the
@@ -2164,8 +2169,10 @@ object SparkEntry {
       // (r9 verdict item 7): portable md5 bucket + pinned integer
       // milli-weights make every margin an exact integer DuckDB
       // reproduces bit-for-bit — see QualityClassifier.marginCheck
+      // size-gated spread (r13, the q_quality_score pattern)
       graft.operators.QualityClassifier.marginCheck(
-        Tables.documents(s, d), "doc_id", "text")),
+        spreadIfSmall(s, d, "documents")(Tables.documents(s, d)),
+        "doc_id", "text")),
 
     "q_classifier_train_check" -> ((s, d) => {
       // the TRAINING loop driver-checked (r11 verdict item 8): the
@@ -2971,6 +2978,8 @@ object SparkEntry {
           lit("\u0007"), lit("c"))) // BEL control
         .otherwise(col("text"))
       val cleaned = TF.unicodeClean(planted)
+      // NO spread (r13 A/B): the clean expression fires on 1/4 of the
+      // docs, so the fan-out exchange measured flat — scan-pure stays
       Tables.documents(s, d).select(col("doc_id"),
         length(cleaned).cast("long").as("clean_len"),
         (cleaned =!= planted).as("changed"),

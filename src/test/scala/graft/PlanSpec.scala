@@ -48,9 +48,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("__bin"), p)
   }
 
-  test("text stats: no exchange at all (pure scan-fused projection)") {
+  test("text stats: only the small-regime fan-out, projection scan-fused") {
+    // r13: the gate takes the size-gated spread, so the small-regime
+    // plan carries exactly ONE round-robin exchange below the fused
+    // projection; the zero-exchange 100 TB contract is pinned by the
+    // at-scale regime test (q_token_count with the spread gate off)
     val p = plan("q_token_count")
-    assert(!p.contains("Exchange"), p)
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+    assert(p.contains("RoundRobinPartitioning"), p)
   }
 
   test("IVF: no unpartitioned Window — seeding is TakeOrdered, not a global sort") {
@@ -218,7 +223,7 @@ class PlanSpec extends SparkSpec {
       // (65 s → 13 s at sf10)
       ("q_dedup_minhash",        8, 9, false),
       ("q_ann_bruteforce",       1, 2, true),
-      ("q_token_count",          0, 1, false),
+      ("q_token_count",          1, 1, false),
       // r13: scan-pure gates take the size-gated small-regime spread
       // (one round-robin exchange of the tiny tier file so the fused
       // rules pass fills the cores); the zero-shuffle 100 TB contract
@@ -343,8 +348,9 @@ class PlanSpec extends SparkSpec {
       // shingle-keyed anti join, doc-keyed count + totals join
       ("q_ngram_novelty",        5, 4, false),
       // r10 check harnesses: classifier margin replay is a pure scan
-      // pass; outlier threshold check = one cell agg + broadcast-back
-      ("q_classifier_margin_check", 0, 1, false),
+      // pass (r13 small-regime spread — see q_quality_score); outlier
+      // threshold check = one cell agg + broadcast-back
+      ("q_classifier_margin_check", 1, 1, false),
       ("q_outlier_threshold_check", 1, 2, false),
       // r10: robust scale — (pos, value) histogram exchange, keyed
       // rank windows over distinct values, dims-row stats fold; BNLJ
@@ -461,6 +467,8 @@ class PlanSpec extends SparkSpec {
         ("q_quality_score",        0, 1, false),
         ("q_gopher_rules",         0, 2, false),
         ("q_dsir_weights",         0, 1, false),
+        ("q_token_count",          0, 1, false),
+        ("q_classifier_margin_check", 0, 1, false),
         ("q_ngram_novelty",        5, 4, false))
       val failures = atScale.flatMap { case (q, maxShuffles, maxLeaves, bnljOk) =>
         val p = SparkEntry.queries(q)(spark, sf()).queryExecution.executedPlan
